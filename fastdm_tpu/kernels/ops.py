@@ -1,0 +1,175 @@
+"""Unified kernel-op interface (9 dispatched ops).
+
+Functional JAX re-design of the reference op contract
+(ref: fastdm/kernel/operators_set.py:9-208). Differences are deliberate and
+TPU-motivated:
+
+  * no in-place mutation — RoPE returns new (q, k) instead of writing into the
+    inputs (XLA is functional; donation/fusion recovers the memory),
+  * cos/sin are passed as two (S, rot_dim/2) float32 arrays instead of the
+    reference's single merged interleaved cache (the merge existed only to fit
+    a CUDA kernel's layout),
+  * activation-quantization scales are float32 (M, 1); weight scales (1, N).
+
+All ops are traceable under jit; backend selection happens at trace time via
+the registry (see registry.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+from fastdm_tpu.kernels.registry import kernel_registry
+
+Array = jax.Array
+
+
+@kernel_registry.dispatch("rmsnorm")
+def rms_norm(x: Array, weight: Optional[Array], eps: float) -> Array:
+    """RMS-normalize ``x`` over its last dim, then multiply by ``weight``.
+
+    ``weight`` may have trailing shape equal to the last dim of ``x`` (or be
+    reshapeable onto it, e.g. per-head (heads*dim,) applied to (..., heads, dim)
+    is handled by callers reshaping x). ``weight=None`` means no affine.
+    Accumulation is float32 regardless of input dtype
+    (ref: fastdm/kernel/torch/norm.py upcasts likewise).
+    """
+    return NotImplemented
+
+
+@kernel_registry.dispatch("rotembd")
+def rotary_pos_embedding(
+    query: Array,
+    key: Array,
+    head_size: int,
+    cos: Array,
+    sin: Array,
+    is_neox: bool = False,
+) -> Tuple[Array, Array]:
+    """Apply rotary embedding to query/key.
+
+    query: (B, S, num_q_heads * head_size); key: (B, S, num_kv_heads * head_size).
+    cos, sin: (S, head_size // 2) float32 — one entry per rotation pair.
+    is_neox=False (interleaved): pairs are (x[..., 0::2], x[..., 1::2]);
+    is_neox=True (half-split):   pairs are (x[..., :d/2], x[..., d/2:]).
+    Returns rotated (query, key) in the input dtype.
+    (ref contract: fastdm/kernel/operators_set.py:23-52)
+    """
+    return NotImplemented
+
+
+@kernel_registry.dispatch("gelu_and_mul")
+def gelu_and_mul(x: Array) -> Array:
+    """x[..., :d] * GELU(x[..., d:]) with d = x.shape[-1] // 2.
+
+    Note the gate is the *second* half — opposite of the usual LLM layout
+    (ref: fastdm/kernel/operators_set.py:54-67). Exact (erf) GELU.
+    """
+    return NotImplemented
+
+
+@kernel_registry.dispatch("quantize_to_int8")
+def quantize_to_int8(
+    x: Array, symmetric: bool = True
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Per-token (row) int8 quantization of a 2D array.
+
+    symmetric: scale = rowmax(|x|)/127, zp None.
+    asymmetric: scale = (rowmax-rowmin)/255, zp = -128 - round(rowmin/scale).
+    Returns (q int8 (M,K), scale f32 (M,1), zp i32 (M,1) | None).
+    (ref math: fastdm/utils/quantization.py:5-40)
+    """
+    return NotImplemented
+
+
+@kernel_registry.dispatch("quantize_to_fp8")
+def quantize_to_fp8(x: Array) -> Tuple[Array, Array]:
+    """Per-token float8_e4m3fn quantization: scale = rowmax(|x|)/448.
+
+    Returns (q fp8 (M,K), scale f32 (M,1)).
+    (ref math: fastdm/utils/quantization.py:42-63)
+    """
+    return NotImplemented
+
+
+@kernel_registry.dispatch("fp8_matmul")
+def fp8_matmul(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    out_dtype,
+    bias: Optional[Array] = None,
+) -> Array:
+    """(M,K)fp8 @ (K,N)fp8 with per-token (M,1) × per-channel (1,N) f32 scales.
+
+    out = (a·b) * (scale_a ⊗ scale_b) + bias, cast to out_dtype.
+    (ref contract: fastdm/kernel/operators_set.py:102-124)
+    """
+    return NotImplemented
+
+
+@kernel_registry.dispatch("int8_matmul")
+def int8_matmul(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    out_dtype,
+    azp_adj: Array,
+    azp: Optional[Array],
+    bias: Optional[Array] = None,
+) -> Array:
+    """W8A8 int8 matmul with asymmetric activation zero-points.
+
+    a: (M,K) int8 (per-token asym-quantized), b: (K,N) int8 (per-channel sym).
+    azp_adj: (1,N) int32 column sums of b. azp: (M,1) int32 activation zps.
+    out = (a·b - azp ⊗ azp_adj) * (scale_a ⊗ scale_b) + bias
+    (ref math: doc/introduction.md:38-42, contract operators_set.py:126-152)
+    """
+    return NotImplemented
+
+
+@kernel_registry.dispatch("sdpa")
+def scaled_dot_product_attention(
+    query: Array,
+    key: Array,
+    value: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+) -> Array:
+    """Attention over flattened-head layouts.
+
+    query: (B, Sq, num_q_heads*head_dim); key/value: (B, Skv, num_kv_heads*head_dim).
+    GQA when num_kv_heads < num_q_heads. Returns (B, Sq, num_q_heads*head_dim).
+    (ref contract: fastdm/kernel/operators_set.py:154-179)
+    """
+    return NotImplemented
+
+
+@kernel_registry.dispatch("sdpa_sparse")
+def sparse_scaled_dot_product_attention(
+    query: Array,
+    key: Array,
+    value: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+    sparse_mask: Optional[Array] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> Array:
+    """Block-sparse attention.
+
+    sparse_mask: (B, H, ceil(Sq/block_q), ceil(Skv/block_k)) bool/int — 1 compute,
+    0 skip. Skipped KV blocks contribute nothing to the softmax.
+    (ref contract: fastdm/kernel/operators_set.py:181-208)
+    """
+    return NotImplemented

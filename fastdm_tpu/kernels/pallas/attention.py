@@ -1,0 +1,273 @@
+"""Pallas TPU flash attention (dense + block-sparse).
+
+TPU-native replacement for the reference's attention stack (SageAttention /
+flash-attention-v3 fp8 / SpargeAttn block-sparse — SURVEY.md §2.2). Online-
+softmax forward with the KV dimension as the innermost grid axis, so Pallas
+double-buffers K/V block DMAs against MXU compute automatically.
+
+Layout: (B, S, H*D) inputs are viewed as (B, H, S, D) so each grid step's
+block is a (bq|bk, D) tile — the layout Mosaic requires (last two block dims
+aligned to (8, 128) or spanning the array).
+
+The block-sparse variant consumes the same (B, H, nq_blocks, nkv_blocks)
+mask contract as the reference's radial attention (ref:
+fastdm/sparse/xsparse.py:171-183) and skips masked KV blocks' compute.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastdm_tpu.kernels.registry import kernel_registry
+
+# CPU tests run the kernels through the (fast) Pallas interpreter; on TPU this
+# must be unset so Mosaic compiles them.
+_INTERPRET = os.environ.get("FASTDM_PALLAS_INTERPRET", "0") == "1"
+
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+_LANES = 128
+
+
+def _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr):
+    """One online-softmax update for a (bq, D) query block against (bk, D) k/v."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask, s, _NEG_INF)
+    m_prev = m_scr[...]
+    l_prev = l_scr[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)  # (bq, LANES)
+    p = jnp.exp(s - m_next[:, :1])  # (bq, bk) f32
+    l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+    m_scr[...] = m_next
+    pv = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    acc_scr[...] = alpha[:, :1] * acc_scr[...] + pv
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale, kv_len, block_q, block_k, causal,
+):
+    i, j = pl.program_id(2), pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    run = jnp.bool_(True)
+    if causal:
+        run = j * block_k <= (i + 1) * block_q - 1
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        kv_mask = None
+        col = None
+        if kv_len % block_k != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            kv_mask = col + j * block_k < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            if col is None:
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            cmask = col + j * block_k <= row + i * block_q
+            kv_mask = cmask if kv_mask is None else (kv_mask & cmask)
+        _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr)
+
+    @pl.when(j == nj - 1)
+    def _():
+        l = l_scr[:, :1]
+        out = acc_scr[...] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _sparse_flash_kernel(
+    mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale, kv_len, block_q, block_k,
+):
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    @pl.when(mask_ref[0, 0, 0, 0] != 0)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        kv_mask = None
+        if kv_len % block_k != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            kv_mask = col + j * block_k < kv_len
+        _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr)
+
+    @pl.when(j == nj - 1)
+    def _():
+        l = l_scr[:, :1]
+        out = acc_scr[...] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _pad_seq(x: Array, mult: int) -> Array:
+    """Pad the sequence axis of a (B, H, S, D) array up to a multiple."""
+    pad = (-x.shape[2]) % mult
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_q_heads", "num_kv_heads", "head_dim", "is_causal", "scale",
+        "block_q", "block_k", "has_mask",
+    ),
+)
+def _flash_attention(
+    query, key, value, sparse_mask,
+    *, num_q_heads, num_kv_heads, head_dim, is_causal, scale, block_q, block_k, has_mask,
+):
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    scale = head_dim**-0.5 if scale is None else scale
+    bq = min(block_q, _round_up(sq, 128))
+    bk = min(block_k, _round_up(skv, 128))
+
+    q = _pad_seq(query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3), bq)
+    k = _pad_seq(key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
+    v = _pad_seq(value.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
+    sq_p, skv_p = q.shape[2], k.shape[2]
+    ni, nj = sq_p // bq, skv_p // bk
+    grid = (b, num_q_heads, ni, nj)
+    kv_rep = num_q_heads // num_kv_heads
+
+    q_spec = pl.BlockSpec(
+        (1, 1, bq, head_dim), lambda b_, h, i, j: (b_, h, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, bk, head_dim),
+        lambda b_, h, i, j: (b_, h // kv_rep, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    o_spec = pl.BlockSpec(
+        (1, 1, bq, head_dim), lambda b_, h, i, j: (b_, h, i, 0), memory_space=pltpu.VMEM
+    )
+    scratch = [
+        pltpu.VMEM((bq, _LANES), jnp.float32),
+        pltpu.VMEM((bq, _LANES), jnp.float32),
+        pltpu.VMEM((bq, head_dim), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=4 * b * num_q_heads * sq_p * skv_p * head_dim,
+        bytes_accessed=2 * (q.size + k.size + v.size),
+        transcendentals=b * num_q_heads * sq_p * skv_p,
+    )
+
+    if has_mask:
+        mask_spec = pl.BlockSpec(
+            (1, 1, 1, 1), lambda b_, h, i, j: (b_, h, i, j), memory_space=pltpu.SMEM
+        )
+        kernel = functools.partial(
+            _sparse_flash_kernel, scale=scale, kv_len=skv, block_q=bq, block_k=bk
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[mask_spec, q_spec, kv_spec, kv_spec],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, query.dtype),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_INTERPRET,
+        )(sparse_mask.astype(jnp.int32), q, k, v)
+    else:
+        kernel = functools.partial(
+            _flash_kernel,
+            scale=scale, kv_len=skv, block_q=bq, block_k=bk, causal=is_causal,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, query.dtype),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_INTERPRET,
+        )(q, k, v)
+
+    return (
+        out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, num_q_heads * head_dim)
+    )
+
+
+@kernel_registry.register("sdpa", "pallas")
+def sdpa_pallas(
+    query: Array,
+    key: Array,
+    value: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+) -> Array:
+    return _flash_attention(
+        query, key, value, None,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
+        is_causal=is_causal, scale=scale, block_q=512, block_k=512, has_mask=False,
+    )
+
+
+@kernel_registry.register("sdpa_sparse", "pallas")
+def sdpa_sparse_pallas(
+    query: Array,
+    key: Array,
+    value: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+    sparse_mask: Optional[Array] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> Array:
+    if sparse_mask is None:
+        return sdpa_pallas(
+            query, key, value, num_q_heads, num_kv_heads, head_dim, is_causal, scale
+        )
+    assert not is_causal, "block-sparse path is non-causal (radial video attention)"
+    return _flash_attention(
+        query, key, value, sparse_mask,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
+        is_causal=False, scale=scale, block_q=block_q, block_k=block_k, has_mask=True,
+    )

@@ -1,0 +1,90 @@
+"""Kernel registry: op-name -> {backend-name -> impl}.
+
+Plays the role of the reference registry (fastdm/kernel/registry.py:5-59) but for
+JAX: backends are selected at *trace time* (everything downstream is jitted), so
+the selection knob is an env var / set_global_backend call read when the op is
+traced, not a per-call device dispatch.
+
+Backends:
+  "jnp"    — pure jax.numpy implementations compiled by XLA. Runs anywhere
+             (CPU/TPU); serves as the numerical oracle for tests, like the
+             reference's torch backend.
+  "pallas" — hand-written Pallas TPU kernels for the hot ops.
+  "auto"   — (default) pallas on TPU, jnp elsewhere; per-op fallback to jnp
+             when no pallas impl is registered.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Dict
+
+import jax
+
+_ENV_KEY = "FASTDM_KERNEL_BACKEND"
+_VALID = ("jnp", "pallas", "auto")
+
+
+class KernelRegistry:
+    def __init__(self) -> None:
+        self._ops: Dict[str, Dict[str, Callable]] = {}
+
+    def register(self, op_name: str, backend: str) -> Callable:
+        def deco(fn: Callable) -> Callable:
+            self._ops.setdefault(op_name, {})[backend] = fn
+            return fn
+
+        return deco
+
+    def backend_for(self, op_name: str, force_backend: str | None = None) -> str:
+        choice = force_backend or os.environ.get(_ENV_KEY, "auto")
+        if choice not in _VALID:
+            raise ValueError(f"invalid kernel backend {choice!r}; expected one of {_VALID}")
+        impls = self._ops.get(op_name, {})
+        if choice == "auto":
+            if "pallas" in impls and jax.default_backend() == "tpu":
+                return "pallas"
+            return "jnp"
+        if choice == "pallas" and "pallas" not in impls:
+            return "jnp"  # graceful degradation, mirrors reference fallback-to-torch
+        return choice
+
+    def select(self, op_name: str, force_backend: str | None = None) -> Callable:
+        impls = self._ops.get(op_name)
+        if not impls:
+            raise KeyError(f"no implementations registered for op {op_name!r}")
+        backend = self.backend_for(op_name, force_backend)
+        try:
+            return impls[backend]
+        except KeyError:
+            raise KeyError(
+                f"op {op_name!r} has no {backend!r} backend (have {sorted(impls)})"
+            ) from None
+
+    def dispatch(self, op_name: str, force_backend: str | None = None) -> Callable:
+        """Decorator turning an interface stub into a dispatching call."""
+
+        def deco(stub: Callable) -> Callable:
+            @functools.wraps(stub)
+            def wrapper(*args, **kwargs):
+                return self.select(op_name, force_backend)(*args, **kwargs)
+
+            wrapper.op_name = op_name
+            return wrapper
+
+        return deco
+
+
+kernel_registry = KernelRegistry()
+
+
+def set_global_backend(backend: str) -> None:
+    """Set the process-wide kernel backend (ref: fastdm/kernel/utils.py:11-15)."""
+    if backend not in _VALID:
+        raise ValueError(f"invalid kernel backend {backend!r}; expected one of {_VALID}")
+    os.environ[_ENV_KEY] = backend
+
+
+def get_global_backend() -> str:
+    return os.environ.get(_ENV_KEY, "auto")

@@ -1,0 +1,131 @@
+"""DiT attention layers (ref: fastdm/layer/transformer.py:64-391).
+
+Joint (dual-stream) attention for FLUX/SD3.5/Qwen: fused-QKV projections,
+per-head RMSNorm on q/k, optional context stream concatenated in front of the
+image stream, fused RoPE, flash sdpa, split + output projections.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastdm_tpu.kernels import rms_norm, rotary_pos_embedding, scaled_dot_product_attention
+from fastdm_tpu.layers.qlinear import qlinear_apply
+
+Array = jax.Array
+
+
+def _qk_headnorm(x: Array, weight: Optional[Array], heads: int, eps: float) -> Array:
+    """Per-head RMSNorm: reshape (B,S,H*D)->(B,S,H,D), normalize last dim."""
+    if weight is None:
+        return x
+    b, s, hd = x.shape
+    y = rms_norm(x.reshape(b, s, heads, hd // heads), weight, eps)
+    return y.reshape(b, s, hd)
+
+
+def attention_apply(
+    params,
+    hidden_states: Array,
+    encoder_hidden_states: Optional[Array],
+    *,
+    heads: int,
+    head_dim: int,
+    rope_cos: Optional[Array] = None,
+    rope_sin: Optional[Array] = None,
+    pre_only: bool = False,
+    context_pre_only: Optional[bool] = None,
+    eps: float = 1e-6,
+) -> Array | Tuple[Array, Array]:
+    """(ref: Attention.forward, fastdm/layer/transformer.py:232-317)
+
+    Returns attn output; with a context stream, returns (hidden, encoder) pair.
+    """
+    inner_dim = heads * head_dim
+    qkv = qlinear_apply(params["qkv"], hidden_states)
+    q = qkv[..., :inner_dim]
+    k = qkv[..., inner_dim : 2 * inner_dim]
+    v = qkv[..., 2 * inner_dim :]
+
+    q = _qk_headnorm(q, params.get("norm_q"), heads, eps)
+    k = _qk_headnorm(k, params.get("norm_k"), heads, eps)
+
+    if encoder_hidden_states is not None and "add_qkv" in params:
+        ctx_qkv = qlinear_apply(params["add_qkv"], encoder_hidden_states)
+        cq = ctx_qkv[..., :inner_dim]
+        ck = ctx_qkv[..., inner_dim : 2 * inner_dim]
+        cv = ctx_qkv[..., 2 * inner_dim :]
+        cq = _qk_headnorm(cq, params.get("norm_added_q"), heads, eps)
+        ck = _qk_headnorm(ck, params.get("norm_added_k"), heads, eps)
+        # context tokens go FIRST (ref: transformer.py:293-295)
+        q = jnp.concatenate([cq, q], axis=1)
+        k = jnp.concatenate([ck, k], axis=1)
+        v = jnp.concatenate([cv, v], axis=1)
+
+    if rope_cos is not None:
+        q, k = rotary_pos_embedding(q, k, head_dim, rope_cos, rope_sin, is_neox=False)
+
+    out = scaled_dot_product_attention(q, k, v, heads, heads, head_dim, False, head_dim**-0.5)
+    out = out.astype(hidden_states.dtype)
+
+    if encoder_hidden_states is not None:
+        ctx_len = encoder_hidden_states.shape[1]
+        ctx_out, img_out = out[:, :ctx_len], out[:, ctx_len:]
+        if context_pre_only is not None and not context_pre_only:
+            ctx_out = qlinear_apply(params["to_add_out"], ctx_out)
+        if not pre_only:
+            img_out = qlinear_apply(params["to_out"], img_out)
+        return img_out, ctx_out
+    if not pre_only:
+        out = qlinear_apply(params["to_out"], out)
+    return out
+
+
+def qwen_attention_apply(
+    params,
+    hidden_states: Array,
+    encoder_hidden_states: Array,
+    *,
+    heads: int,
+    head_dim: int,
+    rope_cos: Array,
+    rope_sin: Array,
+    eps: float = 1e-6,
+) -> Tuple[Array, Array]:
+    """Qwen-Image joint attention: img/txt streams stay separate until the
+    joint concat (ref: Attention.forward_qwen, transformer.py:319-391).
+    Returns (img_attn_out, txt_attn_out)."""
+    inner_dim = heads * head_dim
+    img_qkv = qlinear_apply(params["qkv"], hidden_states)
+    iq, ik, iv = (
+        img_qkv[..., :inner_dim],
+        img_qkv[..., inner_dim : 2 * inner_dim],
+        img_qkv[..., 2 * inner_dim :],
+    )
+    txt_qkv = qlinear_apply(params["add_qkv"], encoder_hidden_states)
+    tq, tk, tv = (
+        txt_qkv[..., :inner_dim],
+        txt_qkv[..., inner_dim : 2 * inner_dim],
+        txt_qkv[..., 2 * inner_dim :],
+    )
+    iq = _qk_headnorm(iq, params.get("norm_q"), heads, eps)
+    ik = _qk_headnorm(ik, params.get("norm_k"), heads, eps)
+    tq = _qk_headnorm(tq, params.get("norm_added_q"), heads, eps)
+    tk = _qk_headnorm(tk, params.get("norm_added_k"), heads, eps)
+
+    # text first in the joint sequence
+    q = jnp.concatenate([tq, iq], axis=1)
+    k = jnp.concatenate([tk, ik], axis=1)
+    v = jnp.concatenate([tv, iv], axis=1)
+
+    q, k = rotary_pos_embedding(q, k, head_dim, rope_cos, rope_sin, is_neox=False)
+    out = scaled_dot_product_attention(q, k, v, heads, heads, head_dim, False, head_dim**-0.5)
+    out = out.astype(hidden_states.dtype)
+
+    seq_txt = encoder_hidden_states.shape[1]
+    txt_out = qlinear_apply(params["to_add_out"], out[:, :seq_txt])
+    img_out = qlinear_apply(params["to_out"], out[:, seq_txt:])
+    return img_out, txt_out

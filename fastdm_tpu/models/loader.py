@@ -1,0 +1,112 @@
+"""Checkpoint loading utilities (ref: fastdm/model/basemodel.py).
+
+Loads diffusers-format safetensors (or an in-memory dict of arrays) into
+QLinear/raw-tensor pytrees, with the reference's two key behaviors preserved:
+
+  * fused projections: qkv / kv weights are concatenated along the output
+    dimension before quantization (ref: fastdm/layer/qlinear.py:18-31),
+  * exhaustive consumption: every checkpoint tensor must be claimed exactly
+    once; leftovers raise (ref: fastdm/model/basemodel.py:127-138).
+
+Checkpoint Linear weights are (out_features, in_features); we transpose to
+(in, out) once at load (ref: basemodel.py:51).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastdm_tpu.layers.qlinear import fuse_and_quantize
+
+Array = jax.Array
+
+
+class TensorSource:
+    """Dict-like view over checkpoint tensors with consumption tracking."""
+
+    def __init__(self, tensors: Dict[str, np.ndarray]):
+        self._tensors = dict(tensors)
+        self._unclaimed = set(self._tensors)
+
+    @classmethod
+    def from_path(cls, path: str) -> "TensorSource":
+        """Load from a .safetensors file or a directory of them."""
+        from safetensors import safe_open
+
+        tensors: Dict[str, np.ndarray] = {}
+        files = []
+        if os.path.isdir(path):
+            for root, _, names in os.walk(path):
+                files += [os.path.join(root, n) for n in names if n.endswith(".safetensors")]
+        else:
+            files = [path]
+        for f in sorted(files):
+            with safe_open(f, framework="numpy") as sf:
+                for k in sf.keys():
+                    tensors[k] = sf.get_tensor(k)
+        return cls(tensors)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tensors
+
+    def keys(self):
+        return self._tensors.keys()
+
+    def take(self, name: str) -> np.ndarray:
+        if name not in self._tensors:
+            raise KeyError(f"checkpoint tensor {name!r} not found")
+        self._unclaimed.discard(name)
+        return self._tensors[name]
+
+    def tensor(self, name: str, dtype=jnp.bfloat16) -> Array:
+        """Claim a raw (norm/conv/table) tensor."""
+        return jnp.asarray(_to_np(self.take(name)), dtype)
+
+    def linear(self, prefix: str, quant: Optional[str]) -> Dict[str, Array]:
+        """Claim '{prefix}.weight' (+ optional bias) as a QLinear param dict."""
+        return self.fused_linear([prefix], quant)
+
+    def fused_linear(self, prefixes: Sequence[str], quant: Optional[str]) -> Dict[str, Array]:
+        """Claim several projections and fuse them along the output dim."""
+        ws, bs = [], []
+        for p in prefixes:
+            w = _to_np(self.take(f"{p}.weight"))
+            ws.append(jnp.asarray(w.T, jnp.float32))  # (out,in) -> (in,out)
+            bname = f"{p}.bias"
+            if bname in self:
+                bs.append(jnp.asarray(_to_np(self.take(bname)), jnp.float32))
+            else:
+                bs.append(None)
+        if any(b is None for b in bs):
+            assert all(b is None for b in bs), f"mixed bias presence in {prefixes}"
+            bs = [None]
+        return fuse_and_quantize(ws, bs, quant)
+
+    def assert_consumed(self) -> None:
+        """Every checkpoint tensor must have been claimed (ref: basemodel.py:138)."""
+        if self._unclaimed:
+            sample = sorted(self._unclaimed)[:10]
+            raise ValueError(
+                f"{len(self._unclaimed)} checkpoint tensors were never consumed, "
+                f"e.g. {sample}"
+            )
+
+
+def _to_np(x) -> np.ndarray:
+    arr = np.asarray(x)
+    if arr.dtype == np.dtype("V2"):  # bfloat16 void view from safetensors-numpy
+        import ml_dtypes
+
+        arr = arr.view(ml_dtypes.bfloat16)
+    return arr
+
+
+def stack_blocks(blocks: Sequence) -> object:
+    """Stack N identical per-block pytrees into one pytree with a leading
+    layer axis — the lax.scan-ready layout for the transformer block stack."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
