@@ -1,0 +1,68 @@
+"""CLI generation demo (ref: examples/demo/gen.py — same flags & flow:
+engine -> warmup -> timed generate -> save)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from fastdm_tpu.common_args import add_engine_args, add_generation_args
+
+
+def save_images(images, path):
+    from PIL import Image
+
+    base, ext = os.path.splitext(path)
+    for i, img in enumerate(images):
+        p = path if len(images) == 1 else f"{base}_{i}{ext}"
+        Image.fromarray(img).save(p)
+        print(f"saved {p}")
+
+
+def main():
+    parser = argparse.ArgumentParser("fastdm_tpu generation demo")
+    add_engine_args(parser)
+    add_generation_args(parser)
+    args = parser.parse_args()
+
+    from fastdm_tpu.engine import FastDMEngine
+
+    t0 = time.perf_counter()
+    engine = FastDMEngine(
+        model_path=args.model_path,
+        architecture=args.architecture,
+        use_fp8=args.use_fp8,
+        use_int8=args.use_int8,
+        kernel_backend=args.kernel_backend,
+        cache_config=args.cache_config,
+        sparse_attn_config=args.sparse_attn_config,
+        oom_resolve=args.oom_resolve,
+        quant_mods=args.quant_mods,
+    )
+    print(f"model load latency: {time.perf_counter() - t0:.2f}s")
+
+    gen_kwargs = dict(
+        prompt=args.prompt,
+        negative_prompt=args.negative_prompt,
+        height=args.height,
+        width=args.width,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        seed=args.seed,
+        num_images_per_prompt=args.num_images_per_prompt,
+        task=args.task,
+    )
+
+    for _ in range(args.warmup):
+        engine.generate(**gen_kwargs)
+
+    t0 = time.perf_counter()
+    images = engine.generate(**gen_kwargs)
+    print(f"generation latency: {time.perf_counter() - t0:.2f}s")
+    save_images(images, args.output)
+
+
+if __name__ == "__main__":
+    main()

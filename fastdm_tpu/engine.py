@@ -8,13 +8,17 @@ Differences by design:
   * `oom_resolve` is a no-op accepted for CLI parity — text encoders always
     run host-side (see pipeline/text_encoder.py), which is the TPU-native
     equivalent;
-  * compiled denoisers are memoized per (resolution, steps, batch) — the
-    reference's warmup-run convention (examples/demo/gen.py) maps to first-call
-    compilation here.
+  * compiled denoisers are memoized per (resolution, steps, guidance) — the
+    reference's warmup-run convention (examples/demo/gen.py) maps to
+    first-call compilation here.
+
+Architectures: flux (t2i), sd35 (t2i), sdxl (t2i), qwen-image (t2i),
+wan2.2-t2v / -i2v / -ti2v (t2v/i2v; A14B dual expert via transformer_2).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Any, Dict, Optional
@@ -25,22 +29,35 @@ import numpy as np
 
 from fastdm_tpu.caching.xcaching import AutoCache
 from fastdm_tpu.kernels import set_global_backend
-from fastdm_tpu.models.flux import FluxConfig, flux_load, flux_rope_cache
 from fastdm_tpu.models.loader import TensorSource
-from fastdm_tpu.pipeline.denoise import (
-    flux_unpack_latents,
-    make_flux_denoiser,
-)
 from fastdm_tpu.pipeline.schedulers import (
+    EulerDiscreteScheduler,
     FlowMatchEulerScheduler,
     flow_match_shift_mu,
 )
-from fastdm_tpu.pipeline.text_encoder import FluxTextEncoder
-from fastdm_tpu.pipeline.vae import VAEConfig, vae_decode, vae_load
+from fastdm_tpu.pipeline.vae import VAEConfig, vae_decode, vae_encode, vae_load
 
 ARCH_ALIASES = {
     "flux": "flux", "flux-dev": "flux", "flux-krea": "flux", "flux-kontext": "flux",
+    "sd35": "sd35", "sd3.5": "sd35",
+    "sdxl": "sdxl",
+    "qwen-image": "qwen", "qwen-image-edit": "qwen",
+    "wan2.2-t2v": "wan", "wan2.2-i2v": "wan", "wan2.2-ti2v": "wan",
+    "wan": "wan",
 }
+
+# per-model VAE configs (diffusers AutoencoderKL variants)
+VAE_CONFIGS = {
+    "flux": VAEConfig(latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159),
+    "sd35": VAEConfig(latent_channels=16, scaling_factor=1.5305, shift_factor=0.0609),
+    "sdxl": VAEConfig(latent_channels=4, scaling_factor=0.13025, shift_factor=0.0),
+    "qwen": VAEConfig(latent_channels=16, scaling_factor=1.0, shift_factor=0.0),
+}
+
+
+def _read_json(path):
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
 
 
 class FastDMEngine:
@@ -58,27 +75,17 @@ class FastDMEngine:
         quant_mods: bool = False,
         verbose: bool = True,
     ):
-        arch = ARCH_ALIASES.get(architecture, architecture)
-        if arch != "flux":
-            raise NotImplementedError(
-                f"architecture {architecture!r} not wired into the engine yet "
-                "(flux is; sd35/sdxl/qwen/wan cores exist at the model level)"
-            )
+        arch = ARCH_ALIASES.get(architecture)
+        if arch is None:
+            raise ValueError(f"unknown architecture {architecture!r}")
         self.architecture = arch
+        self.architecture_full = architecture
+        self.model_path = model_path
         set_global_backend(kernel_backend)
         quant = "fp8" if use_fp8 else ("int8" if use_int8 else None)
+        self.quant = quant
 
         t0 = time.perf_counter()
-        self.cfg = FluxConfig(quant=quant, quant_mods=quant_mods)
-        src = TensorSource.from_path(os.path.join(model_path, "transformer"))
-        self.params = flux_load(src, self.cfg)
-
-        self.vae_cfg = VAEConfig()
-        self.vae_params = vae_load(
-            TensorSource.from_path(os.path.join(model_path, "vae")), self.vae_cfg
-        )
-        self.text_encoder = FluxTextEncoder(model_path, max_sequence_length)
-        self.max_sequence_length = max_sequence_length
 
         self.cache = None
         if cache_config is not None:
@@ -87,70 +94,314 @@ class FastDMEngine:
                 if isinstance(cache_config, str)
                 else AutoCache.from_dict(cache_config)
             )
-        self.sparse_attn_config = sparse_attn_config  # used by wan (round 2)
+        self.sparse_attn = None
+        if sparse_attn_config is not None:
+            from fastdm_tpu.sparse.xsparse import SparseAttn
+
+            self.sparse_attn = (
+                SparseAttn.from_json(sparse_attn_config)
+                if isinstance(sparse_attn_config, str)
+                else SparseAttn.from_dict(sparse_attn_config)
+            )
+
+        init = getattr(self, f"_init_{arch}")
+        init(quant, quant_mods, max_sequence_length)
 
         self._denoisers: Dict[tuple, Any] = {}
-        self._decode = jax.jit(
-            lambda p, z: vae_decode(p, self.vae_cfg, z)
-        )
         if verbose:
             print(
-                f"FastDMEngine[{arch}] loaded in {time.perf_counter() - t0:.1f}s "
+                f"FastDMEngine[{architecture}] loaded in {time.perf_counter() - t0:.1f}s "
                 f"(quant={quant}, backend={kernel_backend})"
             )
 
-    # ------------------------------------------------------------------
+    # ------------------------------------------------------------ loaders
 
-    def _get_denoiser(self, ht: int, wt: int, steps: int, guidance_scale: float):
-        key = (ht, wt, steps, guidance_scale)
-        if key not in self._denoisers:
-            mu = flow_match_shift_mu(ht * wt)
-            sched = FlowMatchEulerScheduler.create(
-                steps, use_dynamic_shifting=True, mu=mu
-            )
-            cache_cfg = self.cache.config if self.cache is not None else None
-            self._denoisers[key] = make_flux_denoiser(
-                self.cfg, sched, steps, cache_cfg, guidance_scale
-            )
-        return self._denoisers[key]
+    def _load_vae(self, kind: str):
+        self.vae_cfg = VAE_CONFIGS[kind]
+        self.vae_params = vae_load(
+            TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
+        )
+        self._decode = jax.jit(lambda p, z: vae_decode(p, self.vae_cfg, z))
+        self._encode = jax.jit(lambda p, x: vae_encode(p, self.vae_cfg, x))
 
-    def generate(
-        self,
-        prompt: Optional[str] = None,
-        negative_prompt: Optional[str] = None,  # flux-dev: unused (distilled)
-        height: int = 1024,
-        width: int = 1024,
-        num_inference_steps: int = 25,
-        guidance_scale: float = 3.5,
-        seed: int = 42,
-        num_images_per_prompt: int = 1,
-        prompt_embeds: Optional[jnp.ndarray] = None,
-        pooled_prompt_embeds: Optional[jnp.ndarray] = None,
-        output_type: str = "np",
-        task: str = "t2i",
-        **_,
+    def _init_flux(self, quant, quant_mods, max_seq):
+        from fastdm_tpu.models.flux import FluxConfig, flux_load
+        from fastdm_tpu.pipeline.text_encoder import FluxTextEncoder
+
+        self.cfg = FluxConfig(quant=quant, quant_mods=quant_mods)
+        self.params = flux_load(
+            TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
+        )
+        self._load_vae("flux")
+        self.text_encoder = FluxTextEncoder(self.model_path, max_seq)
+
+    def _init_sd35(self, quant, quant_mods, max_seq):
+        from fastdm_tpu.models.sd35 import SD3Config, sd3_load
+        from fastdm_tpu.pipeline.text_encoder import SD3TextEncoder
+
+        self.cfg = SD3Config(quant=quant)
+        self.params = sd3_load(
+            TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
+        )
+        self._load_vae("sd35")
+        self.text_encoder = SD3TextEncoder(self.model_path)
+
+    def _init_sdxl(self, quant, quant_mods, max_seq):
+        from fastdm_tpu.models.sdxl import SDXLConfig, sdxl_load
+        from fastdm_tpu.pipeline.text_encoder import SDXLTextEncoder
+
+        self.cfg = SDXLConfig(quant=quant)
+        self.params = sdxl_load(
+            TensorSource.from_path(os.path.join(self.model_path, "unet")), self.cfg
+        )
+        self._load_vae("sdxl")
+        self.text_encoder = SDXLTextEncoder(self.model_path)
+
+    def _init_qwen(self, quant, quant_mods, max_seq):
+        from fastdm_tpu.models.qwenimage import QwenImageConfig, qwen_load
+        from fastdm_tpu.pipeline.text_encoder import QwenImageTextEncoder
+
+        self.cfg = QwenImageConfig(quant=quant, quant_mods=quant_mods)
+        self.params = qwen_load(
+            TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
+        )
+        self._load_vae("qwen")
+        self.text_encoder = QwenImageTextEncoder(self.model_path)
+
+    def _init_wan(self, quant, quant_mods, max_seq):
+        from fastdm_tpu.models.wan import WanConfig, wan_load
+        from fastdm_tpu.pipeline.text_encoder import WanTextEncoder
+
+        # model hyperparams from the HF config.json (ref: model_entry.py:679)
+        cfg_json = _read_json(os.path.join(self.model_path, "transformer", "config.json"))
+        dense_layers = self.sparse_attn.config.dense_layers if self.sparse_attn else 0
+        self.cfg = WanConfig(
+            patch_size=tuple(cfg_json.get("patch_size", (1, 2, 2))),
+            num_attention_heads=cfg_json.get("num_attention_heads", 40),
+            attention_head_dim=cfg_json.get("attention_head_dim", 128),
+            in_channels=cfg_json.get("in_channels", 16),
+            out_channels=cfg_json.get("out_channels", 16),
+            ffn_dim=cfg_json.get("ffn_dim", 13824),
+            num_layers=cfg_json.get("num_layers", 40),
+            image_dim=cfg_json.get("image_dim"),
+            added_kv_proj_dim=cfg_json.get("added_kv_proj_dim"),
+            per_token_timestep=bool(cfg_json.get("pos_embed_seq_len")),
+            dense_layers=dense_layers,
+            quant=quant,
+        )
+        self.params = wan_load(
+            TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
+        )
+        self.params_2 = None
+        if os.path.isdir(os.path.join(self.model_path, "transformer_2")):
+            # A14B two-expert (ref: model_entry.py:673-690)
+            self.params_2 = wan_load(
+                TensorSource.from_path(os.path.join(self.model_path, "transformer_2")),
+                self.cfg,
+            )
+        self.boundary_ratio = _read_json(
+            os.path.join(self.model_path, "model_index.json")
+        ).get("boundary_ratio") if os.path.exists(
+            os.path.join(self.model_path, "model_index.json")
+        ) else None
+        self.text_encoder = WanTextEncoder(self.model_path, self.cfg.text_len)
+        # Wan VAE (AutoencoderKLWan) is 3D — loaded separately
+        from fastdm_tpu.pipeline.wan_vae import WanVAEConfig, wan_vae_load
+
+        self.vae_cfg = WanVAEConfig()
+        self.vae_params = wan_vae_load(
+            TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
+        )
+
+    # ------------------------------------------------------------ generate
+
+    def generate(self, prompt=None, task: str = "t2i", **kw):
+        """Dispatch per task/architecture (ref: FastDMEngine.generate,
+        model_entry.py:719-834)."""
+        fn = getattr(self, f"_generate_{self.architecture}")
+        return fn(prompt, task=task, **kw)
+
+    def _latents(self, shape, seed):
+        return jax.random.normal(jax.random.key(seed), shape, jnp.float32)
+
+    def _to_images(self, img: jnp.ndarray) -> np.ndarray:
+        img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))
+        return (img * 255).round().astype(np.uint8)
+
+    def _generate_flux(
+        self, prompt, negative_prompt=None, height=1024, width=1024,
+        num_inference_steps=25, guidance_scale=3.5, seed=42,
+        num_images_per_prompt=1, prompt_embeds=None, pooled_prompt_embeds=None,
+        output_type="np", task="t2i", **_,
     ):
-        """Text-to-image generation (ref: FastDMEngine.generate,
-        model_entry.py:719-834). Returns uint8 images (B, H, W, 3) for
-        output_type="np", or raw latents for "latent"."""
-        assert task == "t2i", f"task {task!r} lands with the other model cores"
+        from fastdm_tpu.models.flux import flux_rope_cache
+        from fastdm_tpu.pipeline.denoise import flux_unpack_latents, make_flux_denoiser
+
         if prompt_embeds is None:
             prompt_embeds, pooled_prompt_embeds = self.text_encoder.encode(
                 prompt, num_images_per_prompt
             )
         b = prompt_embeds.shape[0]
         ht, wt = height // 16, width // 16
-
         cos, sin = flux_rope_cache(self.cfg, prompt_embeds.shape[1], ht, wt)
-        latents = jax.random.normal(
-            jax.random.key(seed), (b, ht * wt, self.cfg.in_channels), jnp.float32
+
+        key = ("flux", ht, wt, num_inference_steps, guidance_scale)
+        if key not in self._denoisers:
+            mu = flow_match_shift_mu(ht * wt)
+            sched = FlowMatchEulerScheduler.create(
+                num_inference_steps, use_dynamic_shifting=True, mu=mu
+            )
+            cache_cfg = self.cache.config if self.cache is not None else None
+            self._denoisers[key] = make_flux_denoiser(
+                self.cfg, sched, num_inference_steps, cache_cfg, guidance_scale
+            )
+        latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
+        latents = self._denoisers[key](
+            self.params, latents, prompt_embeds, pooled_prompt_embeds, cos, sin
         )
-        run = self._get_denoiser(ht, wt, num_inference_steps, guidance_scale)
-        latents = run(self.params, latents, prompt_embeds, pooled_prompt_embeds, cos, sin)
         if output_type == "latent":
             return np.asarray(latents)
-
         z = flux_unpack_latents(latents, ht, wt)
-        img = self._decode(self.vae_params, z)  # (B, H, W, 3) in [-1, 1]
-        img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))
-        return (img * 255).round().astype(np.uint8)
+        return self._to_images(self._decode(self.vae_params, z))
+
+    def _generate_sd35(
+        self, prompt, negative_prompt=None, height=1024, width=1024,
+        num_inference_steps=25, guidance_scale=7.0, seed=42,
+        num_images_per_prompt=1, output_type="np", task="t2i", **_,
+    ):
+        from fastdm_tpu.models.sd35 import sd3_cropped_pos_embed
+        from fastdm_tpu.pipeline.denoise_more import make_sd3_denoiser
+
+        pos, pooled = self.text_encoder.encode(prompt, num_images_per_prompt)
+        neg, neg_pooled = self.text_encoder.encode(
+            negative_prompt or "", num_images_per_prompt
+        )
+        embeds = jnp.concatenate([neg, pos])
+        pooled_all = jnp.concatenate([neg_pooled, pooled])
+        b = pos.shape[0]
+        lh, lw = height // 8, width // 8
+        pos_embed = sd3_cropped_pos_embed(
+            self.cfg, self.params.get("pos_embed_table"), lh, lw
+        )
+        key = ("sd35", lh, lw, num_inference_steps, guidance_scale)
+        if key not in self._denoisers:
+            sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=3.0)
+            self._denoisers[key] = make_sd3_denoiser(
+                self.cfg, sched, num_inference_steps, guidance_scale
+            )
+        latents = self._latents((b, self.cfg.in_channels, lh, lw), seed)
+        latents = self._denoisers[key](self.params, latents, embeds, pooled_all, pos_embed)
+        if output_type == "latent":
+            return np.asarray(latents)
+        return self._to_images(self._decode(self.vae_params, latents))
+
+    def _generate_sdxl(
+        self, prompt, negative_prompt=None, height=1024, width=1024,
+        num_inference_steps=25, guidance_scale=5.0, seed=42,
+        num_images_per_prompt=1, output_type="np", task="t2i", **_,
+    ):
+        from fastdm_tpu.pipeline.denoise_more import make_sdxl_denoiser
+
+        pos, pooled = self.text_encoder.encode(prompt, num_images_per_prompt)
+        neg, neg_pooled = self.text_encoder.encode(
+            negative_prompt or "", num_images_per_prompt
+        )
+        embeds = jnp.concatenate([neg, pos])
+        pooled_all = jnp.concatenate([neg_pooled, pooled])
+        b = pos.shape[0]
+        time_ids = jnp.asarray(
+            np.tile([height, width, 0, 0, height, width], (2 * b, 1)), jnp.float32
+        )
+        lh, lw = height // 8, width // 8
+        key = ("sdxl", lh, lw, num_inference_steps, guidance_scale)
+        if key not in self._denoisers:
+            sched = EulerDiscreteScheduler.create(num_inference_steps)
+            self._denoisers[key] = make_sdxl_denoiser(
+                self.cfg, sched, num_inference_steps, guidance_scale
+            )
+            self._sdxl_init_sigma = sched.init_noise_sigma
+        latents = self._latents((b, 4, lh, lw), seed) * self._sdxl_init_sigma
+        latents = self._denoisers[key](self.params, latents, embeds, pooled_all, time_ids)
+        if output_type == "latent":
+            return np.asarray(latents)
+        return self._to_images(self._decode(self.vae_params, latents))
+
+    def _generate_qwen(
+        self, prompt, negative_prompt=None, height=1024, width=1024,
+        num_inference_steps=25, guidance_scale=4.0, true_cfg_scale=None, seed=42,
+        num_images_per_prompt=1, output_type="np", task="t2i", **_,
+    ):
+        from fastdm_tpu.models.qwenimage import qwen_rope_cos_sin
+        from fastdm_tpu.pipeline.denoise import flux_unpack_latents
+        from fastdm_tpu.pipeline.denoise_more import make_qwen_denoiser
+
+        scale = true_cfg_scale if true_cfg_scale is not None else guidance_scale
+        pos = self.text_encoder.encode(prompt, num_images_per_prompt)
+        neg = (
+            self.text_encoder.encode(negative_prompt or " ", num_images_per_prompt)
+            if scale > 1.0
+            else pos
+        )
+        # pad both to one length
+        s = max(pos.shape[1], neg.shape[1])
+        pos = jnp.pad(pos, ((0, 0), (0, s - pos.shape[1]), (0, 0)))
+        neg = jnp.pad(neg, ((0, 0), (0, s - neg.shape[1]), (0, 0)))
+        b = pos.shape[0]
+        ht, wt = height // 16, width // 16
+        cos, sin = qwen_rope_cos_sin(self.cfg, 1, ht, wt, s)
+        key = ("qwen", ht, wt, num_inference_steps, scale, s)
+        if key not in self._denoisers:
+            mu = flow_match_shift_mu(ht * wt)
+            sched = FlowMatchEulerScheduler.create(
+                num_inference_steps, use_dynamic_shifting=True, mu=mu
+            )
+            self._denoisers[key] = make_qwen_denoiser(
+                self.cfg, sched, num_inference_steps, scale
+            )
+        latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
+        latents = self._denoisers[key](self.params, latents, pos, neg, cos, sin)
+        if output_type == "latent":
+            return np.asarray(latents)
+        z = flux_unpack_latents(latents, ht, wt)
+        return self._to_images(self._decode(self.vae_params, z))
+
+    def _generate_wan(
+        self, prompt, negative_prompt=None, height=480, width=832, num_frames=81,
+        num_inference_steps=40, guidance_scale=5.0, guidance_scale_2=None, seed=42,
+        output_type="np", task="t2v", **_,
+    ):
+        from fastdm_tpu.models.wan import wan_rope_cos_sin
+        from fastdm_tpu.pipeline.denoise_more import make_wan_denoiser
+        from fastdm_tpu.pipeline.wan_vae import wan_vae_decode
+
+        pos = self.text_encoder.encode(prompt)
+        neg = self.text_encoder.encode(negative_prompt or "")
+        lf = (num_frames - 1) // 4 + 1  # wan VAE temporal stride 4
+        lh, lw = height // 8, width // 8
+        # sparse attention block-size rounding (ref: model_entry.py:771-773)
+        sparse_mask = None
+        dense_steps = 0
+        if self.sparse_attn is not None:
+            pt, ph, pw = self.cfg.patch_size
+            tokens = (lf // pt) * (lh // ph) * (lw // pw)
+            self.sparse_attn.post_init(video_token_num=tokens, num_frame=lf // pt)
+            sparse_mask = jnp.asarray(
+                self.sparse_attn.block_mask(1, self.cfg.num_attention_heads)
+            )
+            dense_steps = self.sparse_attn.config.dense_steps
+        cos, sin = wan_rope_cos_sin(self.cfg, lf, lh, lw)
+        key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale, dense_steps)
+        if key not in self._denoisers:
+            sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=5.0)
+            self._denoisers[key] = make_wan_denoiser(
+                self.cfg, sched, num_inference_steps, guidance_scale,
+                guidance_scale_2, self.boundary_ratio, dense_steps,
+            )
+        latents = self._latents((1, self.cfg.in_channels, lf, lh, lw), seed)
+        latents = self._denoisers[key](
+            self.params, self.params_2, latents, pos, neg, cos, sin, sparse_mask
+        )
+        if output_type == "latent":
+            return np.asarray(latents)
+        video = wan_vae_decode(self.vae_params, self.vae_cfg, latents)
+        return self._to_images(video)

@@ -6,11 +6,16 @@ doc/introduction.md:38-42). The MXU multiplies int8 natively with int32
 accumulation; fp8 (e4m3) is upcast losslessly to bf16 and accumulated in f32
 (matching the CUTLASS f32-accumulate semantics).
 
-Design: 2D grid over (M/bm, N/bn) output tiles with the full K dimension
-resident per tile — diffusion-transformer K ranges 128..21504, so an int8
-(bm, K) activation block tops out around 2.8 MB at bm=128, well inside VMEM.
-The asymmetric-zero-point adjustment, per-token x per-channel scaling, and
-bias add run in the same kernel (fused epilogue, one HBM round-trip).
+Design: 3D grid over (M/bm, N/bn, K/bk) with K innermost and an on-chip
+accumulator scratch — K in diffusion transformers reaches 21504, so full-K
+blocks would blow the ~16MB VMEM budget once Pallas double-buffers them
+(observed at K=12288). The asymmetric-zero-point adjustment, per-token x
+per-channel scaling, and bias add run in the epilogue on the last K step
+(fused, one HBM round-trip).
+
+Note: the kernel registry's "auto" policy currently routes matmuls to the jnp
+backend (XLA's native int8 dot measured faster at model shapes); these kernels
+stay correct and selectable via FASTDM_KERNEL_BACKEND=pallas.
 """
 
 from __future__ import annotations
@@ -30,7 +35,6 @@ from fastdm_tpu.kernels.registry import kernel_registry
 # must be unset so Mosaic compiles them.
 _INTERPRET = os.environ.get("FASTDM_PALLAS_INTERPRET", "0") == "1"
 
-
 Array = jax.Array
 
 
@@ -44,84 +48,101 @@ def _pad_dim(x: Array, axis: int, mult: int) -> Array:
     return jnp.pad(x, widths)
 
 
-def _int8_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, azp_ref, adj_ref, bias_ref, o_ref):
-    acc = jax.lax.dot(a_ref[...], b_ref[...], preferred_element_type=jnp.int32)
-    if azp_ref is not None:
-        acc = acc - azp_ref[...] * adj_ref[...]
-    out = acc.astype(jnp.float32) * (sa_ref[...] * sb_ref[...])
-    if bias_ref is not None:
-        out = out + bias_ref[...].astype(jnp.float32)
-    o_ref[...] = out.astype(o_ref.dtype)
+def _mm_kernel(a_ref, b_ref, sa_ref, sb_ref, azp_ref, adj_ref, bias_ref, o_ref,
+               acc_ref, *, int8: bool):
+    """Accumulate a (bm,bk)@(bk,bn) tile; epilogue on the last K step."""
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
 
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-def _fp8_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, bias_ref, o_ref):
-    acc = jnp.dot(
-        a_ref[...].astype(jnp.bfloat16),
-        b_ref[...].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    out = acc * (sa_ref[...] * sb_ref[...])
-    if bias_ref is not None:
-        out = out + bias_ref[...].astype(jnp.float32)
-    o_ref[...] = out.astype(o_ref.dtype)
+    if int8:
+        acc_ref[...] += jax.lax.dot(
+            a_ref[...], b_ref[...], preferred_element_type=jnp.int32
+        )
+    else:
+        acc_ref[...] += jnp.dot(
+            a_ref[...].astype(jnp.bfloat16),
+            b_ref[...].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kk == nk - 1)
+    def _():
+        acc = acc_ref[...]
+        if azp_ref is not None:
+            acc = acc - azp_ref[...] * adj_ref[...]
+        out = acc.astype(jnp.float32) * (sa_ref[...] * sb_ref[...])
+        if bias_ref is not None:
+            out = out + bias_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "has_azp", "has_bias")
+    jax.jit,
+    static_argnames=("out_dtype", "block_m", "block_n", "block_k", "has_azp",
+                     "has_bias", "int8"),
 )
-def _int8_matmul_pallas(
-    a, b, scale_a, scale_b, azp, azp_adj, bias, *, out_dtype, block_m, block_n, has_azp, has_bias
+def _w8a8_matmul_pallas(
+    a, b, scale_a, scale_b, azp, azp_adj, bias, *,
+    out_dtype, block_m, block_n, block_k, has_azp, has_bias, int8,
 ):
     m, k = a.shape
     n = b.shape[1]
-    bm, bn = min(block_m, max(8, m)), min(block_n, n)
-    a_p = _pad_dim(a, 0, bm)
+    bm, bn, bk = min(block_m, max(8, m)), min(block_n, n), min(block_k, k)
+    a_p = _pad_dim(_pad_dim(a, 0, bm), 1, bk)
+    b_p = _pad_dim(_pad_dim(b, 0, bk), 1, bn)
     sa_p = _pad_dim(scale_a.astype(jnp.float32).reshape(m, 1), 0, bm)
-    b_p = _pad_dim(b, 1, bn)
     sb_p = _pad_dim(scale_b.astype(jnp.float32).reshape(1, n), 1, bn)
-    mp, np_ = a_p.shape[0], b_p.shape[1]
-    grid = (mp // bm, np_ // bn)
+    mp, np_, kp = a_p.shape[0], b_p.shape[1], a_p.shape[1]
+    grid = (mp // bm, np_ // bn, kp // bk)
 
     in_specs = [
-        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
     ]
     operands = [a_p, b_p, sa_p, sb_p]
     if has_azp:
-        azp_p = _pad_dim(azp.astype(jnp.int32).reshape(m, 1), 0, bm)
-        adj_p = _pad_dim(azp_adj.astype(jnp.int32).reshape(1, n), 1, bn)
-        in_specs += [
-            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        operands += [
+            _pad_dim(azp.astype(jnp.int32).reshape(m, 1), 0, bm),
+            _pad_dim(azp_adj.astype(jnp.int32).reshape(1, n), 1, bn),
         ]
-        operands += [azp_p, adj_p]
+        in_specs += [
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ]
     if has_bias:
-        bias_p = _pad_dim(bias.reshape(1, n), 1, bn)
-        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM))
-        operands.append(bias_p)
+        operands.append(_pad_dim(bias.reshape(1, n), 1, bn))
+        in_specs.append(
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM)
+        )
 
     def kernel(*refs):
         a_r, b_r, sa_r, sb_r = refs[:4]
-        rest = list(refs[4:-1])
-        o_r = refs[-1]
+        rest = list(refs[4:-2])
+        o_r, acc_r = refs[-2], refs[-1]
         azp_r = adj_r = bias_r = None
         if has_azp:
-            azp_r, adj_r = rest[0], rest[1]
-            rest = rest[2:]
+            azp_r, adj_r, rest = rest[0], rest[1], rest[2:]
         if has_bias:
             bias_r = rest[0]
-        _int8_mm_kernel(a_r, b_r, sa_r, sb_r, azp_r, adj_r, bias_r, o_r)
+        _mm_kernel(a_r, b_r, sa_r, sb_r, azp_r, adj_r, bias_r, o_r, acc_r, int8=int8)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32 if int8 else jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * k, bytes_accessed=mp * k + k * np_ + mp * np_ * 2, transcendentals=0
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_ * 2,
+            transcendentals=0,
         ),
         interpret=_INTERPRET,
     )(*operands)
@@ -139,66 +160,15 @@ def int8_matmul_pallas(
     azp: Optional[Array],
     bias: Optional[Array] = None,
 ) -> Array:
-    return _int8_matmul_pallas(
-        a,
-        b,
-        scale_a,
-        scale_b,
+    return _w8a8_matmul_pallas(
+        a, b, scale_a, scale_b,
         azp if azp is not None else jnp.zeros((a.shape[0], 1), jnp.int32),
         azp_adj,
         bias if bias is not None else jnp.zeros((b.shape[1],), jnp.float32),
         out_dtype=jnp.dtype(out_dtype),
-        block_m=256,
-        block_n=512,
-        has_azp=azp is not None,
-        has_bias=bias is not None,
+        block_m=256, block_n=512, block_k=2048,
+        has_azp=azp is not None, has_bias=bias is not None, int8=True,
     )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "has_bias")
-)
-def _fp8_matmul_pallas(a, b, scale_a, scale_b, bias, *, out_dtype, block_m, block_n, has_bias):
-    m, k = a.shape
-    n = b.shape[1]
-    bm, bn = min(block_m, max(8, m)), min(block_n, n)
-    a_p = _pad_dim(a, 0, bm)
-    sa_p = _pad_dim(scale_a.astype(jnp.float32).reshape(m, 1), 0, bm)
-    b_p = _pad_dim(b, 1, bn)
-    sb_p = _pad_dim(scale_b.astype(jnp.float32).reshape(1, n), 1, bn)
-    mp, np_ = a_p.shape[0], b_p.shape[1]
-    grid = (mp // bm, np_ // bn)
-
-    in_specs = [
-        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-    ]
-    operands = [a_p, b_p, sa_p, sb_p]
-    if has_bias:
-        bias_p = _pad_dim(bias.reshape(1, n), 1, bn)
-        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM))
-        operands.append(bias_p)
-
-    def kernel(*refs):
-        a_r, b_r, sa_r, sb_r = refs[:4]
-        bias_r = refs[4] if has_bias else None
-        o_r = refs[-1]
-        _fp8_mm_kernel(a_r, b_r, sa_r, sb_r, bias_r, o_r)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * k, bytes_accessed=mp * k + k * np_ + mp * np_ * 2, transcendentals=0
-        ),
-        interpret=_INTERPRET,
-    )(*operands)
-    return out[:m, :n]
 
 
 @kernel_registry.register("fp8_matmul", "pallas")
@@ -210,14 +180,11 @@ def fp8_matmul_pallas(
     out_dtype,
     bias: Optional[Array] = None,
 ) -> Array:
-    return _fp8_matmul_pallas(
-        a,
-        b,
-        scale_a,
-        scale_b,
+    return _w8a8_matmul_pallas(
+        a, b, scale_a, scale_b,
+        None, None,
         bias if bias is not None else jnp.zeros((b.shape[1],), jnp.float32),
         out_dtype=jnp.dtype(out_dtype),
-        block_m=256,
-        block_n=512,
-        has_bias=bias is not None,
+        block_m=256, block_n=512, block_k=2048,
+        has_azp=False, has_bias=bias is not None, int8=False,
     )

@@ -37,13 +37,24 @@ class KernelRegistry:
 
         return deco
 
+    # Measured-on-TPU auto policy (examples/profiling/tpu_kernel_smoke.py):
+    # XLA's native int8 dot beats the pallas matmul at flux shapes (154 vs
+    # 112 TOPS) and fuses the dequant epilogue itself, while pallas flash
+    # attention is 2.4x XLA's unfused attention. "auto" routes accordingly;
+    # FASTDM_KERNEL_BACKEND=pallas forces pallas everywhere (for benchmarks).
+    _AUTO_PALLAS_OPS = ("sdpa", "sdpa_sparse")
+
     def backend_for(self, op_name: str, force_backend: str | None = None) -> str:
         choice = force_backend or os.environ.get(_ENV_KEY, "auto")
         if choice not in _VALID:
             raise ValueError(f"invalid kernel backend {choice!r}; expected one of {_VALID}")
         impls = self._ops.get(op_name, {})
         if choice == "auto":
-            if "pallas" in impls and jax.default_backend() == "tpu":
+            if (
+                "pallas" in impls
+                and jax.default_backend() == "tpu"
+                and op_name in self._AUTO_PALLAS_OPS
+            ):
                 return "pallas"
             return "jnp"
         if choice == "pallas" and "pallas" not in impls:

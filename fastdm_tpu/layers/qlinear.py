@@ -87,11 +87,29 @@ def qlinear_random(
     key: Array, in_features: int, out_features: int, *, bias: bool = True,
     quant: Optional[str] = None, w_std: float = 0.02,
 ) -> Params:
-    """Random-initialized QLinear (profiling / tests without checkpoints)."""
+    """Random-initialized QLinear (profiling / tests without checkpoints).
+
+    Quantized variants are generated DIRECTLY in the target dtype — no f32
+    master is ever materialized. A 12B-model random init through the
+    f32->quantize path transiently holds gigabytes of masters, which the
+    lazy-committing TPU allocator never reclaims in time (observed OOM)."""
     kw, kb = jax.random.split(key)
-    w = jax.random.normal(kw, (in_features, out_features), jnp.float32) * w_std
-    b = jax.random.normal(kb, (out_features,), jnp.float32) * 0.01 if bias else None
-    return quantize_weight(w, quant, b)
+    b = jax.random.normal(kb, (out_features,), jnp.bfloat16) * 0.01 if bias else None
+    params: Params = {}
+    if quant == "int8":
+        params["w"] = jax.random.randint(kw, (in_features, out_features), -127, 128, jnp.int8)
+        params["scale"] = jnp.full((out_features,), w_std / 127.0, jnp.float32)
+        params["colsum"] = jnp.sum(params["w"].astype(jnp.int32), axis=0)
+    elif quant == "fp8":
+        params["w"] = (
+            jax.random.normal(kw, (in_features, out_features), jnp.bfloat16) * 448.0
+        ).astype(jnp.float8_e4m3fn)
+        params["scale"] = jnp.full((out_features,), w_std / 448.0, jnp.float32)
+    else:
+        params["w"] = jax.random.normal(kw, (in_features, out_features), jnp.bfloat16) * w_std
+    if b is not None:
+        params["bias"] = b
+    return params
 
 
 def qlinear_apply(params: Params, x: Array) -> Array:

@@ -1,0 +1,211 @@
+"""Denoise loops for SD3.5, SDXL, Qwen-Image and Wan.
+
+Same design as the FLUX loop (pipeline/denoise.py): the full N-step generation
+is one lax.scan under one jit, with classifier-free guidance folded in:
+  * SD3.5 / SDXL: batched CFG — [neg; pos] run as one doubled batch per step
+    (one forward, MXU-friendly), then recombined.
+  * Qwen / Wan: true CFG with two forwards per step and dual cache streams
+    (ref 'negtive_cache': fastdm/caching/xcaching.py:66-76) — wired when the
+    cache is enabled.
+  * Wan2.2-A14B: two experts switched by a sigma boundary via lax.cond
+    (ref temporal switching: fastdm/model_entry.py:673-690).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fastdm_tpu.models.qwenimage import QwenImageConfig, qwen_forward
+from fastdm_tpu.models.sd35 import SD3Config, sd3_forward
+from fastdm_tpu.models.sdxl import SDXLConfig, sdxl_forward
+from fastdm_tpu.models.wan import WanConfig, wan_forward
+from fastdm_tpu.pipeline.schedulers import EulerDiscreteScheduler, FlowMatchEulerScheduler
+
+Array = jax.Array
+
+
+def make_sd3_denoiser(
+    cfg: SD3Config,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    guidance_scale: float = 7.0,
+):
+    """run(params, latents (B,C,H,W), embeds (2B,S,D) [neg;pos], pooled (2B,P),
+    pos_embed) -> latents. Timestep units: sigma * 1000 (SD3 convention)."""
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run(params, latents, prompt_embeds, pooled, pos_embed):
+        b = latents.shape[0]
+
+        def body(lat, step):
+            t = jnp.broadcast_to(sigmas[step] * 1000.0, (prompt_embeds.shape[0],))
+            inp = jnp.concatenate([lat, lat]) if do_cfg else lat
+            out = sd3_forward(
+                params, cfg, inp.astype(jnp.bfloat16), prompt_embeds, pooled, t, pos_embed
+            ).astype(jnp.float32)
+            if do_cfg:
+                neg, pos = out[:b], out[b:]
+                out = neg + guidance_scale * (pos - neg)
+            lat = scheduler.step(out, step, lat, sigmas)
+            return lat, None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        return latents
+
+    return run
+
+
+def make_sdxl_denoiser(
+    cfg: SDXLConfig,
+    scheduler: EulerDiscreteScheduler,
+    num_steps: int,
+    guidance_scale: float = 5.0,
+):
+    """run(params, latents (B,4,H,W), embeds (2B,77,2048), pooled (2B,1280),
+    time_ids (2B,6)) -> latents. Epsilon-prediction Euler."""
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    timesteps = jnp.asarray(scheduler.timesteps, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run(params, latents, prompt_embeds, pooled, time_ids):
+        b = latents.shape[0]
+
+        def body(lat, step):
+            t = jnp.broadcast_to(timesteps[step], (prompt_embeds.shape[0],))
+            inp = scheduler.scale_model_input(lat, step, sigmas)
+            inp = jnp.concatenate([inp, inp]) if do_cfg else inp
+            out = sdxl_forward(
+                params, cfg, inp.astype(jnp.bfloat16), t, prompt_embeds, pooled, time_ids
+            ).astype(jnp.float32)
+            if do_cfg:
+                neg, pos = out[:b], out[b:]
+                out = neg + guidance_scale * (pos - neg)
+            lat = scheduler.step(out, step, lat, sigmas)
+            return lat, None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        return latents
+
+    return run
+
+
+def make_qwen_denoiser(
+    cfg: QwenImageConfig,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    true_cfg_scale: float = 4.0,
+):
+    """run(params, latents (B,S,C), pos_embeds, neg_embeds, cos, sin).
+
+    Qwen uses 'true CFG': two forwards per step (ref: qwen true_cfg_scale in
+    FastDMEngine.generate). neg_embeds may equal pos_embeds when scale <= 1."""
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    do_cfg = true_cfg_scale > 1.0
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run(params, latents, pos_embeds, neg_embeds, cos, sin):
+        b = latents.shape[0]
+
+        def body(lat, step):
+            t = jnp.broadcast_to(sigmas[step], (b,))
+            pos = qwen_forward(
+                params, cfg, lat.astype(jnp.bfloat16), pos_embeds, t, cos, sin
+            ).astype(jnp.float32)
+            if do_cfg:
+                neg = qwen_forward(
+                    params, cfg, lat.astype(jnp.bfloat16), neg_embeds, t, cos, sin
+                ).astype(jnp.float32)
+                out = neg + true_cfg_scale * (pos - neg)
+            else:
+                out = pos
+            lat = scheduler.step(out, step, lat, sigmas)
+            return lat, None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        return latents
+
+    return run
+
+
+def make_wan_denoiser(
+    cfg: WanConfig,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    guidance_scale: float = 5.0,
+    guidance_scale_2: Optional[float] = None,
+    boundary_ratio: Optional[float] = None,  # A14B: sigma >= boundary -> expert 1
+    dense_warmup_steps: int = 0,             # radial sparse: first N steps dense
+):
+    """run(params, params_2, latents (B,C,F,H,W), pos_text, neg_text, cos, sin,
+    sparse_mask) -> latents.
+
+    params_2 may be None (single-expert models); with boundary_ratio set, the
+    high-noise expert (params) runs while sigma >= boundary, then the low-noise
+    expert (params_2) (ref: wan A14B switching, model_entry.py:673-690).
+    The dense warmup runs as a separate unrolled scan so the sparse program
+    never traces a dynamic dense/sparse switch (ref dense_steps gating:
+    fastdm/layer/transformer.py:512)."""
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+    g2 = guidance_scale_2 if guidance_scale_2 is not None else guidance_scale
+
+    def _fwd(params, lat, text, t, mask):
+        return wan_forward(
+            params, cfg, lat.astype(jnp.bfloat16), t, text, sparse_mask=mask
+        ).astype(jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=())
+    def run(params, params_2, latents, pos_text, neg_text, rope_cos, rope_sin, sparse_mask):
+        b = latents.shape[0]
+
+        def step_once(lat, step, mask):
+            sigma = sigmas[step]
+            t = jnp.broadcast_to(sigma * 1000.0, (b,))
+
+            def one(p, g):
+                pos = _fwd(p, lat, pos_text, t, mask)
+                if do_cfg:
+                    neg = _fwd(p, lat, neg_text, t, mask)
+                    return neg + g * (pos - neg)
+                return pos
+
+            if params_2 is not None and boundary_ratio is not None:
+                out = jax.lax.cond(
+                    sigma >= boundary_ratio,
+                    lambda _: one(params, guidance_scale),
+                    lambda _: one(params_2, g2),
+                    None,
+                )
+            else:
+                out = one(params, guidance_scale)
+            return scheduler.step(out, step, lat, sigmas)
+
+        if sparse_mask is not None and dense_warmup_steps > 0:
+            def dense_body(lat, step):
+                return step_once(lat, step, None), None
+
+            latents, _ = jax.lax.scan(
+                dense_body, latents, jnp.arange(dense_warmup_steps)
+            )
+
+            def sparse_body(lat, step):
+                return step_once(lat, step, sparse_mask), None
+
+            latents, _ = jax.lax.scan(
+                sparse_body, latents, jnp.arange(dense_warmup_steps, num_steps)
+            )
+        else:
+            def body(lat, step):
+                return step_once(lat, step, sparse_mask), None
+
+            latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        return latents
+
+    return run

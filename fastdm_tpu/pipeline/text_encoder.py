@@ -1,4 +1,5 @@
-"""Text encoding on the host (CLIP / T5 via transformers, torch CPU).
+"""Text encoding on the host (CLIP / T5 / UMT5 / Qwen2.5-VL via transformers,
+torch CPU).
 
 TPU-native stance on the reference's `--oom-resolve` (ref:
 fastdm/model_entry.py:697-717): text encoders ALWAYS live on the host CPU —
@@ -13,14 +14,18 @@ precomputed embeddings (profiling, serving with an embedding cache).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 
+def _as_list(prompt) -> List[str]:
+    return [prompt] if isinstance(prompt, str) else list(prompt)
+
+
 class FluxTextEncoder:
-    """CLIP-L pooled + T5-XXL sequence embeddings (FLUX/SD3.5-style dual)."""
+    """CLIP-L pooled + T5-XXL sequence embeddings (FLUX)."""
 
     def __init__(self, model_path: str, max_sequence_length: int = 512):
         self.model_path = model_path
@@ -54,8 +59,7 @@ class FluxTextEncoder:
         self._load()
         import torch
 
-        if isinstance(prompt, str):
-            prompt = [prompt]
+        prompt = _as_list(prompt)
         with torch.no_grad():
             clip_in = self.tokenizer(
                 prompt, padding="max_length", max_length=77, truncation=True,
@@ -70,3 +74,205 @@ class FluxTextEncoder:
         embeds = np.repeat(np.asarray(embeds, np.float32), num_images_per_prompt, 0)
         pooled = np.repeat(np.asarray(pooled, np.float32), num_images_per_prompt, 0)
         return jnp.asarray(embeds, jnp.bfloat16), jnp.asarray(pooled, jnp.bfloat16)
+
+
+class SDXLTextEncoder:
+    """Dual CLIP (L + bigG): per-token concat embeds (2048) + bigG pooled (1280)."""
+
+    def __init__(self, model_path: str):
+        self.model_path = model_path
+        self._loaded = False
+
+    def _load(self):
+        if self._loaded:
+            return
+        import torch
+        from transformers import CLIPTextModel, CLIPTextModelWithProjection, CLIPTokenizer
+
+        mp = self.model_path
+        self.tokenizer = CLIPTokenizer.from_pretrained(os.path.join(mp, "tokenizer"))
+        self.text_encoder = CLIPTextModel.from_pretrained(
+            os.path.join(mp, "text_encoder"), torch_dtype=torch.float32
+        )
+        self.tokenizer_2 = CLIPTokenizer.from_pretrained(os.path.join(mp, "tokenizer_2"))
+        self.text_encoder_2 = CLIPTextModelWithProjection.from_pretrained(
+            os.path.join(mp, "text_encoder_2"), torch_dtype=torch.float32
+        )
+        self._loaded = True
+
+    def encode(self, prompt, num_images_per_prompt: int = 1):
+        """Returns (prompt_embeds (B, 77, 2048), pooled (B, 1280))."""
+        self._load()
+        import torch
+
+        prompt = _as_list(prompt)
+        with torch.no_grad():
+            ids1 = self.tokenizer(prompt, padding="max_length", max_length=77,
+                                  truncation=True, return_tensors="pt").input_ids
+            out1 = self.text_encoder(ids1, output_hidden_states=True)
+            emb1 = out1.hidden_states[-2]  # penultimate layer (SDXL convention)
+            ids2 = self.tokenizer_2(prompt, padding="max_length", max_length=77,
+                                    truncation=True, return_tensors="pt").input_ids
+            out2 = self.text_encoder_2(ids2, output_hidden_states=True)
+            emb2 = out2.hidden_states[-2]
+            pooled = out2.text_embeds
+        embeds = np.concatenate(
+            [np.asarray(emb1, np.float32), np.asarray(emb2, np.float32)], axis=-1
+        )
+        embeds = np.repeat(embeds, num_images_per_prompt, 0)
+        pooled = np.repeat(np.asarray(pooled, np.float32), num_images_per_prompt, 0)
+        return jnp.asarray(embeds, jnp.bfloat16), jnp.asarray(pooled, jnp.bfloat16)
+
+
+class SD3TextEncoder:
+    """Triple encoder: CLIP-L + CLIP-bigG (pooled concat 2048) + T5 (4096).
+
+    Per-token embeds: [clip_l ; clip_bigG] padded to 4096, then concat with T5
+    along the sequence (diffusers SD3 convention)."""
+
+    def __init__(self, model_path: str, max_sequence_length: int = 256):
+        self.model_path = model_path
+        self.max_sequence_length = max_sequence_length
+        self._loaded = False
+
+    def _load(self):
+        if self._loaded:
+            return
+        import torch
+        from transformers import (
+            CLIPTextModelWithProjection,
+            CLIPTokenizer,
+            T5EncoderModel,
+            T5TokenizerFast,
+        )
+
+        mp = self.model_path
+        self.tokenizer = CLIPTokenizer.from_pretrained(os.path.join(mp, "tokenizer"))
+        self.text_encoder = CLIPTextModelWithProjection.from_pretrained(
+            os.path.join(mp, "text_encoder"), torch_dtype=torch.float32
+        )
+        self.tokenizer_2 = CLIPTokenizer.from_pretrained(os.path.join(mp, "tokenizer_2"))
+        self.text_encoder_2 = CLIPTextModelWithProjection.from_pretrained(
+            os.path.join(mp, "text_encoder_2"), torch_dtype=torch.float32
+        )
+        self.tokenizer_3 = T5TokenizerFast.from_pretrained(os.path.join(mp, "tokenizer_3"))
+        self.text_encoder_3 = T5EncoderModel.from_pretrained(
+            os.path.join(mp, "text_encoder_3"), torch_dtype=torch.float32
+        )
+        self._loaded = True
+
+    def encode(self, prompt, num_images_per_prompt: int = 1):
+        self._load()
+        import torch
+
+        prompt = _as_list(prompt)
+        with torch.no_grad():
+            def clip(tok, enc):
+                ids = tok(prompt, padding="max_length", max_length=77,
+                          truncation=True, return_tensors="pt").input_ids
+                out = enc(ids, output_hidden_states=True)
+                return np.asarray(out.hidden_states[-2], np.float32), np.asarray(
+                    out.text_embeds, np.float32
+                )
+
+            e1, p1 = clip(self.tokenizer, self.text_encoder)
+            e2, p2 = clip(self.tokenizer_2, self.text_encoder_2)
+            t5_ids = self.tokenizer_3(
+                prompt, padding="max_length", max_length=self.max_sequence_length,
+                truncation=True, return_tensors="pt",
+            ).input_ids
+            e3 = np.asarray(self.text_encoder_3(t5_ids)[0], np.float32)
+        clip_cat = np.concatenate([e1, e2], axis=-1)
+        clip_cat = np.pad(clip_cat, ((0, 0), (0, 0), (0, e3.shape[-1] - clip_cat.shape[-1])))
+        embeds = np.concatenate([clip_cat, e3], axis=1)
+        pooled = np.concatenate([p1, p2], axis=-1)
+        embeds = np.repeat(embeds, num_images_per_prompt, 0)
+        pooled = np.repeat(pooled, num_images_per_prompt, 0)
+        return jnp.asarray(embeds, jnp.bfloat16), jnp.asarray(pooled, jnp.bfloat16)
+
+
+class WanTextEncoder:
+    """UMT5-XXL sequence embeddings, fixed 512-token context (Wan)."""
+
+    def __init__(self, model_path: str, text_len: int = 512):
+        self.model_path = model_path
+        self.text_len = text_len
+        self._loaded = False
+
+    def _load(self):
+        if self._loaded:
+            return
+        import torch
+        from transformers import AutoTokenizer, UMT5EncoderModel
+
+        mp = self.model_path
+        self.tokenizer = AutoTokenizer.from_pretrained(os.path.join(mp, "tokenizer"))
+        self.text_encoder = UMT5EncoderModel.from_pretrained(
+            os.path.join(mp, "text_encoder"), torch_dtype=torch.float32
+        )
+        self._loaded = True
+
+    def encode(self, prompt, num_videos_per_prompt: int = 1):
+        self._load()
+        import torch
+
+        prompt = _as_list(prompt)
+        with torch.no_grad():
+            ids = self.tokenizer(
+                prompt, padding="max_length", max_length=self.text_len,
+                truncation=True, return_tensors="pt",
+            )
+            embeds = self.text_encoder(ids.input_ids, attention_mask=ids.attention_mask)[0]
+            # zero out padding (wan convention: masked positions contribute zeros)
+            embeds = embeds * ids.attention_mask[..., None]
+        embeds = np.repeat(np.asarray(embeds, np.float32), num_videos_per_prompt, 0)
+        return jnp.asarray(embeds, jnp.bfloat16)
+
+
+class QwenImageTextEncoder:
+    """Qwen2.5-VL text tower (Qwen-Image). Heavy (7B) — host CPU, lazy."""
+
+    PROMPT_TEMPLATE = (
+        "<|im_start|>system\nDescribe the image by detailing the color, shape, "
+        "size, texture, quantity, text, spatial relationships of the objects "
+        "and background:<|im_end|>\n<|im_start|>user\n{}<|im_end|>\n"
+        "<|im_start|>assistant\n"
+    )
+    DROP_IDX = 34  # template prefix tokens dropped from the embedding
+
+    def __init__(self, model_path: str, max_sequence_length: int = 1024):
+        self.model_path = model_path
+        self.max_sequence_length = max_sequence_length
+        self._loaded = False
+
+    def _load(self):
+        if self._loaded:
+            return
+        import torch
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        mp = self.model_path
+        self.tokenizer = AutoTokenizer.from_pretrained(os.path.join(mp, "tokenizer"))
+        self.text_encoder = AutoModelForCausalLM.from_pretrained(
+            os.path.join(mp, "text_encoder"), torch_dtype=torch.float32
+        )
+        self._loaded = True
+
+    def encode(self, prompt, num_images_per_prompt: int = 1):
+        self._load()
+        import torch
+
+        prompts = [self.PROMPT_TEMPLATE.format(p) for p in _as_list(prompt)]
+        with torch.no_grad():
+            ids = self.tokenizer(
+                prompts, padding=True, truncation=True,
+                max_length=self.max_sequence_length + self.DROP_IDX,
+                return_tensors="pt",
+            )
+            out = self.text_encoder(
+                ids.input_ids, attention_mask=ids.attention_mask,
+                output_hidden_states=True,
+            )
+            hidden = out.hidden_states[-1][:, self.DROP_IDX :]
+        embeds = np.repeat(np.asarray(hidden, np.float32), num_images_per_prompt, 0)
+        return jnp.asarray(embeds, jnp.bfloat16)

@@ -37,28 +37,15 @@ class VAEConfig:
     mid_block_add_attention: bool = True
 
 
+from fastdm_tpu.layers.conv2d import conv2d as _conv_impl, group_norm as _gn_impl, upsample_nearest2x as _upsample_nearest2x
+
+
 def _conv(params, x: Array, stride: int = 1, padding="SAME") -> Array:
-    """NHWC conv; params {"w": (kh, kw, cin, cout), "b": (cout,)}."""
-    out = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16),
-        params["w"].astype(jnp.bfloat16),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    return (out + params["b"].astype(jnp.float32)).astype(jnp.bfloat16)
+    return _conv_impl(params, x, stride, padding)
 
 
 def _group_norm(params, x: Array, groups: int, eps: float = 1e-6) -> Array:
-    b, h, w, c = x.shape
-    x32 = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
-    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
-    var = jnp.var(x32, axis=(1, 3), keepdims=True)
-    x32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    x32 = x32.reshape(b, h, w, c)
-    return (x32 * params["gamma"].astype(jnp.float32)
-            + params["beta"].astype(jnp.float32)).astype(x.dtype)
+    return _gn_impl(params, x, groups, eps)
 
 
 def _resnet(params, x: Array, groups: int) -> Array:
@@ -90,12 +77,6 @@ def _spatial_attention(params, x: Array, groups: int) -> Array:
     o = jnp.einsum("bqk,bkc->bqc", probs, v, preferred_element_type=jnp.float32)
     o = proj(params["out"], o.astype(jnp.bfloat16))
     return x + o.reshape(b, h, w, c)
-
-
-def _upsample_nearest2x(x: Array) -> Array:
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, 2 * h, 2 * w, c)
 
 
 def vae_decode(params, cfg: VAEConfig, latents: Array) -> Array:

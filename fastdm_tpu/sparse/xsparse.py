@@ -1,0 +1,161 @@
+"""Radial block-sparse attention mask (ref: fastdm/sparse/xsparse.py).
+
+The reference builds the static O(n log n) radial mask on the GPU once, then
+converts its 128-block layout per CUDA arch (sm90 vs other, xsparse.py:230-250)
+to satisfy SpargeAttn's kernel shapes. Here the mask is generated host-side in
+numpy (it is static per video shape) at the Pallas kernel's native block
+granularity — no layout conversions exist by construction.
+
+Mask semantics (bit-for-bit vs gen_log_mask_shrinked, xsparse.py:71-183):
+  * frame-pair windows halve with log2 of inter-frame distance
+    (get_window_width), scaled by decay_factor,
+  * frames whose decay window shrank below one block keep only every
+    split_factor-th diagonal (get_diagonal_split_mask),
+  * frame 0 is an attention sink for wan (every query attends to it),
+  * per-block shrinking keeps a block if >60% of its non-zero columns have
+    density > 1/3 (shrinkMaskStrict).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Type
+
+import numpy as np
+
+from fastdm_tpu.sparse.config import RadialAttnConfig, SparseConfig
+
+
+def _window_width(dist: int, token_per_frame: int, cfg: RadialAttnConfig) -> float:
+    """(ref: get_window_width, xsparse.py:130-148)"""
+    if cfg.model_type == "wan":
+        if dist < 1:
+            return token_per_frame
+        if dist == 1:
+            return token_per_frame // 2
+    elif cfg.model_type == "hunyuan":
+        if dist <= 1:
+            return token_per_frame
+    else:
+        raise ValueError(f"unknown model type {cfg.model_type!r}")
+    group = dist.bit_length()
+    decay_length = 2 ** token_per_frame.bit_length() / 2**group * cfg.decay_factor
+    return max(decay_length, cfg.block_size)
+
+
+def _diagonal_split_keep(dist: int, token_per_frame: int, cfg: RadialAttnConfig) -> bool:
+    """(ref: get_diagonal_split_mask, xsparse.py:115-128)"""
+    group = dist.bit_length()
+    decay_length = 2 ** token_per_frame.bit_length() / 2**group
+    if decay_length >= cfg.block_size:
+        return True
+    split_factor = int(cfg.block_size / decay_length)
+    return dist % split_factor == 0
+
+
+def _shrink_mask_strict(mask: np.ndarray, block_size: int) -> np.ndarray:
+    """(ref: shrinkMaskStrict, xsparse.py:171-183)"""
+    n = mask.shape[0] // block_size
+    m = mask.shape[1] // block_size
+    blocks = mask[: n * block_size, : m * block_size].reshape(n, block_size, m, block_size)
+    col_density = blocks.sum(axis=1) / block_size  # (n, m, block_size)
+    non_zero = (col_density > 0).sum(axis=-1)
+    high = (col_density > 1 / 3).sum(axis=-1)
+    return high / (non_zero + 1e-9) > 0.6
+
+
+def radial_block_mask(
+    video_token_num: int,
+    num_frame: int,
+    cfg: RadialAttnConfig,
+    total_tokens: Optional[int] = None,
+) -> np.ndarray:
+    """Static radial block mask, (ceil(S/bs), ceil(S/bs)) bool
+    (ref: gen_log_mask_shrinked, xsparse.py:71-112). Rows/cols beyond the
+    video tokens (text etc.) are dense."""
+    bs = cfg.block_size
+    s = total_tokens if total_tokens is not None else video_token_num
+    nb = -(-s // bs)
+    final = np.zeros((nb, nb), dtype=bool)
+    tpf = video_token_num // num_frame
+    border = video_token_num // bs
+    final[border:, :] = True
+    final[:, border:] = True
+
+    cols = np.arange(tpf)[None, :]
+    rows = np.arange(tpf)[:, None]
+    for i in range(num_frame):
+        for j in range(num_frame):
+            if j == 0 and cfg.model_type == "wan":  # attention sink
+                local = np.ones((tpf, tpf), dtype=bool)
+            else:
+                dist = abs(i - j)
+                ww = _window_width(dist, tpf, cfg)
+                local = np.abs(cols - rows) <= ww
+                if not _diagonal_split_keep(dist, tpf, cfg):
+                    local = np.zeros((tpf, tpf), dtype=bool)
+            rem_r = (i * tpf) % bs
+            rem_c = (j * tpf) % bs
+            all_r = rem_r + (-(-tpf // bs)) * bs
+            all_c = rem_c + (-(-tpf // bs)) * bs
+            padded = np.zeros((all_r, all_c), dtype=bool)
+            padded[rem_r : rem_r + tpf, rem_c : rem_c + tpf] = local
+            block = _shrink_mask_strict(padded, bs)
+            r0, c0 = (i * tpf) // bs, (j * tpf) // bs
+            final[r0 : r0 + block.shape[0], c0 : c0 + block.shape[1]] |= block
+    return final
+
+
+class SparseAttn:
+    """Config-driven factory (ref: SparseAttn, xsparse.py:7-41)."""
+
+    _registry: Dict[str, Type["SparseAttn"]] = {}
+
+    def __init__(self, config: SparseConfig):
+        self.config = config
+        self.video_token_num = None
+        self.num_frame = None
+        self._mask_cache: Dict[tuple, np.ndarray] = {}
+
+    @classmethod
+    def register(cls, name: str):
+        def deco(sub):
+            cls._registry[name.lower()] = sub
+            return sub
+
+        return deco
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> "SparseAttn":
+        config = SparseConfig.from_dict(data)
+        sub = cls._registry.get(config.sparse_algorithm.lower())
+        if sub is None:
+            raise ValueError(f"unknown sparse algorithm {config.sparse_algorithm!r}")
+        return sub(config)
+
+    @classmethod
+    def from_json(cls, path: str) -> "SparseAttn":
+        import json
+
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+    def post_init(self, video_token_num: int, num_frame: int) -> None:
+        """(ref: RadialAttn.post_init, xsparse.py:56-58)"""
+        self.video_token_num = video_token_num
+        self.num_frame = num_frame
+
+    def block_mask(self, batch: int, heads: int) -> np.ndarray:
+        raise NotImplementedError
+
+
+@SparseAttn.register("radial")
+class RadialAttn(SparseAttn):
+    def block_mask(self, batch: int = 1, heads: int = 1) -> np.ndarray:
+        """(B, H, nb, nb) int32 mask for the Pallas block-sparse kernel."""
+        key = (self.video_token_num, self.num_frame)
+        if key not in self._mask_cache:
+            self._mask_cache[key] = radial_block_mask(
+                self.video_token_num, self.num_frame, self.config
+            )
+        m = self._mask_cache[key].astype(np.int32)
+        return np.broadcast_to(m[None, None], (batch, heads, *m.shape)).copy()
