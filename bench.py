@@ -53,8 +53,9 @@ def main():
                      # CPU smoke runs can shrink the stack; TPU uses the real 19/38
                      num_layers=int(os.environ.get("BENCH_LAYERS", 19)),
                      num_single_layers=int(os.environ.get("BENCH_SINGLE_LAYERS", 38)))
-    key = jax.random.key(0)
-    params = flux_init_random(key, cfg)
+    # jitted init: XLA manages init temporaries in one program (eager init
+    # leaves transients the lazy-committing TPU allocator never reclaims)
+    params = jax.jit(lambda k: flux_init_random(k, cfg))(jax.random.key(0))
 
     cache_cfg = None
     if cache_kind == "teacache":

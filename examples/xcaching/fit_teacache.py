@@ -1,0 +1,131 @@
+"""TeaCache polynomial-coefficient fitting (ref: examples/xcaching/*.py).
+
+Records, over an uncached generation, per-step pairs of
+  x = rel-L1 distance of the block-0 modulated input between steps
+  y = rel-L1 change of the full block-stack residual between steps
+and fits y ~ poly(x) (degree 4), producing the `coefficients` consumed by
+TeaCacheConfig (ref fitting flow: examples/xcaching/README.md).
+
+Runs with random weights when no checkpoint is given (the fit is then only a
+pipeline smoke test; real coefficients need real weights + prompts).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def rel_l1(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.abs(a - b).mean() / max(np.abs(b).mean(), 1e-12))
+
+
+def fit_flux(args):
+    from fastdm_tpu.layers.normalization import ada_layer_norm_zero
+    from fastdm_tpu.layers.qlinear import qlinear_apply
+    from fastdm_tpu.layers.embeddings import combined_timestep_text_proj_apply
+    from fastdm_tpu.models.flux import (
+        FluxConfig, flux_init_random, flux_load, flux_rope_cache, flux_run_blocks,
+        _tree_slice,
+    )
+    from fastdm_tpu.models.loader import TensorSource
+    from fastdm_tpu.pipeline.schedulers import FlowMatchEulerScheduler, flow_match_shift_mu
+
+    cfg = FluxConfig(
+        quant="int8" if args.use_int8 else ("fp8" if args.use_fp8 else None),
+        quant_mods=args.quant_mods,
+        num_layers=args.layers or 19, num_single_layers=args.single_layers or 38,
+    )
+    if args.model_path:
+        params = flux_load(TensorSource.from_path(
+            os.path.join(args.model_path, "transformer")), cfg)
+    else:
+        params = jax.jit(lambda k: flux_init_random(k, cfg))(jax.random.key(0))
+
+    ht, wt, txt = args.height // 16, args.width // 16, 512
+    cos, sin = flux_rope_cache(cfg, txt, ht, wt)
+    mu = flow_match_shift_mu(ht * wt)
+    sched = FlowMatchEulerScheduler.create(args.steps, use_dynamic_shifting=True, mu=mu)
+    sig = jnp.asarray(sched.sigmas)
+
+    k = jax.random.key(args.seed)
+    encoder_raw = jax.random.normal(k, (1, txt, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(k, (1, cfg.pooled_projection_dim), jnp.bfloat16)
+    latents = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
+
+    @jax.jit
+    def step_probe_and_out(params, lat, t):
+        g = jnp.full((1,), args.guidance_scale, jnp.float32)
+        hidden = qlinear_apply(params["x_embedder"], lat.astype(jnp.bfloat16))
+        temb = combined_timestep_text_proj_apply(
+            params["time_text_embed"], t * 1000.0, pooled,
+            g * 1000.0 if cfg.guidance_embeds else None)
+        encoder = qlinear_apply(params["context_embedder"], encoder_raw)
+        probe, *_ = ada_layer_norm_zero(
+            _tree_slice(params["dual_blocks"], 0)["norm1"], hidden, temb)
+        out = flux_run_blocks(params, cfg, hidden, encoder, temb, cos, sin)
+        residual = out - hidden
+        return probe, residual, out
+
+    xs, ys = [], []
+    prev_probe = prev_res = None
+    lat = latents
+    from fastdm_tpu.models.flux import flux_forward
+
+    for i in range(args.steps):
+        t = jnp.broadcast_to(sig[i], (1,))
+        probe, residual, _ = step_probe_and_out(params, lat, t)
+        if prev_probe is not None:
+            xs.append(rel_l1(probe, prev_probe))
+            ys.append(rel_l1(residual, prev_res))
+        prev_probe, prev_res = np.asarray(probe), np.asarray(residual)
+        v = flux_forward(params, cfg, lat.astype(jnp.bfloat16), encoder_raw, pooled,
+                         t, cos, sin, guidance=jnp.full((1,), args.guidance_scale))
+        lat = sched.step(v, jnp.int32(i), lat, sig)
+        print(f"step {i}: x={xs[-1] if xs else None} y={ys[-1] if ys else None}",
+              flush=True)
+
+    coeffs = np.polyfit(np.asarray(xs), np.asarray(ys), deg=min(4, len(xs) - 1))
+    out = {
+        "cache_algorithm": "teacache",
+        "enable_caching": True,
+        "threshold": args.threshold,
+        "coefficients": [float(c) for c in coeffs],
+    }
+    print(json.dumps(out, indent=2))
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {args.output}")
+
+
+def main():
+    parser = argparse.ArgumentParser("teacache coefficient fitting")
+    parser.add_argument("--architecture", default="flux", choices=["flux"])
+    parser.add_argument("--model-path", default=None)
+    parser.add_argument("--use-int8", action="store_true")
+    parser.add_argument("--use-fp8", action="store_true")
+    parser.add_argument("--quant-mods", action="store_true")
+    parser.add_argument("--height", type=int, default=1024)
+    parser.add_argument("--width", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=25)
+    parser.add_argument("--guidance-scale", type=float, default=3.5)
+    parser.add_argument("--threshold", type=float, default=0.25)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--layers", type=int, default=None)
+    parser.add_argument("--single-layers", type=int, default=None)
+    parser.add_argument("--output", default="teacache_flux.json")
+    args = parser.parse_args()
+    fit_flux(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Jitted denoise-loop tests (tiny configs): every model family's loop runs
+N steps under one jit and yields finite latents; caching loop skips steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastdm_tpu.pipeline.schedulers import (
+    EulerDiscreteScheduler,
+    FlowMatchEulerScheduler,
+)
+
+STEPS = 3
+
+
+def test_flux_denoiser_with_teacache():
+    from fastdm_tpu.caching.config import TeaCacheConfig
+    from fastdm_tpu.models.flux import FluxConfig, flux_init_random, flux_rope_cache
+    from fastdm_tpu.pipeline.denoise import make_flux_denoiser
+
+    cfg = FluxConfig(num_layers=1, num_single_layers=1, attention_head_dim=32,
+                     num_attention_heads=2, joint_attention_dim=32,
+                     pooled_projection_dim=16, in_channels=8, out_channels=8,
+                     axes_dims_rope=(8, 12, 12), quant="int8")
+    params = flux_init_random(jax.random.key(0), cfg)
+    cache = TeaCacheConfig(cache_algorithm="teacache", enable_caching=True,
+                           threshold=0.5, coefficients=(1.0, 0.0))
+    sched = FlowMatchEulerScheduler.create(STEPS, shift=1.0)
+    run = make_flux_denoiser(cfg, sched, STEPS, cache, guidance_scale=3.5)
+    ht = wt = 4
+    cos, sin = flux_rope_cache(cfg, 8, ht, wt)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
+    enc = jax.random.normal(k, (1, 8, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(k, (1, cfg.pooled_projection_dim), jnp.bfloat16)
+    out = run(params, lat, enc, pooled, cos, sin)
+    assert out.shape == (1, ht * wt, cfg.in_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sd3_denoiser_cfg():
+    from fastdm_tpu.models.sd35 import SD3Config, sd3_cropped_pos_embed, sd3_init_random
+    from fastdm_tpu.pipeline.denoise_more import make_sd3_denoiser
+
+    cfg = SD3Config(sample_size=8, patch_size=2, in_channels=4, out_channels=4,
+                    num_layers=2, attention_head_dim=8, num_attention_heads=2,
+                    joint_attention_dim=16, caption_projection_dim=16,
+                    pooled_projection_dim=12, pos_embed_max_size=16,
+                    num_dual_layers=1, quant="int8")
+    params = sd3_init_random(jax.random.key(0), cfg)
+    sched = FlowMatchEulerScheduler.create(STEPS, shift=3.0)
+    run = make_sd3_denoiser(cfg, sched, STEPS, guidance_scale=5.0)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 8, 8), jnp.float32)
+    emb = jax.random.normal(k, (2, 6, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(k, (2, cfg.pooled_projection_dim), jnp.bfloat16)
+    pos = sd3_cropped_pos_embed(cfg, None, 8, 8)
+    out = run(params, lat, emb, pooled, pos)
+    assert out.shape == (1, 4, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sdxl_denoiser_cfg():
+    from fastdm_tpu.models.sdxl import SDXLConfig, sdxl_init_random
+    from fastdm_tpu.pipeline.denoise_more import make_sdxl_denoiser
+
+    cfg = SDXLConfig(block_channels=(8, 16, 32), cross_attention_dim=16,
+                     attn_layers=(0, 1, 1), head_dim=8, addition_time_embed_dim=4,
+                     time_embed_dim=16, add_embedding_in_dim=8 + 24,
+                     norm_groups=4, quant="int8")
+    params = sdxl_init_random(jax.random.key(0), cfg)
+    sched = EulerDiscreteScheduler.create(STEPS)
+    run = make_sdxl_denoiser(cfg, sched, STEPS, guidance_scale=5.0)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 32, 32), jnp.float32) * sched.init_noise_sigma
+    emb = jax.random.normal(k, (2, 6, cfg.cross_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(k, (2, 8), jnp.bfloat16)
+    tids = jnp.zeros((2, 6), jnp.float32)
+    out = run(params, lat, emb, pooled, tids)
+    assert out.shape == (1, 4, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wan_denoiser_dual_expert_and_sparse_warmup():
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import make_wan_denoiser
+
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=4, quant="int8", dense_layers=1)
+    p1 = wan_init_random(jax.random.key(0), cfg)
+    p2 = wan_init_random(jax.random.key(1), cfg)
+    sched = FlowMatchEulerScheduler.create(4, shift=5.0)
+    run = make_wan_denoiser(cfg, sched, 4, guidance_scale=2.0,
+                            boundary_ratio=0.9, dense_warmup_steps=2)
+    k = jax.random.key(2)
+    lat = jax.random.normal(k, (1, 4, 2, 16, 16), jnp.float32)
+    pos = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    neg = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, 2, 16, 16)
+    seq = 2 * 8 * 8
+    nb = -(-seq // 128)
+    mask = jnp.ones((1, cfg.num_attention_heads, nb, nb), jnp.int32)
+    out = run(p1, p2, lat, pos, neg, cos, sin, mask)
+    assert out.shape == lat.shape
+    assert np.isfinite(np.asarray(out)).all()
