@@ -28,6 +28,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from fastdm_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from fastdm_tpu.caching.config import TeaCacheConfig
     from fastdm_tpu.models.flux import FluxConfig, flux_init_random, flux_rope_cache
     from fastdm_tpu.pipeline.denoise import make_flux_denoiser
@@ -78,9 +81,11 @@ def main():
     pooled = jax.random.normal(kp, (1, cfg.pooled_projection_dim), jnp.bfloat16)
     cos, sin = flux_rope_cache(cfg, txt_len, ht, wt)
 
-    # warmup / compile
+    import numpy as np
+
+    # warmup / compile (np.asarray forces a real device sync over the tunnel)
     out = run(params, latents, encoder, pooled, cos, sin)
-    out.block_until_ready()
+    np.asarray(out)
 
     # timed runs (fresh latents each time; donated arg)
     times = []
@@ -88,7 +93,7 @@ def main():
         lat = jax.random.normal(jax.random.key(2 + i), latents.shape, jnp.float32)
         t0 = time.perf_counter()
         out = run(params, lat, encoder, pooled, cos, sin)
-        out.block_until_ready()
+        np.asarray(out)
         times.append(time.perf_counter() - t0)
     value = min(times)
 

@@ -87,6 +87,10 @@ class FastDMEngine:
 
         t0 = time.perf_counter()
 
+        from fastdm_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
+
         self.cache = None
         if cache_config is not None:
             self.cache = (
@@ -232,20 +236,30 @@ class FastDMEngine:
         self, prompt, negative_prompt=None, height=1024, width=1024,
         num_inference_steps=25, guidance_scale=3.5, seed=42,
         num_images_per_prompt=1, prompt_embeds=None, pooled_prompt_embeds=None,
-        output_type="np", task="t2i", **_,
+        output_type="np", task="t2i", image=None, strength=0.7, **_,
     ):
         from fastdm_tpu.models.flux import flux_rope_cache
-        from fastdm_tpu.pipeline.denoise import flux_unpack_latents, make_flux_denoiser
+        from fastdm_tpu.pipeline.denoise import (
+            flux_pack_latents, flux_unpack_latents, make_flux_denoiser,
+        )
 
         if prompt_embeds is None:
             prompt_embeds, pooled_prompt_embeds = self.text_encoder.encode(
                 prompt, num_images_per_prompt
             )
         b = prompt_embeds.shape[0]
+        if task == "i2i" and image is not None:
+            height, width = image.shape[0], image.shape[1]
         ht, wt = height // 16, width // 16
         cos, sin = flux_rope_cache(self.cfg, prompt_embeds.shape[1], ht, wt)
 
-        key = ("flux", ht, wt, num_inference_steps, guidance_scale)
+        start_step = 0
+        if task == "i2i" and image is not None:
+            start_step = min(
+                int(num_inference_steps * (1 - strength)), num_inference_steps - 1
+            )
+
+        key = ("flux", ht, wt, num_inference_steps, guidance_scale, start_step)
         if key not in self._denoisers:
             mu = flow_match_shift_mu(ht * wt)
             sched = FlowMatchEulerScheduler.create(
@@ -253,9 +267,22 @@ class FastDMEngine:
             )
             cache_cfg = self.cache.config if self.cache is not None else None
             self._denoisers[key] = make_flux_denoiser(
-                self.cfg, sched, num_inference_steps, cache_cfg, guidance_scale
+                self.cfg, sched, num_inference_steps, cache_cfg, guidance_scale,
+                start_step,
             )
-        latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
+            self._denoiser_sigmas = sched.sigmas
+
+        if task == "i2i" and image is not None:
+            # SDEdit img2img: encode, pack, noise to sigmas[start_step]
+            img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
+            z = self._encode(self.vae_params, img[None])
+            packed = flux_pack_latents(z).astype(jnp.float32)
+            packed = jnp.broadcast_to(packed, (b, *packed.shape[1:]))
+            noise = self._latents(packed.shape, seed)
+            sig = float(self._denoiser_sigmas[start_step])
+            latents = (1.0 - sig) * packed + sig * noise
+        else:
+            latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
         latents = self._denoisers[key](
             self.params, latents, prompt_embeds, pooled_prompt_embeds, cos, sin
         )
@@ -286,8 +313,9 @@ class FastDMEngine:
         key = ("sd35", lh, lw, num_inference_steps, guidance_scale)
         if key not in self._denoisers:
             sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=3.0)
+            cache_cfg = self.cache.config if self.cache is not None else None
             self._denoisers[key] = make_sd3_denoiser(
-                self.cfg, sched, num_inference_steps, guidance_scale
+                self.cfg, sched, num_inference_steps, guidance_scale, cache_cfg
             )
         latents = self._latents((b, self.cfg.in_channels, lh, lw), seed)
         latents = self._denoisers[key](self.params, latents, embeds, pooled_all, pos_embed)
@@ -355,8 +383,9 @@ class FastDMEngine:
             sched = FlowMatchEulerScheduler.create(
                 num_inference_steps, use_dynamic_shifting=True, mu=mu
             )
+            cache_cfg = self.cache.config if self.cache is not None else None
             self._denoisers[key] = make_qwen_denoiser(
-                self.cfg, sched, num_inference_steps, scale
+                self.cfg, sched, num_inference_steps, scale, cache_cfg
             )
         latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
         latents = self._denoisers[key](self.params, latents, pos, neg, cos, sin)
@@ -390,17 +419,32 @@ class FastDMEngine:
             )
             dense_steps = self.sparse_attn.config.dense_steps
         cos, sin = wan_rope_cos_sin(self.cfg, lf, lh, lw)
-        key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale, dense_steps)
+        use_cache = self.cache is not None and self.params_2 is None
+        key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale, dense_steps,
+               use_cache)
         if key not in self._denoisers:
             sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=5.0)
-            self._denoisers[key] = make_wan_denoiser(
-                self.cfg, sched, num_inference_steps, guidance_scale,
-                guidance_scale_2, self.boundary_ratio, dense_steps,
-            )
+            if use_cache:
+                from fastdm_tpu.pipeline.denoise_more import make_wan_cached_denoiser
+
+                self._denoisers[key] = make_wan_cached_denoiser(
+                    self.cfg, sched, num_inference_steps, self.cache.config,
+                    guidance_scale,
+                )
+            else:
+                self._denoisers[key] = make_wan_denoiser(
+                    self.cfg, sched, num_inference_steps, guidance_scale,
+                    guidance_scale_2, self.boundary_ratio, dense_steps,
+                )
         latents = self._latents((1, self.cfg.in_channels, lf, lh, lw), seed)
-        latents = self._denoisers[key](
-            self.params, self.params_2, latents, pos, neg, cos, sin, sparse_mask
-        )
+        if use_cache:
+            latents = self._denoisers[key](
+                self.params, latents, pos, neg, cos, sin, sparse_mask
+            )
+        else:
+            latents = self._denoisers[key](
+                self.params, self.params_2, latents, pos, neg, cos, sin, sparse_mask
+            )
         if output_type == "latent":
             return np.asarray(latents)
         video = wan_vae_decode(self.vae_params, self.vae_cfg, latents)

@@ -38,11 +38,29 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr):
-    """One online-softmax update for a (bq, D) query block against (bk, D) k/v."""
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * jnp.float32(scale)
+def _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk=False):
+    """One online-softmax update for a (bq, D) query block against (bk, D) k/v.
+
+    int8_qk: SageAttention-style quantized QK^T (ref: the reference's default
+    dense sdpa on >=Ampere, fastdm/kernel/cuda/attention.py:19-23) — per-row
+    int8 quantization of q and k inside the kernel, int32 MXU accumulation,
+    dequant folded into the logits scale. K-mean smoothing happens in the
+    wrapper (softmax-invariant row constant)."""
+    if int8_qk:
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(q32), axis=-1, keepdims=True), 1e-6) / 127.0
+        sk = jnp.maximum(jnp.max(jnp.abs(k32), axis=-1, keepdims=True), 1e-6) / 127.0
+        qi = jnp.clip(jnp.round(q32 / sq), -127, 127).astype(jnp.int8)
+        ki = jnp.clip(jnp.round(k32 / sk), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        s = acc.astype(jnp.float32) * (sq * sk.reshape(1, -1)) * jnp.float32(scale)
+    else:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
     if kv_mask is not None:
         s = jnp.where(kv_mask, s, _NEG_INF)
     m_prev = m_scr[...]
@@ -61,7 +79,7 @@ def _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr):
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, scale, kv_len, block_q, block_k, causal,
+    *, scale, kv_len, block_q, block_k, causal, int8_qk=False,
 ):
     i, j = pl.program_id(2), pl.program_id(3)
     nj = pl.num_programs(3)
@@ -92,7 +110,7 @@ def _flash_kernel(
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             cmask = col + j * block_k <= row + i * block_q
             kv_mask = cmask if kv_mask is None else (kv_mask & cmask)
-        _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr)
+        _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk)
 
     @pl.when(j == nj - 1)
     def _():
@@ -148,12 +166,13 @@ def _round_up(x: int, mult: int) -> int:
     jax.jit,
     static_argnames=(
         "num_q_heads", "num_kv_heads", "head_dim", "is_causal", "scale",
-        "block_q", "block_k", "has_mask",
+        "block_q", "block_k", "has_mask", "int8_qk",
     ),
 )
 def _flash_attention(
     query, key, value, sparse_mask,
-    *, num_q_heads, num_kv_heads, head_dim, is_causal, scale, block_q, block_k, has_mask,
+    *, num_q_heads, num_kv_heads, head_dim, is_causal, scale, block_q, block_k,
+    has_mask, int8_qk=False,
 ):
     b, sq, _ = query.shape
     skv = key.shape[1]
@@ -162,7 +181,14 @@ def _flash_attention(
     bk = min(block_k, _round_up(skv, 128))
 
     q = _pad_seq(query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3), bq)
-    k = _pad_seq(key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
+    k = key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
+    if int8_qk:
+        # SageAttention K smoothing: subtracting the per-head K mean shifts
+        # every logit in a row by a constant -> softmax-invariant, but shrinks
+        # the int8 quantization range (ref: SageAttention; gated like the
+        # reference's >=Ampere sage default, cuda/attention.py:19-23)
+        k = k - jnp.mean(k, axis=2, keepdims=True)
+    k = _pad_seq(k, bk)
     v = _pad_seq(value.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
     sq_p, skv_p = q.shape[2], k.shape[2]
     ni, nj = sq_p // bq, skv_p // bk
@@ -212,6 +238,7 @@ def _flash_attention(
         kernel = functools.partial(
             _flash_kernel,
             scale=scale, kv_len=skv, block_q=bq, block_k=bk, causal=is_causal,
+            int8_qk=int8_qk,
         )
         out = pl.pallas_call(
             kernel,
@@ -240,10 +267,14 @@ def sdpa_pallas(
     is_causal: bool = False,
     scale: Optional[float] = None,
 ) -> Array:
+    # FASTDM_SDPA_INT8=1 enables SageAttention-style quantized QK^T (the
+    # reference's default dense attention on >=Ampere GPUs)
+    int8_qk = os.environ.get("FASTDM_SDPA_INT8", "0") == "1"
     return _flash_attention(
         query, key, value, None,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
-        is_causal=is_causal, scale=scale, block_q=512, block_k=512, has_mask=False,
+        is_causal=is_causal, scale=scale, block_q=512, block_k=1024, has_mask=False,
+        int8_qk=int8_qk,
     )
 
 

@@ -166,7 +166,7 @@ def int8_matmul_pallas(
         azp_adj,
         bias if bias is not None else jnp.zeros((b.shape[1],), jnp.float32),
         out_dtype=jnp.dtype(out_dtype),
-        block_m=256, block_n=512, block_k=2048,
+        block_m=512, block_n=1024, block_k=1536,
         has_azp=azp is not None, has_bias=bias is not None, int8=True,
     )
 
@@ -185,6 +185,6 @@ def fp8_matmul_pallas(
         None, None,
         bias if bias is not None else jnp.zeros((b.shape[1],), jnp.float32),
         out_dtype=jnp.dtype(out_dtype),
-        block_m=256, block_n=512, block_k=2048,
+        block_m=512, block_n=1024, block_k=1536,
         has_azp=False, has_bias=bias is not None, int8=False,
     )

@@ -72,20 +72,57 @@ class TensorSource:
         return self.fused_linear([prefix], quant)
 
     def fused_linear(self, prefixes: Sequence[str], quant: Optional[str]) -> Dict[str, Array]:
-        """Claim several projections and fuse them along the output dim."""
-        ws, bs = [], []
+        """Claim several projections and fuse them along the output dim.
+
+        int8/fp8 weights are quantized HOST-SIDE by the native C++ kernels
+        (fastdm_tpu/native) so only 1 byte/param crosses the host->device
+        link; falls back to on-device quantization when the native lib is
+        unavailable."""
+        raw_ws, bs = [], []
         for p in prefixes:
-            w = _to_np(self.take(f"{p}.weight"))
-            ws.append(jnp.asarray(w.T, jnp.float32))  # (out,in) -> (in,out)
+            raw_ws.append(_to_np(self.take(f"{p}.weight")))  # (out, in)
             bname = f"{p}.bias"
-            if bname in self:
-                bs.append(jnp.asarray(_to_np(self.take(bname)), jnp.float32))
-            else:
-                bs.append(None)
+            bs.append(
+                jnp.asarray(_to_np(self.take(bname)), jnp.float32)
+                if bname in self else None
+            )
         if any(b is None for b in bs):
             assert all(b is None for b in bs), f"mixed bias presence in {prefixes}"
-            bs = [None]
-        return fuse_and_quantize(ws, bs, quant)
+            bias = None
+        else:
+            bias = bs[0] if len(bs) == 1 else jnp.concatenate(bs, axis=0)
+
+        if quant in ("int8", "fp8"):
+            try:
+                from fastdm_tpu import native
+
+                if native.get_lib() is not None:
+                    w_ck = raw_ws[0] if len(raw_ws) == 1 else np.concatenate(raw_ws, 0)
+                    params: Dict[str, Array] = {}
+                    if quant == "int8":
+                        q, scale, colsum = native.quantize_int8_percol(w_ck)
+                        params["w"] = jnp.asarray(np.ascontiguousarray(q.T))
+                        params["scale"] = jnp.asarray(scale)
+                        params["colsum"] = jnp.asarray(colsum)
+                    else:
+                        import ml_dtypes
+
+                        if w_ck.dtype != ml_dtypes.bfloat16:
+                            w_ck = w_ck.astype(ml_dtypes.bfloat16)
+                        qb, scale = native.quantize_fp8_percol(w_ck)
+                        params["w"] = jnp.asarray(
+                            np.ascontiguousarray(qb.T).view(ml_dtypes.float8_e4m3fn)
+                        )
+                        params["scale"] = jnp.asarray(scale)
+                    if bias is not None:
+                        params["bias"] = bias.astype(jnp.bfloat16)
+                    return params
+            except Exception:
+                pass  # fall through to the on-device path
+
+        ws = [jnp.asarray(w.T, jnp.float32) for w in raw_ws]
+        bs2 = [bias] if bias is not None else [None]
+        return fuse_and_quantize(ws, bs2, quant)
 
     def assert_consumed(self) -> None:
         """Every checkpoint tensor must have been claimed (ref: basemodel.py:138)."""

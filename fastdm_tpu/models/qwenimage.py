@@ -228,6 +228,62 @@ def qwen_forward(
     return qlinear_apply(params["proj_out"], hidden)
 
 
+def qwen_forward_cached(
+    params, cfg: QwenImageConfig, cache_cfg, cache_state, step: Array,
+    total_steps: int, hidden_states: Array, encoder_hidden_states: Array,
+    timestep: Array, rope_cos: Array, rope_sin: Array,
+) -> Tuple[Array, dict]:
+    """qwen_forward with a step-skipping cache. TeaCache probes the block-0
+    TEXT-stream modulated input (ref: xcaching.py:171-181 qwenimage path)."""
+    from fastdm_tpu.caching.config import DiCacheConfig, FBCacheConfig, TeaCacheConfig
+    from fastdm_tpu.caching.xcaching import cached_run
+
+    hidden = qlinear_apply(params["img_in"], hidden_states)
+    encoder = rms_norm(encoder_hidden_states, params["txt_norm"], 1e-6)
+    encoder = qlinear_apply(params["txt_in"], encoder)
+    t_proj = get_timestep_embedding(
+        timestep.astype(jnp.float32), 256, flip_sin_to_cos=True,
+        downscale_freq_shift=0.0, scale=1000.0,
+    )
+    temb = timestep_embedding_apply(
+        params["time_text_embed"]["timestep_embedder"], t_proj.astype(hidden.dtype)
+    )
+    blk0 = jax.tree.map(lambda x: x[0], params["blocks"])
+
+    if isinstance(cache_cfg, TeaCacheConfig):
+
+        def probe_fn(hh, ee):
+            txt_mod = qlinear_apply(blk0["txt_mod"], jax.nn.silu(temb))
+            txt_mod1, _ = jnp.split(txt_mod, 2, axis=-1)
+            probe, _ = _modulate(ee, txt_mod1)
+            return probe, (hh, ee)
+
+        def rest_fn(hh, ee):
+            return qwen_run_blocks(params, cfg, hh, ee, temb, rope_cos, rope_sin)
+
+    elif isinstance(cache_cfg, (FBCacheConfig, DiCacheConfig)):
+        depth = 1 if isinstance(cache_cfg, FBCacheConfig) else cache_cfg.probe_depth
+
+        def probe_fn(hh, ee):
+            for i in range(depth):
+                blk = jax.tree.map(lambda x: x[i], params["blocks"])
+                hh, ee = qwen_block(blk, hh, ee, temb, rope_cos, rope_sin, cfg)
+            return hh, (hh, ee)
+
+        def rest_fn(hh, ee):
+            return qwen_run_blocks(params, cfg, hh, ee, temb, rope_cos, rope_sin,
+                                   start_block=depth)
+
+    else:
+        raise ValueError(f"unsupported cache config {type(cache_cfg)}")
+
+    hidden, new_state = cached_run(
+        cache_cfg, cache_state, step, total_steps, hidden, encoder, probe_fn, rest_fn
+    )
+    hidden = ada_layer_norm_continuous(params["norm_out"], hidden, temb)
+    return qlinear_apply(params["proj_out"], hidden), new_state
+
+
 # ---------------------------------------------------------------- rope
 
 

@@ -320,6 +320,64 @@ def sd3_run_blocks(
     return hidden
 
 
+def sd3_forward_cached(
+    params, cfg: SD3Config, cache_cfg, cache_state, step: Array, total_steps: int,
+    hidden_states: Array, encoder_hidden_states: Array, pooled_projections: Array,
+    timestep: Array, pos_embed: Array,
+) -> Tuple[Array, dict]:
+    """sd3_forward with a step-skipping cache (ref cache hooks for sd35:
+    fastdm/caching/xcaching.py model_type='sd35' paths)."""
+    from fastdm_tpu.caching.config import DiCacheConfig, FBCacheConfig, TeaCacheConfig
+    from fastdm_tpu.caching.xcaching import cached_run
+
+    b, c, h, w = hidden_states.shape
+    hidden = sd3_patchify(params, cfg, hidden_states, pos_embed)
+    temb = combined_timestep_text_proj_apply(
+        params["time_text_embed"], timestep.astype(jnp.float32), pooled_projections
+    )
+    encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
+
+    first_dual = cfg.num_dual_layers > 0
+
+    if isinstance(cache_cfg, TeaCacheConfig):
+        blk0 = jax.tree.map(lambda x: x[0], params["dual_attn_blocks" if first_dual else "std_blocks"])
+
+        def probe_fn(hh, ee):
+            if first_dual:
+                probe, *_ = sd35_ada_layer_norm_zero_x(blk0["norm1"], hh, temb)
+            else:
+                probe, *_ = ada_layer_norm_zero(blk0["norm1"], hh, temb)
+            return probe, (hh, ee)
+
+        def rest_fn(hh, ee):
+            return sd3_run_blocks(params, cfg, hh, ee, temb)
+
+    elif isinstance(cache_cfg, (FBCacheConfig, DiCacheConfig)):
+        depth = 1 if isinstance(cache_cfg, FBCacheConfig) else cache_cfg.probe_depth
+        blk = jax.tree.map(lambda x: x[:depth], params["dual_attn_blocks"])
+
+        def probe_fn(hh, ee):
+            h2, e2 = _scan_segment(blk, cfg, hh, ee, temb, dual=True)
+            return h2, (h2, e2)
+
+        def rest_fn(hh, ee):
+            return sd3_run_blocks(params, cfg, hh, ee, temb, start_block=depth)
+
+    else:
+        raise ValueError(f"unsupported cache config {type(cache_cfg)}")
+
+    hidden, new_state = cached_run(
+        cache_cfg, cache_state, step, total_steps, hidden, encoder, probe_fn, rest_fn
+    )
+    hidden = ada_layer_norm_continuous(params["norm_out"], hidden, temb)
+    hidden = qlinear_apply(params["proj_out"], hidden)
+    p = cfg.patch_size
+    ht, wt = h // p, w // p
+    x = hidden.reshape(b, ht, wt, p, p, cfg.out_channels)
+    x = jnp.einsum("nhwpqc->nchpwq", x)
+    return x.reshape(b, cfg.out_channels, ht * p, wt * p), new_state
+
+
 def sd3_patchify(params, cfg: SD3Config, latent: Array, pos_embed: Array) -> Array:
     """(B, C, H, W) -> (B, N, D) patch tokens + cropped pos-embed."""
     b, c, h, w = latent.shape

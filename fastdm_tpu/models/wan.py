@@ -415,6 +415,66 @@ def wan_forward(
     return wan_unpatchify(cfg, out, f, h, w)
 
 
+def wan_forward_cached(
+    params, cfg: WanConfig, cache_cfg, cache_state, step: Array, total_steps: int,
+    hidden_states: Array, timestep: Array, encoder_hidden_states: Array,
+    encoder_hidden_states_image: Optional[Array] = None,
+    rope_cos: Optional[Array] = None, rope_sin: Optional[Array] = None,
+    sparse_mask: Optional[Array] = None,
+) -> Tuple[Array, dict]:
+    """wan_forward with FBCache/DiCache (the reference's wan best practice is
+    FBCache, SURVEY.md §3.3; probe = first block(s) output, ref xcaching.py
+    model_type='wan' paths)."""
+    from fastdm_tpu.caching.config import DiCacheConfig, FBCacheConfig
+    from fastdm_tpu.caching.xcaching import cached_run
+
+    b, c, f, h, w = hidden_states.shape
+    if rope_cos is None:
+        rope_cos, rope_sin = wan_rope_cos_sin(cfg, f, h, w)
+    hidden = wan_patchify(params, cfg, hidden_states)
+    temb, t6, encoder = wan_condition(
+        params, cfg, timestep, encoder_hidden_states, encoder_hidden_states_image
+    )
+    if cfg.per_token_timestep:
+        t6 = t6.reshape(b, -1, 6, cfg.inner_dim)
+        temb = temb.reshape(b, -1, cfg.inner_dim)
+    else:
+        t6 = t6.reshape(b, 6, cfg.inner_dim)
+
+    if not isinstance(cache_cfg, (FBCacheConfig, DiCacheConfig)):
+        raise ValueError(f"wan caching supports fbcache/dicache, got {type(cache_cfg)}")
+    depth = 1 if isinstance(cache_cfg, FBCacheConfig) else cache_cfg.probe_depth
+
+    def probe_fn(hh, ee):
+        for i in range(depth):
+            src = params["dense_blocks"] if (params["dense_blocks"] is not None and i < cfg.dense_layers) else params["blocks"]
+            idx = i if (params["dense_blocks"] is not None and i < cfg.dense_layers) else i - cfg.dense_layers
+            blk = jax.tree.map(lambda x: x[idx], src)
+            mask = None if i < cfg.dense_layers else sparse_mask
+            hh = wan_block(blk, hh, ee, t6, rope_cos, rope_sin, cfg, mask)
+        return hh, (hh, ee)
+
+    def rest_fn(hh, ee):
+        return wan_run_blocks(params, cfg, hh, ee, t6, rope_cos, rope_sin,
+                              sparse_mask, start_block=depth)
+
+    hidden, new_state = cached_run(
+        cache_cfg, cache_state, step, total_steps, hidden, encoder, probe_fn, rest_fn
+    )
+
+    sst = params["scale_shift_table"]
+    if cfg.per_token_timestep:
+        mod = sst[None, None] + temb.astype(jnp.float32)[:, :, None, :]
+        shift, scale = mod[:, :, 0, :], mod[:, :, 1, :]
+    else:
+        mod = sst[None] + temb.astype(jnp.float32)[:, None, :]
+        shift, scale = mod[:, 0, :][:, None], mod[:, 1, :][:, None]
+    h32 = fp32_layer_norm(hidden, eps=cfg.eps).astype(jnp.float32)
+    hidden = (h32 * (1 + scale) + shift).astype(hidden.dtype)
+    out = qlinear_apply(params["proj_out"], hidden)
+    return wan_unpatchify(cfg, out, f, h, w), new_state
+
+
 # ---------------------------------------------------------------- rope
 
 

@@ -30,12 +30,15 @@ def make_flux_denoiser(
     num_steps: int,
     cache_cfg=None,
     guidance_scale: float = 3.5,
+    start_step: int = 0,
 ):
     """Returns jitted run(params, latents, encoder, pooled, cos, sin) -> latents.
 
     latents: (B, S_img, in_channels) packed f32; conditioning already encoded.
     FLUX-dev is guidance-distilled: the scale enters via the guidance
     embedding, one forward per step (no CFG batch doubling).
+    start_step > 0 supports img2img: the caller noises the encoded image to
+    sigmas[start_step] and the loop runs the remaining steps (SDEdit).
     """
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
 
@@ -66,7 +69,7 @@ def make_flux_denoiser(
                 return (lat, st), None
 
             (latents, _), _ = jax.lax.scan(
-                body, (latents, state0), jnp.arange(num_steps)
+                body, (latents, state0), jnp.arange(start_step, num_steps)
             )
         else:
 
@@ -79,7 +82,7 @@ def make_flux_denoiser(
                 lat = scheduler.step(out, step, lat, sigmas)
                 return lat, None
 
-            latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+            latents, _ = jax.lax.scan(body, latents, jnp.arange(start_step, num_steps))
         return latents
 
     return run

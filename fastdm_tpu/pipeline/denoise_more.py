@@ -33,18 +33,52 @@ def make_sd3_denoiser(
     scheduler: FlowMatchEulerScheduler,
     num_steps: int,
     guidance_scale: float = 7.0,
+    cache_cfg=None,
 ):
     """run(params, latents (B,C,H,W), embeds (2B,S,D) [neg;pos], pooled (2B,P),
-    pos_embed) -> latents. Timestep units: sigma * 1000 (SD3 convention)."""
+    pos_embed) -> latents. Timestep units: sigma * 1000 (SD3 convention).
+    Batched CFG shares ONE cache state (the reference's sd35 configs set
+    negtive_cache=false — the doubled batch goes through one forward)."""
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
     do_cfg = guidance_scale > 1.0
+    use_cache = cache_cfg is not None and cache_cfg.enable_caching
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def run(params, latents, prompt_embeds, pooled, pos_embed):
         b = latents.shape[0]
+        bb = prompt_embeds.shape[0]
+
+        if use_cache:
+            from fastdm_tpu.caching.xcaching import cache_init_state
+            from fastdm_tpu.models.sd35 import sd3_forward_cached
+
+            p = cfg.patch_size
+            n_tok = (latents.shape[2] // p) * (latents.shape[3] // p)
+            hshape = (bb, n_tok, cfg.inner_dim)
+            state0 = cache_init_state(cache_cfg, hshape, hshape)
+
+            def body(carry, step):
+                lat, st = carry
+                t = jnp.broadcast_to(sigmas[step] * 1000.0, (bb,))
+                inp = jnp.concatenate([lat, lat]) if do_cfg else lat
+                out, st = sd3_forward_cached(
+                    params, cfg, cache_cfg, st, step, num_steps,
+                    inp.astype(jnp.bfloat16), prompt_embeds, pooled, t, pos_embed,
+                )
+                out = out.astype(jnp.float32)
+                if do_cfg:
+                    neg, pos = out[:b], out[b:]
+                    out = neg + guidance_scale * (pos - neg)
+                lat = scheduler.step(out, step, lat, sigmas)
+                return (lat, st), None
+
+            (latents_out, _), _ = jax.lax.scan(
+                body, (latents, state0), jnp.arange(num_steps)
+            )
+            return latents_out
 
         def body(lat, step):
-            t = jnp.broadcast_to(sigmas[step] * 1000.0, (prompt_embeds.shape[0],))
+            t = jnp.broadcast_to(sigmas[step] * 1000.0, (bb,))
             inp = jnp.concatenate([lat, lat]) if do_cfg else lat
             out = sd3_forward(
                 params, cfg, inp.astype(jnp.bfloat16), prompt_embeds, pooled, t, pos_embed
@@ -101,17 +135,58 @@ def make_qwen_denoiser(
     scheduler: FlowMatchEulerScheduler,
     num_steps: int,
     true_cfg_scale: float = 4.0,
+    cache_cfg=None,
 ):
     """run(params, latents (B,S,C), pos_embeds, neg_embeds, cos, sin).
 
     Qwen uses 'true CFG': two forwards per step (ref: qwen true_cfg_scale in
-    FastDMEngine.generate). neg_embeds may equal pos_embeds when scale <= 1."""
+    FastDMEngine.generate). neg_embeds may equal pos_embeds when scale <= 1.
+    With caching + negtive_cache, the two forwards keep independent cache
+    states (ref: xcaching.py:66-76)."""
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
     do_cfg = true_cfg_scale > 1.0
+    use_cache = cache_cfg is not None and cache_cfg.enable_caching
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def run(params, latents, pos_embeds, neg_embeds, cos, sin):
         b = latents.shape[0]
+
+        if use_cache:
+            from fastdm_tpu.caching.xcaching import cache_init_state
+            from fastdm_tpu.models.qwenimage import qwen_forward_cached
+
+            img_hidden = (b, latents.shape[1], cfg.inner_dim)
+            probe_shape = (
+                (b, pos_embeds.shape[1], cfg.inner_dim)
+                if type(cache_cfg).__name__ == "TeaCacheConfig"
+                else img_hidden
+            )
+            st_pos0 = cache_init_state(cache_cfg, img_hidden, probe_shape)
+            st_neg0 = cache_init_state(cache_cfg, img_hidden, probe_shape)
+
+            def body(carry, step):
+                lat, st_pos, st_neg = carry
+                t = jnp.broadcast_to(sigmas[step], (b,))
+                pos, st_pos = qwen_forward_cached(
+                    params, cfg, cache_cfg, st_pos, step, num_steps,
+                    lat.astype(jnp.bfloat16), pos_embeds, t, cos, sin,
+                )
+                pos = pos.astype(jnp.float32)
+                if do_cfg:
+                    neg, st_neg = qwen_forward_cached(
+                        params, cfg, cache_cfg, st_neg, step, num_steps,
+                        lat.astype(jnp.bfloat16), neg_embeds, t, cos, sin,
+                    )
+                    out = neg.astype(jnp.float32) + true_cfg_scale * (pos - neg.astype(jnp.float32))
+                else:
+                    out = pos
+                lat = scheduler.step(out, step, lat, sigmas)
+                return (lat, st_pos, st_neg), None
+
+            (latents_out, _, _), _ = jax.lax.scan(
+                body, (latents, st_pos0, st_neg0), jnp.arange(num_steps)
+            )
+            return latents_out
 
         def body(lat, step):
             t = jnp.broadcast_to(sigmas[step], (b,))
@@ -207,5 +282,60 @@ def make_wan_denoiser(
 
             latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
         return latents
+
+    return run
+
+
+def make_wan_cached_denoiser(
+    cfg: WanConfig,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    cache_cfg,
+    guidance_scale: float = 5.0,
+):
+    """Single-expert Wan loop with FBCache/DiCache and dual pos/neg cache
+    streams (ref: xcaching negtive_cache for wan; the reference builds one
+    AutoCache per expert — the dual-expert cached loop lands with the A14B
+    preset work)."""
+    from fastdm_tpu.caching.xcaching import cache_init_state
+    from fastdm_tpu.models.wan import wan_forward_cached
+
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run(params, latents, pos_text, neg_text, rope_cos, rope_sin, sparse_mask):
+        b, c, f, h, w = latents.shape
+        pt, ph, pw = cfg.patch_size
+        n_tok = (f // pt) * (h // ph) * (w // pw)
+        hshape = (b, n_tok, cfg.inner_dim)
+        st0 = cache_init_state(cache_cfg, hshape, hshape)
+        st1 = cache_init_state(cache_cfg, hshape, hshape)
+
+        def body(carry, step):
+            lat, sp, sn = carry
+            t = jnp.broadcast_to(sigmas[step] * 1000.0, (b,))
+            pos, sp = wan_forward_cached(
+                params, cfg, cache_cfg, sp, step, num_steps,
+                lat.astype(jnp.bfloat16), t, pos_text,
+                rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=sparse_mask,
+            )
+            pos = pos.astype(jnp.float32)
+            if do_cfg:
+                neg, sn = wan_forward_cached(
+                    params, cfg, cache_cfg, sn, step, num_steps,
+                    lat.astype(jnp.bfloat16), t, neg_text,
+                    rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=sparse_mask,
+                )
+                out = neg.astype(jnp.float32) + guidance_scale * (pos - neg.astype(jnp.float32))
+            else:
+                out = pos
+            lat = scheduler.step(out, step, lat, sigmas)
+            return (lat, sp, sn), None
+
+        (latents_out, _, _), _ = jax.lax.scan(
+            body, (latents, st0, st1), jnp.arange(num_steps)
+        )
+        return latents_out
 
     return run

@@ -72,3 +72,12 @@ def trace(log_dir: str = "/tmp/fastdm_trace"):
         yield
     finally:
         jax.profiler.stop_trace()
+
+def enable_compilation_cache(path: str = "/tmp/fastdm_jax_cache") -> None:
+    """Persistent XLA compilation cache — repeat engine runs skip the
+    multi-minute TPU compiles."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -105,3 +105,78 @@ def test_wan_denoiser_dual_expert_and_sparse_warmup():
     out = run(p1, p2, lat, pos, neg, cos, sin, mask)
     assert out.shape == lat.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sd3_denoiser_with_fbcache():
+    from fastdm_tpu.caching.config import FBCacheConfig
+    from fastdm_tpu.models.sd35 import SD3Config, sd3_cropped_pos_embed, sd3_init_random
+    from fastdm_tpu.pipeline.denoise_more import make_sd3_denoiser
+
+    cfg = SD3Config(sample_size=8, patch_size=2, in_channels=4, out_channels=4,
+                    num_layers=4, attention_head_dim=8, num_attention_heads=2,
+                    joint_attention_dim=16, caption_projection_dim=16,
+                    pooled_projection_dim=12, pos_embed_max_size=16,
+                    num_dual_layers=2, quant="int8")
+    params = sd3_init_random(jax.random.key(0), cfg)
+    cache = FBCacheConfig(cache_algorithm="fbcache", enable_caching=True,
+                          threshold=10.0, warmup_steps=1)
+    sched = FlowMatchEulerScheduler.create(STEPS, shift=3.0)
+    run = make_sd3_denoiser(cfg, sched, STEPS, 5.0, cache)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 8, 8), jnp.float32)
+    emb = jax.random.normal(k, (2, 6, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(k, (2, cfg.pooled_projection_dim), jnp.bfloat16)
+    pos = sd3_cropped_pos_embed(cfg, None, 8, 8)
+    out = run(params, lat, emb, pooled, pos)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_qwen_denoiser_with_teacache_dual_stream():
+    from fastdm_tpu.caching.config import TeaCacheConfig
+    from fastdm_tpu.models.qwenimage import (
+        QwenImageConfig, qwen_init_random, qwen_rope_cos_sin,
+    )
+    from fastdm_tpu.pipeline.denoise_more import make_qwen_denoiser
+
+    # packed latents: in_channels = patch_size^2 * out_channels
+    cfg = QwenImageConfig(num_layers=2, attention_head_dim=16,
+                          num_attention_heads=2, joint_attention_dim=24,
+                          in_channels=8, out_channels=2,
+                          axes_dims_rope=(4, 6, 6), quant="int8")
+    params = qwen_init_random(jax.random.key(0), cfg)
+    cache = TeaCacheConfig(cache_algorithm="teacache", enable_caching=True,
+                           threshold=0.3, coefficients=(1.0, 0.0),
+                           negtive_cache=True)
+    sched = FlowMatchEulerScheduler.create(STEPS, shift=1.0)
+    run = make_qwen_denoiser(cfg, sched, STEPS, true_cfg_scale=3.0, cache_cfg=cache)
+    ht = wt = 4
+    cos, sin = qwen_rope_cos_sin(cfg, 1, ht, wt, 6)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
+    pos = jax.random.normal(k, (1, 6, cfg.joint_attention_dim), jnp.bfloat16)
+    neg = jax.random.normal(jax.random.key(9), (1, 6, cfg.joint_attention_dim), jnp.bfloat16)
+    out = run(params, lat, pos, neg, cos, sin)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wan_cached_denoiser():
+    from fastdm_tpu.caching.config import FBCacheConfig
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import make_wan_cached_denoiser
+
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=4, quant="int8")
+    params = wan_init_random(jax.random.key(0), cfg)
+    cache = FBCacheConfig(cache_algorithm="fbcache", enable_caching=True,
+                          threshold=10.0, warmup_steps=1, negtive_cache=True)
+    sched = FlowMatchEulerScheduler.create(STEPS, shift=5.0)
+    run = make_wan_cached_denoiser(cfg, sched, STEPS, cache, guidance_scale=2.0)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 2, 16, 16), jnp.float32)
+    pos = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    neg = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, 2, 16, 16)
+    out = run(params, lat, pos, neg, cos, sin, None)
+    assert out.shape == lat.shape
+    assert np.isfinite(np.asarray(out)).all()
