@@ -73,6 +73,7 @@ class FastDMEngine:
         oom_resolve: bool = False,  # accepted for parity; host text-encode is default
         max_sequence_length: int = 512,
         quant_mods: bool = False,
+        mesh_shape: Optional[tuple] = None,  # (dp, sp, tp) for multi-chip TP/SP
         verbose: bool = True,
     ):
         arch = ARCH_ALIASES.get(architecture)
@@ -110,6 +111,23 @@ class FastDMEngine:
 
         init = getattr(self, f"_init_{arch}")
         init(quant, quant_mods, max_sequence_length)
+
+        # multi-chip: TP/SP-shard the denoiser weights over a named mesh
+        # (new surface vs the single-GPU reference, SURVEY.md §2.7)
+        self.mesh = None
+        if mesh_shape is not None:
+            from jax.sharding import Mesh
+
+            from fastdm_tpu.parallel.mesh import AXES, shard_flux_params
+
+            n = int(np.prod(mesh_shape))
+            devs = np.asarray(jax.devices()[:n]).reshape(mesh_shape)
+            self.mesh = Mesh(devs, AXES)
+            if arch == "flux":
+                self.params = shard_flux_params(self.params, self.mesh)
+            else:
+                print(f"mesh sharding rules for {arch} land next round; "
+                      "params stay replicated")
 
         self._denoisers: Dict[tuple, Any] = {}
         if verbose:
@@ -209,13 +227,19 @@ class FastDMEngine:
             os.path.join(self.model_path, "model_index.json")
         ) else None
         self.text_encoder = WanTextEncoder(self.model_path, self.cfg.text_len)
-        # Wan VAE (AutoencoderKLWan) is 3D — loaded separately
+        # Wan VAE (AutoencoderKLWan) is 3D — loaded separately; the checkpoint
+        # name-map is pending validation against a real state dict, so a load
+        # failure degrades to latent-only output instead of breaking the engine
         from fastdm_tpu.pipeline.wan_vae import WanVAEConfig, wan_vae_load
 
         self.vae_cfg = WanVAEConfig()
-        self.vae_params = wan_vae_load(
-            TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
-        )
+        try:
+            self.vae_params = wan_vae_load(
+                TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
+            )
+        except NotImplementedError as e:
+            print(f"wan vae unavailable ({e}); generate() returns latents")
+            self.vae_params = None
 
     # ------------------------------------------------------------ generate
 
@@ -394,10 +418,30 @@ class FastDMEngine:
         z = flux_unpack_latents(latents, ht, wt)
         return self._to_images(self._decode(self.vae_params, z))
 
+    def _wan_i2v_latents(self, image, lf, lh, lw, num_frames):
+        """First-frame conditioning: [4ch temporal mask ; encoded first frame]
+        concatenated channel-wise with the noise latents (diffusers Wan i2v
+        layout; the conditioned model's in_channels = 16 + 20 = 36)."""
+        import jax.numpy as jnp
+
+        from fastdm_tpu.pipeline.wan_vae import wan_vae_encode
+
+        img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0  # (H, W, 3)
+        video = jnp.concatenate(
+            [img[None], jnp.zeros((num_frames - 1,) + img.shape, jnp.float32)], 0
+        )[None]  # (1, F, H, W, 3)
+        cond = wan_vae_encode(self.vae_params, self.vae_cfg, video)  # (1,16,lf,lh,lw)
+        # temporal mask: frame 0 visible; packed 4x along the latent-frame axis
+        msk = jnp.zeros((1, num_frames, lh, lw), jnp.float32).at[:, 0].set(1.0)
+        first = jnp.repeat(msk[:, :1], 4, axis=1)
+        msk = jnp.concatenate([first, msk[:, 1:]], axis=1)
+        msk = msk.reshape(1, lf, 4, lh, lw).transpose(0, 2, 1, 3, 4)  # (1,4,lf,lh,lw)
+        return jnp.concatenate([msk, cond], axis=1)  # (1, 20, lf, lh, lw)
+
     def _generate_wan(
         self, prompt, negative_prompt=None, height=480, width=832, num_frames=81,
         num_inference_steps=40, guidance_scale=5.0, guidance_scale_2=None, seed=42,
-        output_type="np", task="t2v", **_,
+        output_type="np", task="t2v", image=None, **_,
     ):
         from fastdm_tpu.models.wan import wan_rope_cos_sin
         from fastdm_tpu.pipeline.denoise_more import make_wan_denoiser
@@ -446,6 +490,8 @@ class FastDMEngine:
                 self.params, self.params_2, latents, pos, neg, cos, sin, sparse_mask
             )
         if output_type == "latent":
+            return np.asarray(latents)
+        if self.vae_params is None:
             return np.asarray(latents)
         video = wan_vae_decode(self.vae_params, self.vae_cfg, latents)
         return self._to_images(video)

@@ -94,14 +94,15 @@ def _flash_kernel(
     if causal:
         run = j * block_k <= (i + 1) * block_q - 1
 
-    @pl.when(run)
-    def _():
+    has_pad = kv_len % block_k != 0
+
+    def body(masked):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         kv_mask = None
         col = None
-        if kv_len % block_k != 0:
+        if masked:
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             kv_mask = col + j * block_k < kv_len
         if causal:
@@ -111,6 +112,20 @@ def _flash_kernel(
             cmask = col + j * block_k <= row + i * block_q
             kv_mask = cmask if kv_mask is None else (kv_mask & cmask)
         _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk)
+
+    if has_pad:
+        # only the LAST kv block contains padding; keep the hot path mask-free
+        @pl.when(run & (j < nj - 1))
+        def _():
+            body(False)
+
+        @pl.when(run & (j == nj - 1))
+        def _():
+            body(True)
+    else:
+        @pl.when(run)
+        def _():
+            body(False)
 
     @pl.when(j == nj - 1)
     def _():
@@ -232,6 +247,9 @@ def _flash_attention(
             out_shape=jax.ShapeDtypeStruct(q.shape, query.dtype),
             scratch_shapes=scratch,
             cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
             interpret=_INTERPRET,
         )(sparse_mask.astype(jnp.int32), q, k, v)
     else:
@@ -248,6 +266,9 @@ def _flash_attention(
             out_shape=jax.ShapeDtypeStruct(q.shape, query.dtype),
             scratch_shapes=scratch,
             cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
             interpret=_INTERPRET,
         )(q, k, v)
 

@@ -101,8 +101,10 @@ def qlinear_random(
         params["scale"] = jnp.full((out_features,), w_std / 127.0, jnp.float32)
         params["colsum"] = jnp.sum(params["w"].astype(jnp.int32), axis=0)
     elif quant == "fp8":
-        params["w"] = (
-            jax.random.normal(kw, (in_features, out_features), jnp.bfloat16) * 448.0
+        # e4m3fn has no inf — clip before the cast or tails become NaN
+        params["w"] = jnp.clip(
+            jax.random.normal(kw, (in_features, out_features), jnp.bfloat16) * 150.0,
+            -448.0, 448.0,
         ).astype(jnp.float8_e4m3fn)
         params["scale"] = jnp.full((out_features,), w_std / 448.0, jnp.float32)
     else:
