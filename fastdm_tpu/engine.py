@@ -118,16 +118,14 @@ class FastDMEngine:
         if mesh_shape is not None:
             from jax.sharding import Mesh
 
-            from fastdm_tpu.parallel.mesh import AXES, shard_flux_params
+            from fastdm_tpu.parallel.mesh import AXES, shard_params_by_name
 
             n = int(np.prod(mesh_shape))
             devs = np.asarray(jax.devices()[:n]).reshape(mesh_shape)
             self.mesh = Mesh(devs, AXES)
-            if arch == "flux":
-                self.params = shard_flux_params(self.params, self.mesh)
-            else:
-                print(f"mesh sharding rules for {arch} land next round; "
-                      "params stay replicated")
+            self.params = shard_params_by_name(self.params, self.mesh)
+            if getattr(self, "params_2", None) is not None:
+                self.params_2 = shard_params_by_name(self.params_2, self.mesh)
 
         self._denoisers: Dict[tuple, Any] = {}
         if verbose:
@@ -277,11 +275,48 @@ class FastDMEngine:
         ht, wt = height // 16, width // 16
         cos, sin = flux_rope_cache(self.cfg, prompt_embeds.shape[1], ht, wt)
 
+        kontext = task == "i2i" and image is not None and \
+            self.architecture_full == "flux-kontext"
         start_step = 0
-        if task == "i2i" and image is not None:
+        if task == "i2i" and image is not None and not kontext:
             start_step = min(
                 int(num_inference_steps * (1 - strength)), num_inference_steps - 1
             )
+        if kontext:
+            # reference tokens appended to the sequence with id-plane 1
+            from fastdm_tpu.pipeline.denoise import (
+                flux_pack_latents, make_flux_kontext_denoiser,
+            )
+
+            rh, rw = image.shape[0] // 16, image.shape[1] // 16
+            cos, sin = flux_rope_cache(
+                self.cfg, prompt_embeds.shape[1], ht, wt, ref_tokens_hw=(rh, rw)
+            )
+            img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
+            z = self._encode(self.vae_params, img[None])
+            ref_tokens = flux_pack_latents(z)
+            ref_tokens = jnp.broadcast_to(ref_tokens, (b, *ref_tokens.shape[1:]))
+            key = ("flux-kontext", ht, wt, rh, rw, num_inference_steps, guidance_scale)
+            if key not in self._denoisers:
+                mu = flow_match_shift_mu(ht * wt)
+                sched = FlowMatchEulerScheduler.create(
+                    num_inference_steps, use_dynamic_shifting=True, mu=mu
+                )
+                self._denoisers[key] = make_flux_kontext_denoiser(
+                    self.cfg, sched, num_inference_steps,
+                    self.cache.config if self.cache else None, guidance_scale,
+                )
+            latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
+            latents = self._denoisers[key](
+                self.params, latents, ref_tokens, prompt_embeds,
+                pooled_prompt_embeds, cos, sin,
+            )
+            from fastdm_tpu.pipeline.denoise import flux_unpack_latents
+
+            if output_type == "latent":
+                return np.asarray(latents)
+            z = flux_unpack_latents(latents, ht, wt)
+            return self._to_images(self._decode(self.vae_params, z))
 
         key = ("flux", ht, wt, num_inference_steps, guidance_scale, start_step)
         if key not in self._denoisers:
@@ -458,9 +493,16 @@ class FastDMEngine:
             pt, ph, pw = self.cfg.patch_size
             tokens = (lf // pt) * (lh // ph) * (lw // pw)
             self.sparse_attn.post_init(video_token_num=tokens, num_frame=lf // pt)
-            sparse_mask = jnp.asarray(
-                self.sparse_attn.block_mask(1, self.cfg.num_attention_heads)
-            )
+            from fastdm_tpu.kernels import kernel_registry
+
+            if kernel_registry.backend_for("sdpa_sparse") == "pallas":
+                # gather form: masked KV blocks cost neither DMA nor compute
+                idx, cnt = self.sparse_attn.block_lists()
+                sparse_mask = (jnp.asarray(idx), jnp.asarray(cnt))
+            else:
+                sparse_mask = jnp.asarray(
+                    self.sparse_attn.block_mask(1, self.cfg.num_attention_heads)
+                )
             dense_steps = self.sparse_attn.config.dense_steps
         cos, sin = wan_rope_cos_sin(self.cfg, lf, lh, lw)
         use_cache = self.cache is not None and self.params_2 is None

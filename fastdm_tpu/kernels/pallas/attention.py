@@ -299,6 +299,118 @@ def sdpa_pallas(
     )
 
 
+def _gather_sparse_kernel(
+    idx_ref, cnt_ref,  # scalar-prefetch: (ni, max_nb) int32, (ni, 1) int32
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale, kv_len, block_q, block_k,
+):
+    """Gather-style block-sparse flash attention: the grid's inner axis walks
+    the COMPACTED active-KV-block list per q block, so masked blocks cost
+    neither DMA nor compute (the reference's SpargeAttn skips compute only
+    after fetching; splash-attention-style prefetched indices skip both)."""
+    i, j = pl.program_id(2), pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    @pl.when(j < cnt_ref[i, 0])
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        kv_mask = None
+        if kv_len % block_k != 0:
+            # the gathered block may be the (padded) last one
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            kv_mask = col + idx_ref[i, j] * block_k < kv_len
+        _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr)
+
+    @pl.when(j == nj - 1)
+    def _():
+        l = l_scr[:, :1]
+        out = acc_scr[...] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_q_heads", "num_kv_heads", "head_dim", "scale",
+                     "block_q", "block_k", "max_blocks"),
+)
+def _gather_sparse_attention(
+    query, key, value, block_indices, block_counts,
+    *, num_q_heads, num_kv_heads, head_dim, scale, block_q, block_k, max_blocks,
+):
+    """block_indices: (ni, max_blocks) int32 active kv-block ids per q block
+    (shared across batch/heads — the radial mask is head-independent);
+    block_counts: (ni, 1) int32."""
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    scale = head_dim**-0.5 if scale is None else scale
+    bq, bk = block_q, block_k
+
+    q = _pad_seq(query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3), bq)
+    k = _pad_seq(key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
+    v = _pad_seq(value.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
+    ni = q.shape[2] // bq
+    grid = (b, num_q_heads, ni, max_blocks)
+    kv_rep = num_q_heads // num_kv_heads
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, head_dim),
+                         lambda b_, h, i, j, idx, cnt: (b_, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, head_dim),
+                         lambda b_, h, i, j, idx, cnt: (b_, h // kv_rep, idx[i, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, head_dim),
+                         lambda b_, h, i, j, idx, cnt: (b_, h // kv_rep, idx[i, j], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, head_dim),
+                               lambda b_, h, i, j, idx, cnt: (b_, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, head_dim), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _gather_sparse_kernel, scale=scale, kv_len=skv, block_q=bq, block_k=bk
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, query.dtype),
+        interpret=_INTERPRET,
+    )(block_indices, block_counts, q, k, v)
+    return out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, num_q_heads * head_dim)
+
+
+def mask_to_block_lists(mask_2d) -> tuple:
+    """Host-side: (nq, nk) bool mask -> (indices (nq, max_nb) i32, counts
+    (nq, 1) i32). Padded entries repeat index 0 (fetched but compute-skipped)."""
+    import numpy as np
+
+    m = np.asarray(mask_2d, bool)
+    nq = m.shape[0]
+    counts = m.sum(1).astype(np.int32)
+    max_nb = max(1, int(counts.max()))
+    idx = np.zeros((nq, max_nb), np.int32)
+    for i in range(nq):
+        active = np.nonzero(m[i])[0]
+        idx[i, : len(active)] = active
+    return idx, counts.reshape(nq, 1), max_nb
+
+
 @kernel_registry.register("sdpa_sparse", "pallas")
 def sdpa_sparse_pallas(
     query: Array,

@@ -231,10 +231,21 @@ def _wan_self_attention(attn, x: Array, cos: Array, sin: Array, cfg: WanConfig,
     q, k = rotary_pos_embedding(q, k, cfg.attention_head_dim, cos, sin, is_neox=False)
     h, hd = cfg.num_attention_heads, cfg.attention_head_dim
     if sparse_mask is not None:
-        out = sparse_scaled_dot_product_attention(
-            q, k, v, h, h, hd, False, hd**-0.5,
-            sparse_mask=sparse_mask, block_q=128, block_k=128,
-        )
+        if isinstance(sparse_mask, (tuple, list)):
+            # gather form: (block_indices (nq, max_nb), counts (nq, 1)) —
+            # masked KV blocks cost neither DMA nor compute
+            from fastdm_tpu.kernels.pallas.attention import _gather_sparse_attention
+
+            idx, cnt = sparse_mask
+            out = _gather_sparse_attention(
+                q, k, v, idx, cnt, num_q_heads=h, num_kv_heads=h, head_dim=hd,
+                scale=hd**-0.5, block_q=128, block_k=128, max_blocks=idx.shape[1],
+            )
+        else:
+            out = sparse_scaled_dot_product_attention(
+                q, k, v, h, h, hd, False, hd**-0.5,
+                sparse_mask=sparse_mask, block_q=128, block_k=128,
+            )
     else:
         out = scaled_dot_product_attention(q, k, v, h, h, hd, False, hd**-0.5)
     return qlinear_apply(attn["to_out"], out.astype(x.dtype))

@@ -51,6 +51,54 @@ def make_mesh(n_devices: int) -> Mesh:
     return Mesh(devs, AXES)
 
 
+def generic_param_pspec(path: str) -> P:
+    """Name-pattern TP rules covering every model family's QLinear leaves.
+
+    Column-parallel (output dim on tp): fused qkv/kv projections, ff inputs,
+    single-block proj_mlp. Row-parallel (input dim on tp, partial-sum
+    all-reduced by XLA): attention out-projections and ff outputs.
+    Norm/mod/embedding weights replicate."""
+    col = any(k in path for k in (
+        "qkv", "add_qkv", ".kv", "ff.proj", "ff_context.proj", "img_mlp.proj",
+        "txt_mlp.proj", "ffn.proj", "proj_mlp", "attn2.q", "attn.q",
+    ))
+    row = any(k in path for k in (
+        "to_out", "to_add_out", "ff.out", "ff_context.out", "img_mlp.out",
+        "txt_mlp.out", "ffn.out",
+    ))
+    row = row or (".proj_out" in path and ("single" in path or "blocks" in path))
+    leaf = path.rsplit(".", 1)[-1]
+    if col and not row:
+        if leaf == "w":
+            return P(None, None, "tp")
+        if leaf in ("scale", "colsum", "bias"):
+            return P(None, "tp")
+    if row:
+        if leaf == "w":
+            return P(None, "tp", None)
+        return P()
+    return P()
+
+
+def shard_params_by_name(params, mesh: Mesh):
+    """TP-shard any model family's layer-stacked block weights."""
+
+    def place(path_parts, leaf):
+        path = ".".join(str(getattr(p, "key", p)) for p in path_parts)
+        spec = generic_param_pspec(path) if "block" in path else P()
+        if len(spec) > leaf.ndim:
+            spec = P()
+        # only shard dims divisible by the axis size
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        for dim, name in enumerate(spec):
+            if name is not None and leaf.shape[dim] % axis_sizes.get(name, 1) != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def flux_param_pspec(path: str) -> P:
     """PartitionSpec for a flux param leaf, keyed by its tree path.
 

@@ -88,6 +88,42 @@ def make_flux_denoiser(
     return run
 
 
+def make_flux_kontext_denoiser(
+    cfg: FluxConfig,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    cache_cfg=None,
+    guidance_scale: float = 2.5,
+):
+    """FLUX-Kontext editing loop: clean reference-image tokens are appended to
+    the noised sequence every step (their rope ids carry axis0=1 so the model
+    distinguishes them); only the noise part is denoised/output.
+
+    run(params, latents (B,S,C), ref_tokens (B,S_ref,C), encoder, pooled,
+    cos, sin) -> latents. cos/sin must cover txt + noise + ref ids."""
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run(params, latents, ref_tokens, encoder, pooled, cos, sin):
+        b, s, _ = latents.shape
+        guidance = jnp.full((b,), guidance_scale, jnp.float32)
+        ref = ref_tokens.astype(jnp.bfloat16)
+
+        def body(lat, step):
+            t = jnp.broadcast_to(sigmas[step], (b,))
+            inp = jnp.concatenate([lat.astype(jnp.bfloat16), ref], axis=1)
+            out = flux_forward(
+                params, cfg, inp, encoder, pooled, t, cos, sin, guidance=guidance
+            )[:, :s]
+            lat = scheduler.step(out, step, lat, sigmas)
+            return lat, None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        return latents
+
+    return run
+
+
 def flux_pack_latents(x: Array) -> Array:
     """(B, C, H, W) latent -> (B, H/2*W/2, C*4) packed tokens (FLUX layout)."""
     b, c, h, w = x.shape

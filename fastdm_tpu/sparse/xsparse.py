@@ -150,12 +150,25 @@ class SparseAttn:
 
 @SparseAttn.register("radial")
 class RadialAttn(SparseAttn):
-    def block_mask(self, batch: int = 1, heads: int = 1) -> np.ndarray:
-        """(B, H, nb, nb) int32 mask for the Pallas block-sparse kernel."""
+    def _mask2d(self) -> np.ndarray:
         key = (self.video_token_num, self.num_frame)
         if key not in self._mask_cache:
             self._mask_cache[key] = radial_block_mask(
                 self.video_token_num, self.num_frame, self.config
             )
-        m = self._mask_cache[key].astype(np.int32)
+        return self._mask_cache[key]
+
+    def block_mask(self, batch: int = 1, heads: int = 1) -> np.ndarray:
+        """(B, H, nb, nb) int32 mask for the masked Pallas kernel."""
+        m = self._mask2d().astype(np.int32)
         return np.broadcast_to(m[None, None], (batch, heads, *m.shape)).copy()
+
+    def block_lists(self):
+        """Compacted per-q-block active KV lists for the gather kernel:
+        (indices (nq, max_nb) i32, counts (nq, 1) i32). DMA-skips masked
+        blocks — the radial mask is batch/head-independent so one table
+        serves every (b, h)."""
+        from fastdm_tpu.kernels.pallas.attention import mask_to_block_lists
+
+        idx, cnt, _ = mask_to_block_lists(self._mask2d())
+        return idx, cnt
