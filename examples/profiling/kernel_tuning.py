@@ -16,11 +16,11 @@ import numpy as np
 
 def bench(fn, reps=10):
     out = fn()
-    jax.block_until_ready(out)
+    np.asarray(out)  # block_until_ready does NOT sync over the axon tunnel
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+    np.asarray(out)
     return (time.perf_counter() - t0) / reps
 
 

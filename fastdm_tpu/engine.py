@@ -496,8 +496,10 @@ class FastDMEngine:
             from fastdm_tpu.kernels import kernel_registry
 
             if kernel_registry.backend_for("sdpa_sparse") == "pallas":
-                # gather form: masked KV blocks cost neither DMA nor compute
-                idx, cnt = self.sparse_attn.block_lists()
+                # gather form: masked KV blocks cost neither DMA nor compute;
+                # coarsening factors derive from the model's gather tile size
+                bq, bk = self.cfg.sparse_gather_blocks
+                idx, cnt = self.sparse_attn.block_lists(bq // 128, bk // 128)
                 sparse_mask = (jnp.asarray(idx), jnp.asarray(cnt))
             else:
                 sparse_mask = jnp.asarray(

@@ -395,12 +395,23 @@ def _gather_sparse_attention(
     return out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, num_q_heads * head_dim)
 
 
-def mask_to_block_lists(mask_2d) -> tuple:
-    """Host-side: (nq, nk) bool mask -> (indices (nq, max_nb) i32, counts
-    (nq, 1) i32). Padded entries repeat index 0 (fetched but compute-skipped)."""
+def mask_to_block_lists(mask_2d, q_factor: int = 1, k_factor: int = 1) -> tuple:
+    """Host-side: (nq, nk) bool mask -> (indices (nq', max_nb) i32, counts
+    (nq', 1) i32). Padded entries repeat index 0 (fetched but compute-skipped).
+
+    q_factor/k_factor coarsen the mask by OR-ing blocks of rows/cols: tiny
+    128-blocks make the gather grid overhead-dominated (measured 4x slower
+    than dense at 20k tokens); coarsening to e.g. 512x512 tiles trades a
+    little sparsity for dense-kernel per-step efficiency."""
     import numpy as np
 
     m = np.asarray(mask_2d, bool)
+    if q_factor > 1 or k_factor > 1:
+        nq, nk = m.shape
+        pq, pk = (-nq) % q_factor, (-nk) % k_factor
+        m = np.pad(m, ((0, pq), (0, pk)))
+        m = m.reshape(m.shape[0] // q_factor, q_factor,
+                      m.shape[1] // k_factor, k_factor).any(axis=(1, 3))
     nq = m.shape[0]
     counts = m.sum(1).astype(np.int32)
     max_nb = max(1, int(counts.max()))

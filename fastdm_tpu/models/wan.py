@@ -63,6 +63,8 @@ class WanConfig:
     pos_embed_seq_len: Optional[int] = None
     text_len: int = 512                     # fixed text context length
     dense_layers: int = 0                   # first N layers always dense
+    # gather-sparse tile size (must match SparseAttn.block_lists coarsening)
+    sparse_gather_blocks: Tuple[int, int] = (512, 1024)
     per_token_timestep: bool = False        # wan2.2-ti2v (temb per token)
     quant: Optional[str] = "int8"
 
@@ -237,9 +239,10 @@ def _wan_self_attention(attn, x: Array, cos: Array, sin: Array, cfg: WanConfig,
             from fastdm_tpu.kernels.pallas.attention import _gather_sparse_attention
 
             idx, cnt = sparse_mask
+            bq, bk = cfg.sparse_gather_blocks
             out = _gather_sparse_attention(
                 q, k, v, idx, cnt, num_q_heads=h, num_kv_heads=h, head_dim=hd,
-                scale=hd**-0.5, block_q=128, block_k=128, max_blocks=idx.shape[1],
+                scale=hd**-0.5, block_q=bq, block_k=bk, max_blocks=idx.shape[1],
             )
         else:
             out = sparse_scaled_dot_product_attention(

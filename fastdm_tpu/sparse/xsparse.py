@@ -163,12 +163,16 @@ class RadialAttn(SparseAttn):
         m = self._mask2d().astype(np.int32)
         return np.broadcast_to(m[None, None], (batch, heads, *m.shape)).copy()
 
-    def block_lists(self):
+    def block_lists(self, q_factor: int = 4, k_factor: int = 8):
         """Compacted per-q-block active KV lists for the gather kernel:
         (indices (nq, max_nb) i32, counts (nq, 1) i32). DMA-skips masked
         blocks — the radial mask is batch/head-independent so one table
-        serves every (b, h)."""
+        serves every (b, h).
+
+        Coarsening (OR over q_factor x k_factor 128-blocks) trades sparsity
+        for per-step efficiency; (4, 8) -> 512x1024 tiles measured 1.55x over
+        dense at the A14B 75k-token shape (128-tiles were SLOWER than dense)."""
         from fastdm_tpu.kernels.pallas.attention import mask_to_block_lists
 
-        idx, cnt, _ = mask_to_block_lists(self._mask2d())
+        idx, cnt, _ = mask_to_block_lists(self._mask2d(), q_factor, k_factor)
         return idx, cnt

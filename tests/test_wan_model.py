@@ -98,3 +98,24 @@ def test_wan_rope_cache_shape():
     cos, sin = wan_rope_cos_sin(cfg, 2, 8, 8)
     assert cos.shape == (2 * 4 * 4, 12)
     assert sin.shape == cos.shape
+
+
+def test_wan_gather_sparse_form():
+    """Tuple-form (indices, counts) sparse mask drives the gather kernel."""
+    cfg = WanConfig(**{**TINY.__dict__, "sparse_gather_blocks": (16, 16)})
+    params = wan_init_random(jax.random.key(0), cfg)
+    video = _video(f=2, h=16, w=16)
+    seq = 2 * 8 * 8  # 128 tokens -> 8 blocks of 16
+    rng = np.random.default_rng(5)
+    text = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)), jnp.bfloat16)
+    t = jnp.full((1,), 500.0, jnp.float32)
+    from fastdm_tpu.kernels.pallas.attention import mask_to_block_lists
+
+    mask = np.ones((seq // 16, seq // 16), bool)
+    idx, cnt, _ = mask_to_block_lists(mask)
+    out = wan_forward(params, cfg, video, t, text,
+                      sparse_mask=(jnp.asarray(idx), jnp.asarray(cnt)))
+    out_dense = wan_forward(params, cfg, video, t, text)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(out_dense, np.float32), atol=5e-2
+    )
