@@ -74,6 +74,7 @@ class FastDMEngine:
         max_sequence_length: int = 512,
         quant_mods: bool = False,
         mesh_shape: Optional[tuple] = None,  # (dp, sp, tp) for multi-chip TP/SP
+        controlnet_path: Optional[str] = None,  # flux/sdxl CN checkpoint dir
         verbose: bool = True,
     ):
         arch = ARCH_ALIASES.get(architecture)
@@ -112,6 +113,12 @@ class FastDMEngine:
         init = getattr(self, f"_init_{arch}")
         init(quant, quant_mods, max_sequence_length)
 
+        # optional ControlNet (ref: sdxl_controlnet / flux_controlnet wrappers,
+        # model_entry.py:471-472); generate() then accepts control_image=...
+        self.cn_params = self.cn_cfg = None
+        if controlnet_path is not None:
+            self._load_controlnet(controlnet_path)
+
         # multi-chip: TP/SP-shard the denoiser weights over a named mesh
         # (new surface vs the single-GPU reference, SURVEY.md §2.7)
         self.mesh = None
@@ -126,6 +133,8 @@ class FastDMEngine:
             self.params = shard_params_by_name(self.params, self.mesh)
             if getattr(self, "params_2", None) is not None:
                 self.params_2 = shard_params_by_name(self.params_2, self.mesh)
+            if self.cn_params is not None:
+                self.cn_params = shard_params_by_name(self.cn_params, self.mesh)
 
         self._denoisers: Dict[tuple, Any] = {}
         if verbose:
@@ -135,6 +144,33 @@ class FastDMEngine:
             )
 
     # ------------------------------------------------------------ loaders
+
+    def _load_controlnet(self, path: str):
+        if self.architecture == "flux":
+            from fastdm_tpu.models.controlnets import (
+                FluxControlNetConfig, flux_controlnet_load,
+            )
+
+            cn_json = {}
+            cfg_file = os.path.join(path, "config.json")
+            if os.path.exists(cfg_file):
+                cn_json = _read_json(cfg_file)
+            self.cn_cfg = FluxControlNetConfig(
+                quant=self.quant,
+                num_layers=cn_json.get("num_layers", 5),
+                num_single_layers=cn_json.get("num_single_layers", 0),
+                guidance_embeds=cn_json.get("guidance_embeds", False),
+            )
+            self.cn_params = flux_controlnet_load(TensorSource.from_path(path), self.cn_cfg)
+        elif self.architecture == "sdxl":
+            from fastdm_tpu.models.controlnets import sdxl_controlnet_load
+
+            self.cn_cfg = self.cfg
+            self.cn_params = sdxl_controlnet_load(TensorSource.from_path(path), self.cfg)
+        else:
+            raise ValueError(
+                f"ControlNet is supported for flux/sdxl, not {self.architecture}"
+            )
 
     def _load_vae(self, kind: str):
         self.vae_cfg = VAE_CONFIGS[kind]
@@ -258,7 +294,9 @@ class FastDMEngine:
         self, prompt, negative_prompt=None, height=1024, width=1024,
         num_inference_steps=25, guidance_scale=3.5, seed=42,
         num_images_per_prompt=1, prompt_embeds=None, pooled_prompt_embeds=None,
-        output_type="np", task="t2i", image=None, strength=0.7, **_,
+        output_type="np", task="t2i", image=None, strength=0.7,
+        control_image=None, controlnet_conditioning_scale=1.0, control_mode=None,
+        **_,
     ):
         from fastdm_tpu.models.flux import flux_rope_cache
         from fastdm_tpu.pipeline.denoise import (
@@ -313,6 +351,35 @@ class FastDMEngine:
             )
             from fastdm_tpu.pipeline.denoise import flux_unpack_latents
 
+            if output_type == "latent":
+                return np.asarray(latents)
+            z = flux_unpack_latents(latents, ht, wt)
+            return self._to_images(self._decode(self.vae_params, z))
+
+        if control_image is not None and self.cn_params is not None:
+            # ControlNet t2i: hint image is VAE-encoded + packed like latents
+            from fastdm_tpu.pipeline.denoise import make_flux_cn_denoiser
+
+            img = jnp.asarray(control_image, jnp.float32) / 127.5 - 1.0
+            z = self._encode(self.vae_params, img[None])
+            cn_cond = flux_pack_latents(z)
+            cn_cond = jnp.broadcast_to(cn_cond, (b, *cn_cond.shape[1:]))
+            key = ("flux-cn", ht, wt, num_inference_steps, guidance_scale,
+                   controlnet_conditioning_scale, control_mode)
+            if key not in self._denoisers:
+                mu = flow_match_shift_mu(ht * wt)
+                sched = FlowMatchEulerScheduler.create(
+                    num_inference_steps, use_dynamic_shifting=True, mu=mu
+                )
+                self._denoisers[key] = make_flux_cn_denoiser(
+                    self.cfg, self.cn_cfg, sched, num_inference_steps,
+                    guidance_scale, controlnet_conditioning_scale, control_mode,
+                )
+            latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
+            latents = self._denoisers[key](
+                self.params, self.cn_params, latents, cn_cond, prompt_embeds,
+                pooled_prompt_embeds, cos, sin,
+            )
             if output_type == "latent":
                 return np.asarray(latents)
             z = flux_unpack_latents(latents, ht, wt)
@@ -385,7 +452,9 @@ class FastDMEngine:
     def _generate_sdxl(
         self, prompt, negative_prompt=None, height=1024, width=1024,
         num_inference_steps=25, guidance_scale=5.0, seed=42,
-        num_images_per_prompt=1, output_type="np", task="t2i", **_,
+        num_images_per_prompt=1, output_type="np", task="t2i",
+        control_image=None, controlnet_conditioning_scale=1.0, guess_mode=False,
+        **_,
     ):
         from fastdm_tpu.pipeline.denoise_more import make_sdxl_denoiser
 
@@ -400,15 +469,36 @@ class FastDMEngine:
             np.tile([height, width, 0, 0, height, width], (2 * b, 1)), jnp.float32
         )
         lh, lw = height // 8, width // 8
-        key = ("sdxl", lh, lw, num_inference_steps, guidance_scale)
+        use_cn = control_image is not None and self.cn_params is not None
+        key = ("sdxl", lh, lw, num_inference_steps, guidance_scale,
+               use_cn and (controlnet_conditioning_scale, guess_mode))
         if key not in self._denoisers:
             sched = EulerDiscreteScheduler.create(num_inference_steps)
-            self._denoisers[key] = make_sdxl_denoiser(
-                self.cfg, sched, num_inference_steps, guidance_scale
-            )
+            if use_cn:
+                from fastdm_tpu.pipeline.denoise_more import make_sdxl_cn_denoiser
+
+                self._denoisers[key] = make_sdxl_cn_denoiser(
+                    self.cfg, sched, num_inference_steps, guidance_scale,
+                    controlnet_conditioning_scale, guess_mode,
+                )
+            else:
+                self._denoisers[key] = make_sdxl_denoiser(
+                    self.cfg, sched, num_inference_steps, guidance_scale
+                )
             self._sdxl_init_sigma = sched.init_noise_sigma
         latents = self._latents((b, 4, lh, lw), seed) * self._sdxl_init_sigma
-        latents = self._denoisers[key](self.params, latents, embeds, pooled_all, time_ids)
+        if use_cn:
+            # hint image stays in [0, 1] pixel space, NHWC (diffusers convention)
+            cn_cond = jnp.asarray(control_image, jnp.float32)[None] / 255.0
+            cn_cond = jnp.broadcast_to(cn_cond, (b, *cn_cond.shape[1:]))
+            latents = self._denoisers[key](
+                self.params, self.cn_params, latents, embeds, pooled_all,
+                time_ids, cn_cond,
+            )
+        else:
+            latents = self._denoisers[key](
+                self.params, latents, embeds, pooled_all, time_ids
+            )
         if output_type == "latent":
             return np.asarray(latents)
         return self._to_images(self._decode(self.vae_params, latents))

@@ -112,6 +112,38 @@ def sdxl_controlnet_forward(
     return down_samples, mid_sample
 
 
+def sdxl_controlnet_init_random(
+    key, cfg: SDXLConfig, cond_channels: Tuple[int, ...] = (16, 32, 96, 256)
+) -> Dict:
+    """Random SDXL-CN params (profiling / tests without checkpoints); reuses
+    the UNet's random down+mid path and adds hint encoder + zero convs
+    (nonzero-random here so tests can detect the residuals)."""
+    from fastdm_tpu.models.sdxl import _rand_conv, sdxl_init_random
+
+    base = sdxl_init_random(key, cfg)
+    params = {
+        k: base[k]
+        for k in ("conv_in", "time_embedding", "add_embedding",
+                  "down0", "down1", "down2", "mid")
+    }
+    c0, c1, c2 = cfg.block_channels
+    e = cond_channels
+    ks = jax.random.split(jax.random.fold_in(key, 1), 20)
+    params["cond_embedding"] = {
+        "conv_in": _rand_conv(ks[0], 3, 3, 3, e[0]),
+        "blocks": [
+            _rand_conv(ks[1 + i], 3, 3, e[i // 2], e[(i + 1) // 2]) for i in range(6)
+        ],
+        "conv_out": _rand_conv(ks[7], 3, 3, e[3], c0),
+    }
+    skip_ch = [c0, c0, c0, c0, c1, c1, c1, c2, c2]
+    params["controlnet_down_blocks"] = [
+        _rand_conv(ks[8 + i], 1, 1, c, c) for i, c in enumerate(skip_ch)
+    ]
+    params["controlnet_mid_block"] = _rand_conv(ks[17], 1, 1, c2, c2)
+    return params
+
+
 def sdxl_controlnet_load(src: TensorSource, cfg: SDXLConfig) -> Dict:
     """Load a diffusers SDXL ControlNet checkpoint."""
     from fastdm_tpu.models.sdxl import _conv_p, _resnet_p, _t2d_p
@@ -185,10 +217,14 @@ def flux_controlnet_forward(
     rope_sin: Array,
     guidance: Optional[Array] = None,
     conditioning_scale: float = 1.0,
+    control_mode: Optional[int] = None,
 ) -> Tuple[Optional[Array], Optional[Array]]:
     """(ref: FluxControlNetModelCore.forward, controlnets.py:890-1046).
     Returns stacked (num_layers, B, S, D) and (num_single_layers, B, S, D)
-    residuals (already scaled), ready for flux_forward's controlnet args."""
+    residuals (already scaled), ready for flux_forward's controlnet args.
+
+    control_mode: union checkpoints prepend one mode-embedding token to the
+    text stream — the caller's rope cos/sin must then cover txt_len+1 ids."""
     hidden = qlinear_apply(params["x_embedder"], hidden_states)
     hidden = hidden + qlinear_apply(params["controlnet_x_embedder"], controlnet_cond)
     temb = combined_timestep_text_proj_apply(
@@ -198,6 +234,10 @@ def flux_controlnet_forward(
         guidance.astype(jnp.float32) * 1000.0 if cfg.guidance_embeds else None,
     )
     encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
+    if control_mode is not None and "controlnet_mode_embedder" in params:
+        mode = params["controlnet_mode_embedder"][control_mode].astype(encoder.dtype)
+        mode = jnp.broadcast_to(mode[None, None, :], (encoder.shape[0], 1, mode.shape[-1]))
+        encoder = jnp.concatenate([mode, encoder], axis=1)
 
     block_samples = single_block_samples = None
     if cfg.num_layers:
@@ -239,34 +279,139 @@ def flux_controlnet_forward(
     return block_samples, single_block_samples
 
 
+def flux_controlnet_init_random(key, cfg: FluxControlNetConfig) -> Dict:
+    """Random FLUX-CN params (tests/profiling); zero-heads drawn small-random
+    so injected residuals are detectable."""
+    from fastdm_tpu.models.flux import flux_init_random
+    from fastdm_tpu.layers.qlinear import qlinear_random
+
+    base = flux_init_random(key, cfg)
+    params = {
+        k: base[k] for k in ("x_embedder", "context_embedder", "time_text_embed")
+    }
+    if cfg.num_layers:
+        params["dual_blocks"] = base["dual_blocks"]
+    if cfg.num_single_layers:
+        params["single_blocks"] = base["single_blocks"]
+    d = cfg.inner_dim
+    k1, k2, k3 = jax.random.split(jax.random.fold_in(key, 1), 3)
+    params["controlnet_x_embedder"] = qlinear_random(k1, cfg.in_channels, d, quant=None)
+
+    def heads(k, n):
+        return {
+            "w": 0.02 * jax.random.normal(k, (n, d, d), jnp.bfloat16),
+            "bias": jnp.zeros((n, d), jnp.float32),
+        }
+
+    if cfg.num_layers:
+        params["controlnet_blocks"] = heads(k2, cfg.num_layers)
+    if cfg.num_single_layers:
+        params["controlnet_single_blocks"] = heads(k3, cfg.num_single_layers)
+    return params
+
+
 def flux_controlnet_load(src: TensorSource, cfg: FluxControlNetConfig) -> Dict:
-    """Load a diffusers FLUX ControlNet (XLabs/InstantX layouts)."""
-    from fastdm_tpu.models.flux import flux_load
+    """Load a diffusers FLUX ControlNet checkpoint (InstantX/XLabs layouts).
 
-    # reuse the flux loader for the shared trunk by name-compatibility; the CN
-    # checkpoints carry the same block names plus controlnet_* heads.
+    CN checkpoints carry the flux trunk WITHOUT norm_out/proj_out, plus
+    controlnet_x_embedder and zero-linear heads; union variants add a mode
+    embedder, raw-image variants an input_hint_block conv stack."""
+    from fastdm_tpu.models.flux import flux_load  # reuse block sub-loaders via names
+
     q = cfg.quant
-    extra = {}
-    extra["controlnet_x_embedder"] = src.linear("controlnet_x_embedder", None)
-    heads = []
-    i = 0
-    while f"controlnet_blocks.{i}.weight" in src:
-        w = np.asarray(src.take(f"controlnet_blocks.{i}.weight"), np.float32)
-        b = np.asarray(src.take(f"controlnet_blocks.{i}.bias"), np.float32)
-        heads.append({"w": jnp.asarray(w.T, jnp.bfloat16), "bias": jnp.asarray(b)})
-        i += 1
-    if heads:
-        extra["controlnet_blocks"] = stack_blocks(heads)
-    sheads = []
-    i = 0
-    while f"controlnet_single_blocks.{i}.weight" in src:
-        w = np.asarray(src.take(f"controlnet_single_blocks.{i}.weight"), np.float32)
-        b = np.asarray(src.take(f"controlnet_single_blocks.{i}.bias"), np.float32)
-        sheads.append({"w": jnp.asarray(w.T, jnp.bfloat16), "bias": jnp.asarray(b)})
-        i += 1
-    if sheads:
-        extra["controlnet_single_blocks"] = stack_blocks(sheads)
+    qm = q if cfg.quant_mods else None
+    params: Dict = {
+        "x_embedder": src.linear("x_embedder", None),
+        "context_embedder": src.linear("context_embedder", None),
+        "controlnet_x_embedder": src.linear("controlnet_x_embedder", None),
+    }
+    tte = {
+        "timestep_embedder": {
+            "linear1": src.linear("time_text_embed.timestep_embedder.linear_1", None),
+            "linear2": src.linear("time_text_embed.timestep_embedder.linear_2", None),
+        },
+        "text_embedder": {
+            "linear1": src.linear("time_text_embed.text_embedder.linear_1", None),
+            "linear2": src.linear("time_text_embed.text_embedder.linear_2", None),
+        },
+    }
+    if "time_text_embed.guidance_embedder.linear_1.weight" in src:
+        tte["guidance_embedder"] = {
+            "linear1": src.linear("time_text_embed.guidance_embedder.linear_1", None),
+            "linear2": src.linear("time_text_embed.guidance_embedder.linear_2", None),
+        }
+    params["time_text_embed"] = tte
 
-    base = flux_load(src, cfg)
-    base.update(extra)
-    return base
+    dual = []
+    for i in range(cfg.num_layers):
+        p = f"transformer_blocks.{i}"
+        dual.append({
+            "norm1": {"linear": src.linear(f"{p}.norm1.linear", qm)},
+            "norm1_context": {"linear": src.linear(f"{p}.norm1_context.linear", qm)},
+            "attn": {
+                "qkv": src.fused_linear(
+                    [f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v"], q
+                ),
+                "add_qkv": src.fused_linear(
+                    [f"{p}.attn.add_q_proj", f"{p}.attn.add_k_proj",
+                     f"{p}.attn.add_v_proj"], q
+                ),
+                "norm_q": src.tensor(f"{p}.attn.norm_q.weight"),
+                "norm_k": src.tensor(f"{p}.attn.norm_k.weight"),
+                "norm_added_q": src.tensor(f"{p}.attn.norm_added_q.weight"),
+                "norm_added_k": src.tensor(f"{p}.attn.norm_added_k.weight"),
+                "to_out": src.linear(f"{p}.attn.to_out.0", q),
+                "to_add_out": src.linear(f"{p}.attn.to_add_out", q),
+            },
+            "ff": {
+                "proj": src.linear(f"{p}.ff.net.0.proj", q),
+                "out": src.linear(f"{p}.ff.net.2", q),
+            },
+            "ff_context": {
+                "proj": src.linear(f"{p}.ff_context.net.0.proj", q),
+                "out": src.linear(f"{p}.ff_context.net.2", q),
+            },
+        })
+    if dual:
+        params["dual_blocks"] = stack_blocks(dual)
+
+    single = []
+    for i in range(cfg.num_single_layers):
+        p = f"single_transformer_blocks.{i}"
+        single.append({
+            "norm": {"linear": src.linear(f"{p}.norm.linear", qm)},
+            "proj_mlp": src.linear(f"{p}.proj_mlp", q),
+            "proj_out": src.linear(f"{p}.proj_out", q),
+            "attn": {
+                "qkv": src.fused_linear(
+                    [f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v"], q
+                ),
+                "norm_q": src.tensor(f"{p}.attn.norm_q.weight"),
+                "norm_k": src.tensor(f"{p}.attn.norm_k.weight"),
+            },
+        })
+    if single:
+        params["single_blocks"] = stack_blocks(single)
+
+    def zero_heads(prefix):
+        heads, i = [], 0
+        while f"{prefix}.{i}.weight" in src:
+            w = np.asarray(src.take(f"{prefix}.{i}.weight"), np.float32)
+            b = np.asarray(src.take(f"{prefix}.{i}.bias"), np.float32)
+            heads.append({"w": jnp.asarray(w.T, jnp.bfloat16), "bias": jnp.asarray(b)})
+            i += 1
+        return stack_blocks(heads) if heads else None
+
+    hb = zero_heads("controlnet_blocks")
+    if hb is not None:
+        params["controlnet_blocks"] = hb
+    hs = zero_heads("controlnet_single_blocks")
+    if hs is not None:
+        params["controlnet_single_blocks"] = hs
+
+    # union-mode embedding table (ref: num_mode controlnets)
+    if "controlnet_mode_embedder.weight" in src:
+        params["controlnet_mode_embedder"] = src.tensor("controlnet_mode_embedder.weight")
+
+    src.assert_consumed()
+    return params

@@ -145,8 +145,8 @@ def flux_init_random(key: Array, cfg: FluxConfig) -> Dict:
         "x_embedder": qlinear_random(keys[6], cfg.in_channels, d, quant=None),
         "context_embedder": qlinear_random(keys[7], cfg.joint_attention_dim, d, quant=None),
         "time_text_embed": tte,
-        "dual_blocks": stack_blocks(dual),
-        "single_blocks": stack_blocks(single),
+        "dual_blocks": stack_blocks(dual) if dual else None,
+        "single_blocks": stack_blocks(single) if single else None,
         "norm_out": {"linear": qlinear_random(keys[8], d, 2 * d, quant=None)},
         "proj_out": qlinear_random(
             keys[9], d, cfg.patch_size**2 * cfg.out_channels, quant=None
@@ -225,8 +225,8 @@ def flux_load(src: TensorSource, cfg: FluxConfig) -> Dict:
         "x_embedder": src.linear("x_embedder", None),
         "context_embedder": src.linear("context_embedder", None),
         "time_text_embed": tte,
-        "dual_blocks": stack_blocks(dual),
-        "single_blocks": stack_blocks(single),
+        "dual_blocks": stack_blocks(dual) if dual else None,
+        "single_blocks": stack_blocks(single) if single else None,
         "norm_out": {"linear": src.linear("norm_out.linear", None)},
         "proj_out": src.linear("proj_out", None),
     }

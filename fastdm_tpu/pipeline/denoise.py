@@ -88,6 +88,81 @@ def make_flux_denoiser(
     return run
 
 
+def expand_cn_samples(samples: Optional[Array], num_layers: int) -> Optional[Array]:
+    """Expand (L_cn, B, S, D) ControlNet residuals to one per transformer layer
+    with interval indexing (diffusers convention; ref flux.py:455-483:
+    `samples[i // ceil(num_layers / len(samples))]`)."""
+    if samples is None or num_layers == 0:
+        return None
+    interval = -(-num_layers // samples.shape[0])
+    idx = jnp.arange(num_layers) // interval
+    return samples[idx]
+
+
+def make_flux_cn_denoiser(
+    cfg: FluxConfig,
+    cn_cfg,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    guidance_scale: float = 3.5,
+    conditioning_scale: float = 1.0,
+    control_mode: Optional[int] = None,
+):
+    """FLUX + ControlNet loop: the CN trunk runs every step on the current
+    latents and its per-layer residuals are injected into the base model's
+    block scan (ref: FastDMEngine flux_controlnet path, model_entry.py:471-472
+    + diffusers FluxControlNetPipeline step structure).
+
+    run(params, cn_params, latents (B,S,C), cn_cond (B,S,C packed hint),
+    encoder, pooled, cos, sin) -> latents.
+
+    For union checkpoints pass control_mode: the CN sees one extra mode token
+    in its text stream, whose rope id is all-zero like every FLUX text id, so
+    its cos/sin rows are a duplicate of row 0 prepended to the base ones."""
+    from fastdm_tpu.models.controlnets import flux_controlnet_forward
+
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(params, cn_params, latents, cn_cond, encoder, pooled, cos, sin):
+        b = latents.shape[0]
+        guidance = jnp.full((b,), guidance_scale, jnp.float32)
+        cnd = cn_cond.astype(jnp.bfloat16)
+        if control_mode is not None and "controlnet_mode_embedder" not in cn_params:
+            raise ValueError(
+                "control_mode was given but the ControlNet params have no "
+                "controlnet_mode_embedder — not a union checkpoint"
+            )
+        if control_mode is not None:
+            cn_cos = jnp.concatenate([cos[:1], cos], axis=0)
+            cn_sin = jnp.concatenate([sin[:1], sin], axis=0)
+        else:
+            cn_cos, cn_sin = cos, sin
+
+        def body(lat, step):
+            t = jnp.broadcast_to(sigmas[step], (b,))
+            h = lat.astype(jnp.bfloat16)
+            bs, sbs = flux_controlnet_forward(
+                cn_params, cn_cfg, h, cnd, encoder, pooled, t, cn_cos, cn_sin,
+                guidance=guidance if cn_cfg.guidance_embeds else None,
+                conditioning_scale=conditioning_scale, control_mode=control_mode,
+            )
+            out = flux_forward(
+                params, cfg, h, encoder, pooled, t, cos, sin, guidance=guidance,
+                controlnet_block_samples=expand_cn_samples(bs, cfg.num_layers),
+                controlnet_single_block_samples=expand_cn_samples(
+                    sbs, cfg.num_single_layers
+                ),
+            )
+            lat = scheduler.step(out, step, lat, sigmas)
+            return lat, None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        return latents
+
+    return run
+
+
 def make_flux_kontext_denoiser(
     cfg: FluxConfig,
     scheduler: FlowMatchEulerScheduler,

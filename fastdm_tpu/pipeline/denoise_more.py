@@ -130,6 +130,70 @@ def make_sdxl_denoiser(
     return run
 
 
+def make_sdxl_cn_denoiser(
+    cfg: SDXLConfig,
+    scheduler: EulerDiscreteScheduler,
+    num_steps: int,
+    guidance_scale: float = 5.0,
+    conditioning_scale: float = 1.0,
+    guess_mode: bool = False,
+):
+    """SDXL + ControlNet loop (ref: SDXLControlnetModelWrapper,
+    model_entry.py:289-363 + diffusers SDXL-CN pipeline step structure).
+
+    run(params, cn_params, latents (B,4,H,W), embeds (2B,..), pooled (2B,..),
+    time_ids (2B,6), cn_cond (B,8H,8W,3 NHWC in [0,1])) -> latents.
+
+    guess_mode: the CN runs on the cond half only with logspace-scaled
+    residuals; the uncond half gets zero residuals (diffusers convention).
+    """
+    from fastdm_tpu.models.controlnets import sdxl_controlnet_forward
+
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    timesteps = jnp.asarray(scheduler.timesteps, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(params, cn_params, latents, prompt_embeds, pooled, time_ids, cn_cond):
+        b = latents.shape[0]
+        cnd = cn_cond.astype(jnp.bfloat16)
+        cn_batch = 1 if (guess_mode or not do_cfg) else 2
+        cn_cnd = jnp.concatenate([cnd] * cn_batch) if cn_batch > 1 else cnd
+        # cond-half conditioning slices (uncond first, diffusers order)
+        sl = slice(b, None) if (do_cfg and guess_mode) else slice(None)
+
+        def body(lat, step):
+            t_full = jnp.broadcast_to(timesteps[step], (prompt_embeds.shape[0],))
+            inp = scheduler.scale_model_input(lat, step, sigmas)
+            cn_inp = jnp.concatenate([inp] * cn_batch) if cn_batch > 1 else inp
+            down, mid = sdxl_controlnet_forward(
+                cn_params, cfg, cn_inp.astype(jnp.bfloat16), t_full[sl],
+                prompt_embeds[sl], pooled[sl], time_ids[sl], cn_cnd,
+                conditioning_scale=conditioning_scale, guess_mode=guess_mode,
+            )
+            if do_cfg and guess_mode:
+                # zero residuals for the uncond half
+                down = [jnp.concatenate([jnp.zeros_like(d), d]) for d in down]
+                mid = jnp.concatenate([jnp.zeros_like(mid), mid])
+            inp = jnp.concatenate([inp, inp]) if do_cfg else inp
+            out = sdxl_forward(
+                params, cfg, inp.astype(jnp.bfloat16), t_full, prompt_embeds,
+                pooled, time_ids,
+                down_block_additional_residuals=down,
+                mid_block_additional_residual=mid,
+            ).astype(jnp.float32)
+            if do_cfg:
+                neg, pos = out[:b], out[b:]
+                out = neg + guidance_scale * (pos - neg)
+            lat = scheduler.step(out, step, lat, sigmas)
+            return lat, None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        return latents
+
+    return run
+
+
 def make_qwen_denoiser(
     cfg: QwenImageConfig,
     scheduler: FlowMatchEulerScheduler,
