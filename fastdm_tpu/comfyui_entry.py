@@ -104,3 +104,146 @@ class ComfyUISDXLForwardWrapper:
         time_ids = jnp.zeros((y_np.shape[0], 6), jnp.float32)
         out = self._fwd(self.params, self.cfg, sample, t, ctx, pooled, time_ids)
         return _to_torch(out, x)
+
+
+class ComfyUISD3ForwardWrapper:
+    """Callable matching ComfyUI's SD3 MMDiT signature
+    (ref wrapper role: comfyui_entry.py SD35 path)."""
+
+    def __init__(self, params, cfg):
+        import jax
+
+        self.params = params
+        self.cfg = cfg
+        self._fwd = jax.jit(
+            __import__("fastdm_tpu.models.sd35", fromlist=["sd3_forward"]).sd3_forward,
+            static_argnames="cfg",
+        )
+        self._pos_cache = {}
+
+    def __call__(self, x, timestep=None, context=None, y=None,
+                 transformer_options={}, **kwargs):
+        from fastdm_tpu.models.sd35 import sd3_cropped_pos_embed
+
+        sample = jnp.asarray(np.asarray(x.detach().cpu().float()), jnp.float32)
+        h, w = sample.shape[-2:]
+        if (h, w) not in self._pos_cache:
+            self._pos_cache[(h, w)] = sd3_cropped_pos_embed(
+                self.cfg, self.params.get("pos_embed_table"), h, w
+            )
+        t = jnp.asarray(np.asarray(timestep.detach().cpu().float()), jnp.float32)
+        # ComfyUI hands flow sigma in [0,1]; the core expects 0..1000 timesteps
+        t = t * 1000.0
+        out = self._fwd(
+            self.params, self.cfg, sample, _to_jax(context), _to_jax(y), t,
+            self._pos_cache[(h, w)],
+        )
+        return _to_torch(out, x)
+
+
+class ComfyUIQwenForwardWrapper:
+    """Callable matching ComfyUI's Qwen-Image signature (packed like flux)."""
+
+    def __init__(self, params, cfg):
+        import jax
+
+        self.params = params
+        self.cfg = cfg
+        self._fwd = jax.jit(
+            __import__(
+                "fastdm_tpu.models.qwenimage", fromlist=["qwen_forward"]
+            ).qwen_forward,
+            static_argnames="cfg",
+        )
+        self._rope_cache = {}
+
+    def __call__(self, x, timestep=None, context=None, attention_mask=None,
+                 transformer_options={}, **kwargs):
+        from fastdm_tpu.models.qwenimage import qwen_rope_cos_sin
+        from fastdm_tpu.pipeline.denoise import flux_pack_latents, flux_unpack_latents
+
+        x_np, (h, w) = pad_to_patch_size(np.asarray(x.detach().cpu().float()))
+        ht, wt = x_np.shape[-2] // 2, x_np.shape[-1] // 2
+        hidden = flux_pack_latents(jnp.asarray(x_np, jnp.bfloat16))
+        ctx = _to_jax(context)
+        t = jnp.asarray(np.asarray(timestep.detach().cpu().float()), jnp.float32)
+        key = (ht, wt, ctx.shape[1])
+        if key not in self._rope_cache:
+            self._rope_cache[key] = qwen_rope_cos_sin(self.cfg, 1, ht, wt, ctx.shape[1])
+        cos, sin = self._rope_cache[key]
+        out = self._fwd(self.params, self.cfg, hidden, ctx, t, cos, sin)
+        img = flux_unpack_latents(out, ht, wt)[:, :, :h, :w]
+        return _to_torch(img, x)
+
+
+class ComfyUISDXLControlnetForwardWrapper:
+    """control_model callable for comfy.controlnet.ControlNet: returns the
+    {'middle': [mid], 'output': [down...]} residual dict ComfyUI applies to
+    the UNet (ref: ComfyUIControlnetForwardWrapper, comfyui nodes)."""
+
+    def __init__(self, params, cfg):
+        self.params = params
+        self.cfg = cfg
+
+    def __call__(self, x, hint=None, timesteps=None, context=None, y=None, **kwargs):
+        from fastdm_tpu.models.controlnets import sdxl_controlnet_forward
+
+        sample = jnp.asarray(np.asarray(x.detach().cpu().float()), jnp.float32)
+        t = jnp.asarray(np.asarray(timesteps.detach().cpu().float()), jnp.float32)
+        ctx = _to_jax(context)
+        y_np = np.asarray(y.detach().cpu().float())
+        pooled = jnp.asarray(y_np[:, :1280], jnp.bfloat16)
+        time_ids = jnp.zeros((y_np.shape[0], 6), jnp.float32)
+        # ComfyUI hint is (B, 3, H, W) in [0, 1]; our encoder wants NHWC
+        cn_cond = jnp.asarray(
+            np.asarray(hint.detach().cpu().float()).transpose(0, 2, 3, 1), jnp.float32
+        )
+        down, mid = sdxl_controlnet_forward(
+            self.params, self.cfg, sample, t, ctx, pooled, time_ids, cn_cond
+        )
+        # NHWC -> NCHW torch for ComfyUI's residual application
+        to_t = lambda a: _to_torch(jnp.transpose(a, (0, 3, 1, 2)), x)
+        return {"middle": [to_t(mid)], "output": [to_t(d) for d in down]}
+
+
+class ComfyUIFluxControlnetForwardWrapper:
+    """control_model callable for flux ControlNets: returns the stacked
+    per-layer residual dict ('input' = dual-block, 'output' = single-block)."""
+
+    def __init__(self, params, cfg):
+        self.params = params
+        self.cfg = cfg
+        self._rope_cache = {}
+
+    def __call__(self, x, hint=None, timesteps=None, context=None, y=None,
+                 guidance=None, **kwargs):
+        from fastdm_tpu.models.controlnets import flux_controlnet_forward
+        from fastdm_tpu.models.flux import flux_rope_cache
+        from fastdm_tpu.pipeline.denoise import flux_pack_latents
+
+        x_np, _ = pad_to_patch_size(np.asarray(x.detach().cpu().float()))
+        ht, wt = x_np.shape[-2] // 2, x_np.shape[-1] // 2
+        hidden = flux_pack_latents(jnp.asarray(x_np, jnp.bfloat16))
+        hint_np, _ = pad_to_patch_size(np.asarray(hint.detach().cpu().float()))
+        cnd = flux_pack_latents(jnp.asarray(hint_np, jnp.bfloat16))
+        ctx = _to_jax(context)
+        pooled = _to_jax(y)
+        t = jnp.asarray(np.asarray(timesteps.detach().cpu().float()), jnp.float32)
+        g = (
+            jnp.asarray(np.asarray(guidance.detach().cpu().float()), jnp.float32)
+            if guidance is not None
+            else jnp.full(t.shape, 3.5, jnp.float32)
+        )
+        key = (ctx.shape[1], ht, wt)
+        if key not in self._rope_cache:
+            self._rope_cache[key] = flux_rope_cache(self.cfg, ctx.shape[1], ht, wt)
+        cos, sin = self._rope_cache[key]
+        bs, sbs = flux_controlnet_forward(
+            self.params, self.cfg, hidden, cnd, ctx, pooled, t, cos, sin, guidance=g
+        )
+        out = {}
+        if bs is not None:
+            out["input"] = [_to_torch(bs[i], x) for i in range(bs.shape[0])]
+        if sbs is not None:
+            out["output"] = [_to_torch(sbs[i], x) for i in range(sbs.shape[0])]
+        return out

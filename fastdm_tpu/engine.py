@@ -506,25 +506,72 @@ class FastDMEngine:
     def _generate_qwen(
         self, prompt, negative_prompt=None, height=1024, width=1024,
         num_inference_steps=25, guidance_scale=4.0, true_cfg_scale=None, seed=42,
-        num_images_per_prompt=1, output_type="np", task="t2i", **_,
+        num_images_per_prompt=1, output_type="np", task="t2i", image=None, **_,
     ):
         from fastdm_tpu.models.qwenimage import qwen_rope_cos_sin
         from fastdm_tpu.pipeline.denoise import flux_unpack_latents
         from fastdm_tpu.pipeline.denoise_more import make_qwen_denoiser
 
         scale = true_cfg_scale if true_cfg_scale is not None else guidance_scale
-        pos = self.text_encoder.encode(prompt, num_images_per_prompt)
-        neg = (
-            self.text_encoder.encode(negative_prompt or " ", num_images_per_prompt)
-            if scale > 1.0
-            else pos
-        )
+        edit = task == "i2i" and image is not None
+        if edit:
+            # qwen-image-edit: source image conditions both the VL prompt
+            # encoding and the token stream (ref: FastDMEngine i2i,
+            # model_entry.py:764-766 → diffusers QwenImageEditPipeline)
+            height, width = image.shape[0], image.shape[1]
+            pos = self.text_encoder.encode_with_image(
+                prompt, image, num_images_per_prompt
+            )
+            neg = (
+                self.text_encoder.encode_with_image(
+                    negative_prompt or " ", image, num_images_per_prompt
+                )
+                if scale > 1.0
+                else pos
+            )
+        else:
+            pos = self.text_encoder.encode(prompt, num_images_per_prompt)
+            neg = (
+                self.text_encoder.encode(negative_prompt or " ", num_images_per_prompt)
+                if scale > 1.0
+                else pos
+            )
         # pad both to one length
         s = max(pos.shape[1], neg.shape[1])
         pos = jnp.pad(pos, ((0, 0), (0, s - pos.shape[1]), (0, 0)))
         neg = jnp.pad(neg, ((0, 0), (0, s - neg.shape[1]), (0, 0)))
         b = pos.shape[0]
         ht, wt = height // 16, width // 16
+
+        if edit:
+            from fastdm_tpu.pipeline.denoise import flux_pack_latents
+            from fastdm_tpu.pipeline.denoise_more import make_qwen_edit_denoiser
+
+            img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
+            z = self._encode(self.vae_params, img[None])
+            src_tokens = flux_pack_latents(z)
+            src_tokens = jnp.broadcast_to(src_tokens, (b, *src_tokens.shape[1:]))
+            cos, sin = qwen_rope_cos_sin(
+                self.cfg, 1, ht, wt, s, extra_shapes=((1, ht, wt),)
+            )
+            key = ("qwen-edit", ht, wt, num_inference_steps, scale, s)
+            if key not in self._denoisers:
+                mu = flow_match_shift_mu(ht * wt)
+                sched = FlowMatchEulerScheduler.create(
+                    num_inference_steps, use_dynamic_shifting=True, mu=mu
+                )
+                self._denoisers[key] = make_qwen_edit_denoiser(
+                    self.cfg, sched, num_inference_steps, scale
+                )
+            latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
+            latents = self._denoisers[key](
+                self.params, latents, src_tokens, pos, neg, cos, sin
+            )
+            if output_type == "latent":
+                return np.asarray(latents)
+            z = flux_unpack_latents(latents, ht, wt)
+            return self._to_images(self._decode(self.vae_params, z))
+
         cos, sin = qwen_rope_cos_sin(self.cfg, 1, ht, wt, s)
         key = ("qwen", ht, wt, num_inference_steps, scale, s)
         if key not in self._denoisers:

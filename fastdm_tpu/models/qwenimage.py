@@ -288,13 +288,18 @@ def qwen_forward_cached(
 
 
 def qwen_rope_cos_sin(
-    cfg: QwenImageConfig, frame: int, height: int, width: int, txt_len: int
+    cfg: QwenImageConfig, frame: int, height: int, width: int, txt_len: int,
+    extra_shapes: Tuple[Tuple[int, int, int], ...] = (),
 ) -> Tuple[Array, Array]:
     """Host-side (cos, sin) for the joint [txt, img] sequence
     (ref: QwenEmbedRope.forward/_compute_video_freqs, embeddings.py:800-857).
 
     scale_rope centers H/W positions around zero: rows get positions
     [-(h - h//2), ..., -1, 0, ..., h//2 - 1]; text starts at max(h//2, w//2).
+
+    extra_shapes: additional (frame, h, w) image entries appended after the
+    main one (qwen-image-edit source images); entry i's frame axis starts at
+    position i (ref: freqs_pos[0][idx : idx + frame], embeddings.py:847).
     """
     theta = 10000.0
     a0, a1, a2 = cfg.axes_dims_rope
@@ -303,19 +308,21 @@ def qwen_rope_cos_sin(
         inv = 1.0 / theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
         return np.outer(np.asarray(pos, np.float64), inv)
 
-    f_pos = np.arange(frame)
-    if cfg.scale_rope:
-        h_pos = np.concatenate([np.arange(-(height - height // 2), 0), np.arange(height // 2)])
-        w_pos = np.concatenate([np.arange(-(width - width // 2), 0), np.arange(width // 2)])
-        max_vid = max(height // 2, width // 2)
-    else:
-        h_pos, w_pos = np.arange(height), np.arange(width)
-        max_vid = max(height, width)
-
-    af = angles(a0, f_pos)[:, None, None, :] * np.ones((1, height, width, 1))
-    ah = angles(a1, h_pos)[None, :, None, :] * np.ones((frame, 1, width, 1))
-    aw = angles(a2, w_pos)[None, None, :, :] * np.ones((frame, height, 1, 1))
-    img = np.concatenate([af, ah, aw], axis=-1).reshape(frame * height * width, -1)
+    imgs, max_vid = [], 0
+    for idx, (f, h, w) in enumerate([(frame, height, width), *extra_shapes]):
+        f_pos = np.arange(idx, idx + f)
+        if cfg.scale_rope:
+            h_pos = np.concatenate([np.arange(-(h - h // 2), 0), np.arange(h // 2)])
+            w_pos = np.concatenate([np.arange(-(w - w // 2), 0), np.arange(w // 2)])
+            max_vid = max(h // 2, w // 2, max_vid)
+        else:
+            h_pos, w_pos = np.arange(h), np.arange(w)
+            max_vid = max(h, w, max_vid)
+        af = angles(a0, f_pos)[:, None, None, :] * np.ones((1, h, w, 1))
+        ah = angles(a1, h_pos)[None, :, None, :] * np.ones((f, 1, w, 1))
+        aw = angles(a2, w_pos)[None, None, :, :] * np.ones((f, h, 1, 1))
+        imgs.append(np.concatenate([af, ah, aw], axis=-1).reshape(f * h * w, -1))
+    img = np.concatenate(imgs, axis=0)
 
     txt_pos = np.arange(max_vid, max_vid + txt_len)
     txt = np.concatenate([angles(a0, txt_pos), angles(a1, txt_pos), angles(a2, txt_pos)], axis=-1)

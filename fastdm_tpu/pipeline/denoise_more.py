@@ -273,6 +273,58 @@ def make_qwen_denoiser(
     return run
 
 
+def make_qwen_edit_denoiser(
+    cfg: QwenImageConfig,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    true_cfg_scale: float = 4.0,
+):
+    """Qwen-Image-Edit loop: clean VAE-encoded source-image tokens are
+    appended to the noise tokens every step (their rope ids sit on image
+    entry 1, see qwen_rope_cos_sin extra_shapes); only the noise part is
+    denoised/output (diffusers QwenImageEditPipeline step structure; the
+    reference delegates to it via FastDMEngine i2i, model_entry.py:764-766).
+
+    run(params, latents (B,S,C), src_tokens (B,S_src,C), pos_embeds,
+    neg_embeds, cos, sin) -> latents. cos/sin must cover txt + S + S_src."""
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    do_cfg = true_cfg_scale > 1.0
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run(params, latents, src_tokens, pos_embeds, neg_embeds, cos, sin):
+        b, s, _ = latents.shape
+        expect = pos_embeds.shape[1] + s + src_tokens.shape[1]
+        if cos.shape[0] != expect:
+            raise ValueError(
+                f"rope covers {cos.shape[0]} tokens but the edit sequence has "
+                f"{expect} (txt {pos_embeds.shape[1]} + noise {s} + source "
+                f"{src_tokens.shape[1]}) — build qwen_rope_cos_sin with "
+                f"extra_shapes for the source image"
+            )
+        src = src_tokens.astype(jnp.bfloat16)
+
+        def body(lat, step):
+            t = jnp.broadcast_to(sigmas[step], (b,))
+            inp = jnp.concatenate([lat.astype(jnp.bfloat16), src], axis=1)
+            pos = qwen_forward(
+                params, cfg, inp, pos_embeds, t, cos, sin
+            )[:, :s].astype(jnp.float32)
+            if do_cfg:
+                neg = qwen_forward(
+                    params, cfg, inp, neg_embeds, t, cos, sin
+                )[:, :s].astype(jnp.float32)
+                out = neg + true_cfg_scale * (pos - neg)
+            else:
+                out = pos
+            lat = scheduler.step(out, step, lat, sigmas)
+            return lat, None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        return latents
+
+    return run
+
+
 def make_wan_denoiser(
     cfg: WanConfig,
     scheduler: FlowMatchEulerScheduler,

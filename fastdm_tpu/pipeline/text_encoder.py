@@ -276,3 +276,49 @@ class QwenImageTextEncoder:
             hidden = out.hidden_states[-1][:, self.DROP_IDX :]
         embeds = np.repeat(np.asarray(hidden, np.float32), num_images_per_prompt, 0)
         return jnp.asarray(embeds, jnp.bfloat16)
+
+    # qwen-image-edit: the VL tower also sees the source image
+    # (diffusers QwenImageEditPipeline template; vision tokens precede text)
+    EDIT_TEMPLATE = (
+        "<|im_start|>system\nDescribe the key features of the input image "
+        "(color, shape, size, texture, objects, background), then explain how "
+        "the user's text instruction should alter or modify the image. Generate "
+        "a new image that meets the user's requirements while maintaining "
+        "consistency with the original input where appropriate.<|im_end|>\n"
+        "<|im_start|>user\n<|vision_start|><|image_pad|><|vision_end|>"
+        "{}<|im_end|>\n<|im_start|>assistant\n"
+    )
+    EDIT_DROP_IDX = 64
+
+    def encode_with_image(self, prompt, image, num_images_per_prompt: int = 1):
+        """Vision-conditioned prompt embedding. image: (H, W, 3) uint8.
+        Falls back to text-only encoding if the checkpoint lacks the vision
+        tower (e.g. a plain Qwen-Image text_encoder dir)."""
+        self._load()
+        import torch
+
+        try:
+            if not hasattr(self, "_vl"):
+                from transformers import AutoProcessor, AutoModelForVision2Seq
+
+                mp = self.model_path
+                self._vl_processor = AutoProcessor.from_pretrained(
+                    os.path.join(mp, "processor")
+                )
+                self._vl = AutoModelForVision2Seq.from_pretrained(
+                    os.path.join(mp, "text_encoder"), torch_dtype=torch.float32
+                )
+        except Exception as e:
+            print(f"qwen-edit: no vision tower ({e}); text-only conditioning")
+            return self.encode(prompt, num_images_per_prompt)
+
+        prompts = [self.EDIT_TEMPLATE.format(p) for p in _as_list(prompt)]
+        with torch.no_grad():
+            inputs = self._vl_processor(
+                text=prompts, images=[image] * len(prompts), return_tensors="pt",
+                padding=True,
+            )
+            out = self._vl(**inputs, output_hidden_states=True)
+            hidden = out.hidden_states[-1][:, self.EDIT_DROP_IDX :]
+        embeds = np.repeat(np.asarray(hidden, np.float32), num_images_per_prompt, 0)
+        return jnp.asarray(embeds, jnp.bfloat16)

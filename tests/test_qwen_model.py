@@ -56,3 +56,50 @@ def test_qwen_scale_rope_centering():
     inv_h = 1.0 / 10000 ** (np.arange(0, cfg.axes_dims_rope[1], 2) / cfg.axes_dims_rope[1])
     expect_h = np.sin(-(ht - ht // 2) * inv_h)
     np.testing.assert_allclose(np.asarray(sin[txt, a1 : a1 + a2]), expect_h, rtol=1e-5, atol=1e-7)
+
+
+def test_qwen_rope_extra_shapes():
+    """Edit-mode rope: entry i's frame position starts at i; txt offset uses
+    the max over all entries."""
+    cfg = TINY
+    ht, wt, txt = 4, 6, 5
+    cos, sin = qwen_rope_cos_sin(cfg, 1, ht, wt, txt, extra_shapes=((1, 8, 2),))
+    assert cos.shape == (txt + ht * wt + 16, cfg.attention_head_dim // 2)
+    # main-image rows must be identical to the single-image call
+    cos1, _ = qwen_rope_cos_sin(cfg, 1, ht, wt, txt)
+    np.testing.assert_allclose(
+        np.asarray(cos)[txt : txt + ht * wt], np.asarray(cos1)[txt:], rtol=0, atol=0
+    )
+    # text offset: max(h//2, w//2) over entries = max(3, 4, 2) = 4 here;
+    # bigger extra image shifts text rows vs the single-image variant
+    cos2, _ = qwen_rope_cos_sin(cfg, 1, ht, wt, txt, extra_shapes=((1, 20, 2),))
+    assert np.abs(np.asarray(cos2)[:txt] - np.asarray(cos1)[:txt]).max() > 0
+
+
+def test_qwen_edit_denoiser():
+    import dataclasses
+
+    from fastdm_tpu.pipeline.denoise_more import make_qwen_edit_denoiser
+    from fastdm_tpu.pipeline.schedulers import FlowMatchEulerScheduler
+
+    # denoise loops need in_channels == patch^2 * out_channels (packed latents)
+    cfg = dataclasses.replace(TINY, out_channels=4)
+    params = qwen_init_random(jax.random.key(0), cfg)
+    sched = FlowMatchEulerScheduler.create(2, shift=1.0)
+    ht = wt = 4
+    txt = 6
+    cos, sin = qwen_rope_cos_sin(cfg, 1, ht, wt, txt, extra_shapes=((1, ht, wt),))
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
+    src = jax.random.normal(jax.random.key(2), lat.shape, jnp.float32)
+    pos = jax.random.normal(k, (1, txt, cfg.joint_attention_dim), jnp.bfloat16)
+    neg = jax.random.normal(jax.random.key(3), pos.shape, jnp.bfloat16)
+
+    run = make_qwen_edit_denoiser(cfg, sched, 2, true_cfg_scale=3.0)
+    out = run(params, lat.copy(), src, pos, neg, cos, sin)
+    assert out.shape == lat.shape
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # a different source image must steer the result
+    src2 = jax.random.normal(jax.random.key(4), lat.shape, jnp.float32)
+    out2 = run(params, lat.copy(), src2, pos, neg, cos, sin)
+    assert np.abs(np.asarray(out - out2, np.float32)).max() > 1e-5
