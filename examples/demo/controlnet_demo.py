@@ -1,8 +1,11 @@
-"""ControlNet demo for SDXL / FLUX (ref: examples/demo/controlnet_demo.py).
+"""ControlNet demo for SDXL / FLUX (ref: examples/demo/controlnet_demo.py —
+same flow: engine with a ControlNet checkpoint, hint image conditions the
+generation).
 
-Loads the base model plus a ControlNet checkpoint; the control hint image is
-encoded by the hint block (SDXL) or packed into latents (FLUX) and the
-residuals are injected into the base forward.
+SDXL: the hint stays in pixel space and runs through the CN's 4-conv hint
+encoder; guess_mode applies logspace residual scaling on the cond batch only.
+FLUX: the hint is VAE-encoded and packed like latents; union checkpoints take
+--control-mode (canny=0, ... per the checkpoint's mode table).
 """
 
 import argparse
@@ -22,41 +25,50 @@ def main():
     parser.add_argument("--controlnet-path", required=True)
     parser.add_argument("--control-image", required=True)
     parser.add_argument("--conditioning-scale", type=float, default=1.0)
+    parser.add_argument("--guess-mode", action="store_true")
+    parser.add_argument("--control-mode", type=int, default=None,
+                        help="union-checkpoint mode index (FLUX only)")
     args = parser.parse_args()
 
-    import jax
-    import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
-    from fastdm_tpu.models.loader import TensorSource
+    from fastdm_tpu.engine import FastDMEngine
 
     hint = np.asarray(
         Image.open(args.control_image).convert("RGB").resize((args.width, args.height)),
-        np.float32,
-    ) / 255.0
+        np.uint8,
+    )
 
-    if args.architecture == "sdxl":
-        from fastdm_tpu.models.controlnets import sdxl_controlnet_forward, sdxl_controlnet_load
-        from fastdm_tpu.models.sdxl import SDXLConfig
+    t0 = time.perf_counter()
+    engine = FastDMEngine(
+        model_path=args.model_path,
+        architecture=args.architecture,
+        use_fp8=args.use_fp8,
+        use_int8=args.use_int8,
+        kernel_backend=args.kernel_backend,
+        cache_config=args.cache_config,
+        controlnet_path=args.controlnet_path,
+    )
+    print(f"model + controlnet load: {time.perf_counter() - t0:.1f}s")
 
-        cfg = SDXLConfig(quant="int8" if args.use_int8 else ("fp8" if args.use_fp8 else None))
-        cn_params = sdxl_controlnet_load(
-            TensorSource.from_path(args.controlnet_path), cfg
-        )
-        print("sdxl controlnet loaded; wire into the engine denoise loop via "
-              "down/mid residual args (sdxl_forward accepts them)")
-    else:
-        from fastdm_tpu.models.controlnets import (
-            FluxControlNetConfig, flux_controlnet_forward, flux_controlnet_load,
-        )
-
-        cfg = FluxControlNetConfig(
-            quant="int8" if args.use_int8 else ("fp8" if args.use_fp8 else None)
-        )
-        cn_params = flux_controlnet_load(TensorSource.from_path(args.controlnet_path), cfg)
-        print("flux controlnet loaded; residuals feed flux_forward's "
-              "controlnet_block_samples args")
+    t0 = time.perf_counter()
+    images = engine.generate(
+        prompt=args.prompt,
+        negative_prompt=args.negative_prompt,
+        height=args.height,
+        width=args.width,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        seed=args.seed,
+        control_image=hint,
+        controlnet_conditioning_scale=args.conditioning_scale,
+        guess_mode=args.guess_mode,
+        control_mode=args.control_mode,
+    )
+    print(f"generate: {time.perf_counter() - t0:.1f}s")
+    Image.fromarray(images[0]).save(args.output)
+    print(f"saved {args.output}")
 
 
 if __name__ == "__main__":

@@ -55,12 +55,17 @@ def load_lora(lora_path):
     pairs = {}
     alphas = {}
     for k, v in tensors.items():
-        k2 = k[len("transformer."):] if k.startswith("transformer.") else k
-        m = re.match(r"(.*)\.(?:lora_A(?:\.[^.]+)?|lora\.down)\.weight$", k2)
+        k2 = k
+        for prefix in ("transformer.", "diffusion_model."):
+            if k2.startswith(prefix):
+                k2 = k2[len(prefix):]
+        # naming covers diffusers (lora_A/lora_B), kohya (lora.down/lora.up)
+        # and Wan2.2-Lightning (lora_down/lora_up; ref: wan_lightning_merge.py)
+        m = re.match(r"(.*)\.(?:lora_A(?:\.[^.]+)?|lora[._]down)\.weight$", k2)
         if m:
             pairs.setdefault(m.group(1), {})["down"] = _to_np(v)
             continue
-        m = re.match(r"(.*)\.(?:lora_B(?:\.[^.]+)?|lora\.up)\.weight$", k2)
+        m = re.match(r"(.*)\.(?:lora_B(?:\.[^.]+)?|lora[._]up)\.weight$", k2)
         if m:
             pairs.setdefault(m.group(1), {})["up"] = _to_np(v)
             continue

@@ -61,11 +61,15 @@ def _encode_images(images) -> list:
     return out
 
 
-def build_app(engine):
+def build_app(engine, wan_lightning: bool = False):
     app = FastAPI(title="fastdm_tpu")
 
     @app.post("/generate")
     def generate(req: GenerateRequest):
+        if wan_lightning:
+            # distilled 4-step lora (ref: api_server.py:262-264)
+            req.guidance_scale = 1.0
+            req.num_inference_steps = 4
         try:
             images = engine.generate(
                 prompt=req.prompt,
@@ -121,6 +125,14 @@ def main():
 
     from fastdm_tpu.engine import FastDMEngine
 
+    # wan-lightning aliases: same checkpoints, distilled 4-step serving
+    # defaults (ref: api_server.py:445-451)
+    wan_lightning = False
+    if args.architecture == "wan-lightning":
+        args.architecture, wan_lightning = "wan2.2-t2v", True
+    elif args.architecture == "wan-i2v-lightning":
+        args.architecture, wan_lightning = "wan2.2-i2v", True
+
     engine = FastDMEngine(
         model_path=args.model_path,
         architecture=args.architecture,
@@ -130,7 +142,7 @@ def main():
         cache_config=args.cache_config,
         sparse_attn_config=args.sparse_attn_config,
     )
-    uvicorn.run(build_app(engine), host=args.host, port=args.port)
+    uvicorn.run(build_app(engine, wan_lightning), host=args.host, port=args.port)
 
 
 if __name__ == "__main__":

@@ -144,6 +144,10 @@ def _w8a8_matmul_pallas(
             bytes_accessed=mp * kp + kp * np_ + mp * np_ * 2,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # M/N tiles are independent; only the K loop carries the acc
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_INTERPRET,
     )(*operands)
     return out[:m, :n]

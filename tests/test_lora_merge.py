@@ -76,3 +76,34 @@ def test_merge_diffusers_layout_preserves_shards(tmp_path):
     assert sorted(os.listdir(out_dir)) == [
         "model-00001-of-00002.safetensors", "model-00002-of-00002.safetensors",
     ]
+
+
+def test_merge_wan_lightning_layout(tmp_path):
+    """Wan2.2-Lightning LoRAs use diffusion_model. prefix + lora_down/lora_up
+    (ref: examples/lora-gen/wan_lightning_merge.py naming)."""
+    rng = np.random.default_rng(2)
+    base_dir = tmp_path / "model" / "transformer"
+    base_dir.mkdir(parents=True)
+    w = rng.standard_normal((8, 16)).astype(np.float32)
+    _write_safetensors(str(base_dir / "model.safetensors"),
+                       {"blocks.0.attn.to_q.weight": w})
+
+    rank = 2
+    down = rng.standard_normal((rank, 16)).astype(np.float32)
+    up = rng.standard_normal((8, rank)).astype(np.float32)
+    lora_dir = tmp_path / "lora"
+    lora_dir.mkdir()
+    _write_safetensors(str(lora_dir / "lora.safetensors"), {
+        "diffusion_model.blocks.0.attn.to_q.lora_down.weight": down,
+        "diffusion_model.blocks.0.attn.to_q.lora_up.weight": up,
+        "diffusion_model.blocks.0.attn.to_q.alpha": np.asarray(2.0, np.float32),
+    })
+
+    out_dir = tmp_path / "merged"
+    lora_merge.merge(str(tmp_path / "model"), str(lora_dir), str(out_dir))
+
+    from safetensors import safe_open
+
+    with safe_open(str(out_dir / "model.safetensors"), framework="numpy") as f:
+        merged = f.get_tensor("blocks.0.attn.to_q.weight")
+    np.testing.assert_allclose(merged, w + (2.0 / rank) * (up @ down), rtol=1e-5)
