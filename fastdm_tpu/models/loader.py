@@ -35,21 +35,14 @@ class TensorSource:
 
     @classmethod
     def from_path(cls, path: str) -> "TensorSource":
-        """Load from a .safetensors file or a directory of them."""
-        from safetensors import safe_open
+        """Load from a .safetensors file or a directory of them.
 
-        tensors: Dict[str, np.ndarray] = {}
-        files = []
-        if os.path.isdir(path):
-            for root, _, names in os.walk(path):
-                files += [os.path.join(root, n) for n in names if n.endswith(".safetensors")]
-        else:
-            files = [path]
-        for f in sorted(files):
-            with safe_open(f, framework="numpy") as sf:
-                for k in sf.keys():
-                    tensors[k] = sf.get_tensor(k)
-        return cls(tensors)
+        Uses the native mmap reader (zero-copy views, no per-tensor copy —
+        fastdm_tpu/native/safetensors_reader.cpp); falls back to the
+        `safetensors` package when the native library can't build."""
+        from fastdm_tpu.native.safetensors_io import read_safetensors
+
+        return cls(read_safetensors(path))
 
     def __contains__(self, name: str) -> bool:
         return name in self._tensors
