@@ -64,6 +64,23 @@ def stub_reference_deps():
 
     os.environ["KERNEL_BACKEND"] = "torch"
 
+    # the reference force-pins gelu_and_mul to its triton backend
+    # (operators_set.py:54); alias the torch impl under the 'triton' slot so
+    # SDXL FeedForward runs on CPU
+    try:
+        from fastdm.kernel.registry import kernel_registry as _reg
+        import fastdm.kernel.torch_ops  # noqa: F401  (registers torch impls)
+    except Exception:
+        try:
+            from fastdm.kernel.registry import kernel_registry as _reg
+            import fastdm.kernel.torch  # noqa: F401
+        except Exception:
+            _reg = None
+    if _reg is not None:
+        gm = _reg._registry.get("gelu_and_mul", {})
+        if "torch" in gm:
+            gm["triton"] = gm["torch"]
+
 
 def to_cpu(obj, seen=None):
     """Repoint every .device field in a reference core at the cpu."""
