@@ -79,7 +79,7 @@ def _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk=False):
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, scale, kv_len, block_q, block_k, causal, int8_qk=False,
+    *, scale, kv_len, block_q, block_k, causal, int8_qk=False, block_k_inner=None,
 ):
     i, j = pl.program_id(2), pl.program_id(3)
     nj = pl.num_programs(3)
@@ -95,23 +95,28 @@ def _flash_kernel(
         run = j * block_k <= (i + 1) * block_q - 1
 
     has_pad = kv_len % block_k != 0
+    # sub-block split: the (block_k, D) KV tile arrives as ONE DMA but the
+    # MXU works on (bki, D) slices — bigger DMAs, same compute tiling (the
+    # structure of jax.experimental's flash_attention block_k_major/block_k)
+    bki = block_k_inner or block_k
 
     def body(masked):
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        kv_mask = None
-        col = None
-        if masked:
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            kv_mask = col + j * block_k < kv_len
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            if col is None:
-                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            cmask = col + j * block_k <= row + i * block_q
-            kv_mask = cmask if kv_mask is None else (kv_mask & cmask)
-        _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk)
+        for start in range(0, block_k, bki):
+            k = k_ref[0, 0, pl.dslice(start, bki), :]
+            v = v_ref[0, 0, pl.dslice(start, bki), :]
+            kv_mask = None
+            col = None
+            if masked:
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 1)
+                kv_mask = col + j * block_k + start < kv_len
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 0)
+                if col is None:
+                    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 1)
+                cmask = col + j * block_k + start <= row + i * block_q
+                kv_mask = cmask if kv_mask is None else (kv_mask & cmask)
+            _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk)
 
     if has_pad:
         # only the LAST kv block contains padding; keep the hot path mask-free
@@ -177,23 +182,38 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def kv_blocking(skv: int, block_k: int) -> tuple:
+    """Pick (block_k_major, block_k_inner) for a KV length: the largest
+    128-multiple major block in [1.5k, 4k] that divides the padded length
+    exactly (zero extra padding, half the grid steps, double the DMA size),
+    with an even inner compute split. Falls back to single-level blocking."""
+    skv_p = _round_up(skv, 128)
+    best = (block_k, None)
+    for major in range(1536, 4097, 128):
+        inner = major // 2
+        if skv_p % major == 0 and inner % 16 == 0:
+            best = (major, inner)
+    return best
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_q_heads", "num_kv_heads", "head_dim", "is_causal", "scale",
-        "block_q", "block_k", "has_mask", "int8_qk",
+        "block_q", "block_k", "has_mask", "int8_qk", "block_k_inner",
     ),
 )
 def _flash_attention(
     query, key, value, sparse_mask,
     *, num_q_heads, num_kv_heads, head_dim, is_causal, scale, block_q, block_k,
-    has_mask, int8_qk=False,
+    has_mask, int8_qk=False, block_k_inner=None,
 ):
     b, sq, _ = query.shape
     skv = key.shape[1]
     scale = head_dim**-0.5 if scale is None else scale
     bq = min(block_q, _round_up(sq, 128))
     bk = min(block_k, _round_up(skv, 128))
+    bki = block_k_inner if (block_k_inner and block_k_inner < bk) else None
 
     q = _pad_seq(query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3), bq)
     k = key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
@@ -256,7 +276,7 @@ def _flash_attention(
         kernel = functools.partial(
             _flash_kernel,
             scale=scale, kv_len=skv, block_q=bq, block_k=bk, causal=is_causal,
-            int8_qk=int8_qk,
+            int8_qk=int8_qk, block_k_inner=bki,
         )
         out = pl.pallas_call(
             kernel,
@@ -291,6 +311,9 @@ def sdpa_pallas(
     # FASTDM_SDPA_INT8=1 enables SageAttention-style quantized QK^T (the
     # reference's default dense attention on >=Ampere GPUs)
     int8_qk = os.environ.get("FASTDM_SDPA_INT8", "0") == "1"
+    # measured on v5e: single-level bq512/bk1024 (72 TFLOPS @ FLUX 8704) beats
+    # every block_k_major/inner split tried (69-71) — sub-blocking stays an
+    # opt-in knob (kv_blocking + block_k_inner), not the default
     return _flash_attention(
         query, key, value, None,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
