@@ -84,7 +84,7 @@ def main():
     import numpy as np
 
     # warmup / compile (np.asarray forces a real device sync over the tunnel)
-    out = run(params, latents, encoder, pooled, cos, sin)
+    out, _ = run(params, latents, encoder, pooled, cos, sin)
     np.asarray(out)
 
     # timed runs (fresh latents each time; donated arg)
@@ -92,7 +92,7 @@ def main():
     for i in range(int(os.environ.get("BENCH_REPS", 2))):
         lat = jax.random.normal(jax.random.key(2 + i), latents.shape, jnp.float32)
         t0 = time.perf_counter()
-        out = run(params, lat, encoder, pooled, cos, sin)
+        out, _ = run(params, lat, encoder, pooled, cos, sin)
         np.asarray(out)
         times.append(time.perf_counter() - t0)
     value = min(times)

@@ -56,6 +56,9 @@ def cache_init_state(
         "accum": jnp.zeros((), jnp.float32),
         "prev_probe": jnp.zeros(probe_shape, dtype),
         "prev_residual": jnp.zeros(hidden_shape, dtype),
+        # on-device skip counter (observability parity with the reference's
+        # per-step cache-skip prints, ref xcaching.py:219,361,492)
+        "skips": jnp.zeros((), jnp.int32),
     }
     if isinstance(cfg, DiCacheConfig):
         # two-residual window for extrapolation + valid-entry count
@@ -144,6 +147,7 @@ def cached_run(
 
     new_state = dict(state)
     new_state["accum"] = new_accum
+    new_state["skips"] = state["skips"] + jnp.where(should, 0, 1).astype(jnp.int32)
     new_state["prev_probe"] = probe.astype(state["prev_probe"].dtype)
     new_state["prev_residual"] = jnp.where(
         should, residual, state["prev_residual"]

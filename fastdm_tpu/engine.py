@@ -137,6 +137,10 @@ class FastDMEngine:
                 self.cn_params = shard_params_by_name(self.cn_params, self.mesh)
 
         self._denoisers: Dict[tuple, Any] = {}
+        self.verbose = verbose
+        # on-device cache skip count of the most recent generate() (parity
+        # with the reference's per-step cache-skip prints, SURVEY.md 5.5)
+        self.last_cache_skips = 0
         if verbose:
             print(
                 f"FastDMEngine[{architecture}] loaded in {time.perf_counter() - t0:.1f}s "
@@ -286,6 +290,13 @@ class FastDMEngine:
     def _latents(self, shape, seed):
         return jax.random.normal(jax.random.key(seed), shape, jnp.float32)
 
+    def _note_skips(self, skips) -> None:
+        """Record/log the on-device cache skip counter of the last run."""
+        if self.cache is not None:
+            self.last_cache_skips = int(np.asarray(skips))
+            if self.verbose:
+                print(f"cache skipped {self.last_cache_skips} transformer passes")
+
     def _to_images(self, img: jnp.ndarray) -> np.ndarray:
         img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))
         return (img * 255).round().astype(np.uint8)
@@ -345,11 +356,13 @@ class FastDMEngine:
                     self.cache.config if self.cache else None, guidance_scale,
                 )
             latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
-            latents = self._denoisers[key](
+            latents, skips = self._denoisers[key](
                 self.params, latents, ref_tokens, prompt_embeds,
                 pooled_prompt_embeds, cos, sin,
             )
             from fastdm_tpu.pipeline.denoise import flux_unpack_latents
+
+            self._note_skips(skips)
 
             if output_type == "latent":
                 return np.asarray(latents)
@@ -376,10 +389,11 @@ class FastDMEngine:
                     guidance_scale, controlnet_conditioning_scale, control_mode,
                 )
             latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
-            latents = self._denoisers[key](
+            latents, skips = self._denoisers[key](
                 self.params, self.cn_params, latents, cn_cond, prompt_embeds,
                 pooled_prompt_embeds, cos, sin,
             )
+            self._note_skips(skips)
             if output_type == "latent":
                 return np.asarray(latents)
             z = flux_unpack_latents(latents, ht, wt)
@@ -409,9 +423,10 @@ class FastDMEngine:
             latents = (1.0 - sig) * packed + sig * noise
         else:
             latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
-        latents = self._denoisers[key](
+        latents, skips = self._denoisers[key](
             self.params, latents, prompt_embeds, pooled_prompt_embeds, cos, sin
         )
+        self._note_skips(skips)
         if output_type == "latent":
             return np.asarray(latents)
         z = flux_unpack_latents(latents, ht, wt)
@@ -444,7 +459,8 @@ class FastDMEngine:
                 self.cfg, sched, num_inference_steps, guidance_scale, cache_cfg
             )
         latents = self._latents((b, self.cfg.in_channels, lh, lw), seed)
-        latents = self._denoisers[key](self.params, latents, embeds, pooled_all, pos_embed)
+        latents, skips = self._denoisers[key](self.params, latents, embeds, pooled_all, pos_embed)
+        self._note_skips(skips)
         if output_type == "latent":
             return np.asarray(latents)
         return self._to_images(self._decode(self.vae_params, latents))
@@ -491,14 +507,15 @@ class FastDMEngine:
             # hint image stays in [0, 1] pixel space, NHWC (diffusers convention)
             cn_cond = jnp.asarray(control_image, jnp.float32)[None] / 255.0
             cn_cond = jnp.broadcast_to(cn_cond, (b, *cn_cond.shape[1:]))
-            latents = self._denoisers[key](
+            latents, skips = self._denoisers[key](
                 self.params, self.cn_params, latents, embeds, pooled_all,
                 time_ids, cn_cond,
             )
         else:
-            latents = self._denoisers[key](
+            latents, skips = self._denoisers[key](
                 self.params, latents, embeds, pooled_all, time_ids
             )
+        self._note_skips(skips)
         if output_type == "latent":
             return np.asarray(latents)
         return self._to_images(self._decode(self.vae_params, latents))
@@ -564,9 +581,10 @@ class FastDMEngine:
                     self.cfg, sched, num_inference_steps, scale
                 )
             latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
-            latents = self._denoisers[key](
+            latents, skips = self._denoisers[key](
                 self.params, latents, src_tokens, pos, neg, cos, sin
             )
+            self._note_skips(skips)
             if output_type == "latent":
                 return np.asarray(latents)
             z = flux_unpack_latents(latents, ht, wt)
@@ -584,7 +602,8 @@ class FastDMEngine:
                 self.cfg, sched, num_inference_steps, scale, cache_cfg
             )
         latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
-        latents = self._denoisers[key](self.params, latents, pos, neg, cos, sin)
+        latents, skips = self._denoisers[key](self.params, latents, pos, neg, cos, sin)
+        self._note_skips(skips)
         if output_type == "latent":
             return np.asarray(latents)
         z = flux_unpack_latents(latents, ht, wt)
@@ -663,13 +682,14 @@ class FastDMEngine:
                 )
         latents = self._latents((1, self.cfg.in_channels, lf, lh, lw), seed)
         if use_cache:
-            latents = self._denoisers[key](
+            latents, skips = self._denoisers[key](
                 self.params, latents, pos, neg, cos, sin, sparse_mask
             )
         else:
-            latents = self._denoisers[key](
+            latents, skips = self._denoisers[key](
                 self.params, self.params_2, latents, pos, neg, cos, sin, sparse_mask
             )
+        self._note_skips(skips)
         if output_type == "latent":
             return np.asarray(latents)
         if self.vae_params is None:

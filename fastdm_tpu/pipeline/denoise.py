@@ -68,9 +68,10 @@ def make_flux_denoiser(
                 lat = scheduler.step(out, step, lat, sigmas)
                 return (lat, st), None
 
-            (latents, _), _ = jax.lax.scan(
+            (latents, state_f), _ = jax.lax.scan(
                 body, (latents, state0), jnp.arange(start_step, num_steps)
             )
+            return latents, state_f["skips"]
         else:
 
             def body(lat, step):
@@ -83,7 +84,7 @@ def make_flux_denoiser(
                 return lat, None
 
             latents, _ = jax.lax.scan(body, latents, jnp.arange(start_step, num_steps))
-        return latents
+        return latents, jnp.zeros((), jnp.int32)
 
     return run
 
@@ -158,7 +159,7 @@ def make_flux_cn_denoiser(
             return lat, None
 
         latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
-        return latents
+        return latents, jnp.zeros((), jnp.int32)
 
     return run
 
@@ -194,7 +195,7 @@ def make_flux_kontext_denoiser(
             return lat, None
 
         latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
-        return latents
+        return latents, jnp.zeros((), jnp.int32)
 
     return run
 

@@ -72,10 +72,10 @@ def make_sd3_denoiser(
                 lat = scheduler.step(out, step, lat, sigmas)
                 return (lat, st), None
 
-            (latents_out, _), _ = jax.lax.scan(
+            (latents_out, st_f), _ = jax.lax.scan(
                 body, (latents, state0), jnp.arange(num_steps)
             )
-            return latents_out
+            return latents_out, st_f["skips"]
 
         def body(lat, step):
             t = jnp.broadcast_to(sigmas[step] * 1000.0, (bb,))
@@ -90,7 +90,7 @@ def make_sd3_denoiser(
             return lat, None
 
         latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
-        return latents
+        return latents, jnp.zeros((), jnp.int32)
 
     return run
 
@@ -125,7 +125,7 @@ def make_sdxl_denoiser(
             return lat, None
 
         latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
-        return latents
+        return latents, jnp.zeros((), jnp.int32)
 
     return run
 
@@ -189,7 +189,7 @@ def make_sdxl_cn_denoiser(
             return lat, None
 
         latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
-        return latents
+        return latents, jnp.zeros((), jnp.int32)
 
     return run
 
@@ -247,10 +247,10 @@ def make_qwen_denoiser(
                 lat = scheduler.step(out, step, lat, sigmas)
                 return (lat, st_pos, st_neg), None
 
-            (latents_out, _, _), _ = jax.lax.scan(
+            (latents_out, st_p, st_n), _ = jax.lax.scan(
                 body, (latents, st_pos0, st_neg0), jnp.arange(num_steps)
             )
-            return latents_out
+            return latents_out, st_p["skips"] + st_n["skips"]
 
         def body(lat, step):
             t = jnp.broadcast_to(sigmas[step], (b,))
@@ -268,7 +268,7 @@ def make_qwen_denoiser(
             return lat, None
 
         latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
-        return latents
+        return latents, jnp.zeros((), jnp.int32)
 
     return run
 
@@ -320,7 +320,7 @@ def make_qwen_edit_denoiser(
             return lat, None
 
         latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
-        return latents
+        return latents, jnp.zeros((), jnp.int32)
 
     return run
 
@@ -397,7 +397,7 @@ def make_wan_denoiser(
                 return step_once(lat, step, sparse_mask), None
 
             latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
-        return latents
+        return latents, jnp.zeros((), jnp.int32)
 
     return run
 
@@ -449,9 +449,9 @@ def make_wan_cached_denoiser(
             lat = scheduler.step(out, step, lat, sigmas)
             return (lat, sp, sn), None
 
-        (latents_out, _, _), _ = jax.lax.scan(
+        (latents_out, st_p, st_n), _ = jax.lax.scan(
             body, (latents, st0, st1), jnp.arange(num_steps)
         )
-        return latents_out
+        return latents_out, st_p["skips"] + st_n["skips"]
 
     return run

@@ -46,12 +46,12 @@ def test_flux_cn_denoiser_residuals_change_output():
 
     run_cn = make_flux_cn_denoiser(cfg, cn_cfg, sched, STEPS, guidance_scale=3.5,
                                    conditioning_scale=0.8)
-    out_cn = run_cn(params, cn_params, lat.copy(), cnd, enc, pooled, cos, sin)
+    out_cn, _ = run_cn(params, cn_params, lat.copy(), cnd, enc, pooled, cos, sin)
     assert out_cn.shape == (1, ht * wt, cfg.in_channels)
     assert np.isfinite(np.asarray(out_cn, np.float32)).all()
 
     run0 = make_flux_denoiser(cfg, sched, STEPS, None, guidance_scale=3.5)
-    out0 = run0(params, lat.copy(), enc, pooled, cos, sin)
+    out0, _ = run0(params, lat.copy(), enc, pooled, cos, sin)
     assert np.abs(np.asarray(out_cn - out0, np.float32)).max() > 1e-4
 
 
@@ -79,7 +79,7 @@ def test_flux_cn_union_mode_token():
     for mode in (0, 1):
         run = make_flux_cn_denoiser(cfg, cn_cfg, sched, STEPS, control_mode=mode)
         outs.append(np.asarray(
-            run(params, cn_params, lat.copy(), cnd, enc, pooled, cos, sin), np.float32
+            run(params, cn_params, lat.copy(), cnd, enc, pooled, cos, sin)[0], np.float32
         ))
     assert np.isfinite(outs[0]).all()
     # different union modes select different embedding rows -> different output
@@ -114,12 +114,12 @@ def test_sdxl_cn_denoiser():
     for gm in (False, True):
         run = make_sdxl_cn_denoiser(cfg, sched, STEPS, guidance_scale=5.0,
                                     conditioning_scale=0.7, guess_mode=gm)
-        outs[gm] = np.asarray(run(params, cn_params, lat.copy(), emb, pooled, tids, hint),
+        outs[gm] = np.asarray(run(params, cn_params, lat.copy(), emb, pooled, tids, hint)[0],
                               np.float32)
         assert outs[gm].shape == (1, 4, h, w)
         assert np.isfinite(outs[gm]).all()
 
     run0 = make_sdxl_denoiser(cfg, sched, STEPS, guidance_scale=5.0)
-    out0 = np.asarray(run0(params, lat.copy(), emb, pooled, tids), np.float32)
+    out0 = np.asarray(run0(params, lat.copy(), emb, pooled, tids)[0], np.float32)
     assert np.abs(outs[False] - out0).max() > 1e-4
     assert np.abs(outs[True] - outs[False]).max() > 1e-5

@@ -34,7 +34,9 @@ def test_flux_denoiser_with_teacache():
     lat = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
     enc = jax.random.normal(k, (1, 8, cfg.joint_attention_dim), jnp.bfloat16)
     pooled = jax.random.normal(k, (1, cfg.pooled_projection_dim), jnp.bfloat16)
-    out = run(params, lat, enc, pooled, cos, sin)
+    out, skips = run(params, lat, enc, pooled, cos, sin)
+    # on-device skip counter: step 0 is forced compute, so 0 <= skips < N
+    assert 0 <= int(skips) < STEPS
     assert out.shape == (1, ht * wt, cfg.in_channels)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -56,7 +58,7 @@ def test_sd3_denoiser_cfg():
     emb = jax.random.normal(k, (2, 6, cfg.joint_attention_dim), jnp.bfloat16)
     pooled = jax.random.normal(k, (2, cfg.pooled_projection_dim), jnp.bfloat16)
     pos = sd3_cropped_pos_embed(cfg, None, 8, 8)
-    out = run(params, lat, emb, pooled, pos)
+    out, _ = run(params, lat, emb, pooled, pos)
     assert out.shape == (1, 4, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -77,7 +79,7 @@ def test_sdxl_denoiser_cfg():
     emb = jax.random.normal(k, (2, 6, cfg.cross_attention_dim), jnp.bfloat16)
     pooled = jax.random.normal(k, (2, 8), jnp.bfloat16)
     tids = jnp.zeros((2, 6), jnp.float32)
-    out = run(params, lat, emb, pooled, tids)
+    out, _ = run(params, lat, emb, pooled, tids)
     assert out.shape == (1, 4, 32, 32)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -102,7 +104,7 @@ def test_wan_denoiser_dual_expert_and_sparse_warmup():
     seq = 2 * 8 * 8
     nb = -(-seq // 128)
     mask = jnp.ones((1, cfg.num_attention_heads, nb, nb), jnp.int32)
-    out = run(p1, p2, lat, pos, neg, cos, sin, mask)
+    out, _ = run(p1, p2, lat, pos, neg, cos, sin, mask)
     assert out.shape == lat.shape
     assert np.isfinite(np.asarray(out)).all()
 
@@ -127,7 +129,7 @@ def test_sd3_denoiser_with_fbcache():
     emb = jax.random.normal(k, (2, 6, cfg.joint_attention_dim), jnp.bfloat16)
     pooled = jax.random.normal(k, (2, cfg.pooled_projection_dim), jnp.bfloat16)
     pos = sd3_cropped_pos_embed(cfg, None, 8, 8)
-    out = run(params, lat, emb, pooled, pos)
+    out, _ = run(params, lat, emb, pooled, pos)
     assert np.isfinite(np.asarray(out)).all()
 
 
@@ -155,7 +157,7 @@ def test_qwen_denoiser_with_teacache_dual_stream():
     lat = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
     pos = jax.random.normal(k, (1, 6, cfg.joint_attention_dim), jnp.bfloat16)
     neg = jax.random.normal(jax.random.key(9), (1, 6, cfg.joint_attention_dim), jnp.bfloat16)
-    out = run(params, lat, pos, neg, cos, sin)
+    out, _ = run(params, lat, pos, neg, cos, sin)
     assert np.isfinite(np.asarray(out)).all()
 
 
@@ -177,6 +179,6 @@ def test_wan_cached_denoiser():
     pos = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
     neg = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
     cos, sin = wan_rope_cos_sin(cfg, 2, 16, 16)
-    out = run(params, lat, pos, neg, cos, sin, None)
+    out, _ = run(params, lat, pos, neg, cos, sin, None)
     assert out.shape == lat.shape
     assert np.isfinite(np.asarray(out)).all()

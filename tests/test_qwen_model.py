@@ -96,10 +96,10 @@ def test_qwen_edit_denoiser():
     neg = jax.random.normal(jax.random.key(3), pos.shape, jnp.bfloat16)
 
     run = make_qwen_edit_denoiser(cfg, sched, 2, true_cfg_scale=3.0)
-    out = run(params, lat.copy(), src, pos, neg, cos, sin)
+    out, _ = run(params, lat.copy(), src, pos, neg, cos, sin)
     assert out.shape == lat.shape
     assert np.isfinite(np.asarray(out, np.float32)).all()
     # a different source image must steer the result
     src2 = jax.random.normal(jax.random.key(4), lat.shape, jnp.float32)
-    out2 = run(params, lat.copy(), src2, pos, neg, cos, sin)
+    out2, _ = run(params, lat.copy(), src2, pos, neg, cos, sin)
     assert np.abs(np.asarray(out - out2, np.float32)).max() > 1e-5
