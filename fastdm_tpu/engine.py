@@ -75,6 +75,8 @@ class FastDMEngine:
         quant_mods: bool = False,
         mesh_shape: Optional[tuple] = None,  # (dp, sp, tp) for multi-chip TP/SP
         controlnet_path: Optional[str] = None,  # flux/sdxl CN checkpoint dir
+        ip_adapter_path: Optional[str] = None,  # sdxl IP-Adapter checkpoint
+        ip_adapter_scale: float = 0.6,
         verbose: bool = True,
     ):
         arch = ARCH_ALIASES.get(architecture)
@@ -118,6 +120,26 @@ class FastDMEngine:
         self.cn_params = self.cn_cfg = None
         if controlnet_path is not None:
             self._load_controlnet(controlnet_path)
+
+        # optional SDXL IP-Adapter (ref: is_ip_adapter wrapper flag,
+        # model_entry.py + SDXLUNetModelCore encoder_hid_proj, sdxl.py:114-137);
+        # generate() then accepts ip_adapter_image=...
+        self.ip_proj = None
+        if ip_adapter_path is not None:
+            if arch != "sdxl":
+                raise ValueError("ip_adapter_path is supported for sdxl only")
+            import dataclasses as _dc
+
+            from fastdm_tpu.models.sdxl import sdxl_attach_ip_adapter
+            from fastdm_tpu.pipeline.text_encoder import CLIPImageEncoder
+
+            self.cfg = _dc.replace(self.cfg, ip_adapter_scale=ip_adapter_scale)
+            self.ip_proj = sdxl_attach_ip_adapter(
+                self.params, TensorSource.from_path(ip_adapter_path), self.cfg
+            )
+            self.image_encoder = CLIPImageEncoder(
+                os.path.join(self.model_path, "image_encoder")
+            )
 
         # multi-chip: TP/SP-shard the denoiser weights over a named mesh
         # (new surface vs the single-GPU reference, SURVEY.md §2.7)
@@ -470,6 +492,7 @@ class FastDMEngine:
         num_inference_steps=25, guidance_scale=5.0, seed=42,
         num_images_per_prompt=1, output_type="np", task="t2i",
         control_image=None, controlnet_conditioning_scale=1.0, guess_mode=False,
+        ip_adapter_image=None,
         **_,
     ):
         from fastdm_tpu.pipeline.denoise_more import make_sdxl_denoiser
@@ -512,8 +535,21 @@ class FastDMEngine:
                 time_ids, cn_cond,
             )
         else:
+            ip_embeds = None
+            if ip_adapter_image is not None and self.ip_proj is not None:
+                from fastdm_tpu.layers.ip_adapter import image_projection_apply
+
+                img_emb = self.image_encoder.encode(
+                    ip_adapter_image, num_images_per_prompt
+                )
+                tokens = image_projection_apply(
+                    {k: self.ip_proj[k] for k in ("proj", "norm")}, img_emb,
+                    self.ip_proj["num_tokens"],
+                )
+                # CFG batch: zero image tokens for the uncond half (diffusers)
+                ip_embeds = jnp.concatenate([jnp.zeros_like(tokens), tokens])
             latents, skips = self._denoisers[key](
-                self.params, latents, embeds, pooled_all, time_ids
+                self.params, latents, embeds, pooled_all, time_ids, ip_embeds
             )
         self._note_skips(skips)
         if output_type == "latent":

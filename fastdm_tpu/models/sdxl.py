@@ -441,3 +441,60 @@ def sdxl_init_random(key: Array, cfg: SDXLConfig) -> Dict:
                     _rand_resnet(ks[7], c0 + c0, c0, te, q)],
     }
     return params
+
+
+def sdxl_attach_ip_adapter(params: Dict, src: TensorSource, cfg: SDXLConfig) -> Dict:
+    """Attach an IP-Adapter checkpoint to loaded UNet params and return the
+    image-projection params.
+
+    Expects the official IP-Adapter state-dict layout: 'image_proj.*' plus
+    'ip_adapter.{proc_idx}.to_k_ip/to_v_ip' where proc_idx enumerates the
+    UNet's attention processors in module DFS order (down, mid, up blocks;
+    attn1 then attn2 per BasicTransformerBlock) — so cross-attention weights
+    sit on odd indices (ref: SDXL IP-Adapter conversion, sdxl.py:114-137).
+
+    The fused (k,v) projections are quantized like the rest of the UNet and
+    stacked per Transformer2DModel so the block scan slices them along with
+    every other leaf.
+    """
+    q = cfg.quant
+    idx = 0
+
+    def attach_t2d(t2d, n_layers):
+        nonlocal idx
+        ip = []
+        for _ in range(n_layers):
+            idx += 1  # skip the attn1 (self-attention) processor slot
+            ip.append(src.fused_linear(
+                [f"ip_adapter.{idx}.to_k_ip", f"ip_adapter.{idx}.to_v_ip"], q
+            ))
+            idx += 1
+        t2d["blocks"]["attn2"]["ipadp_kv"] = stack_blocks(ip)
+
+    n1, n2 = cfg.attn_layers[1], cfg.attn_layers[2]
+    for a in params["down1"]["attns"]:
+        attach_t2d(a, n1)
+    for a in params["down2"]["attns"]:
+        attach_t2d(a, n2)
+    attach_t2d(params["mid"]["attn"], n2)
+    for a in params["up0"]["attns"]:
+        attach_t2d(a, n2)
+    for a in params["up1"]["attns"]:
+        attach_t2d(a, n1)
+
+    if "image_proj.proj.weight" not in src:
+        raise NotImplementedError(
+            "only the plain ImageProjection IP-Adapter layout is supported; "
+            "IP-Adapter-Plus resampler checkpoints need the diffusers-converted "
+            "layout (layers/ip_adapter.py implements the resampler math)"
+        )
+    # num_tokens from the projection shape: (num_tokens * ctx_dim, embed_dim)
+    out_dim = src._tensors["image_proj.proj.weight"].shape[0]
+    num_tokens = out_dim // cfg.cross_attention_dim
+    proj = {
+        "proj": src.linear("image_proj.proj", None),
+        "norm": _ln(src, "image_proj.norm"),
+        "num_tokens": num_tokens,
+    }
+    src.assert_consumed()
+    return proj

@@ -108,7 +108,7 @@ def make_sdxl_denoiser(
     do_cfg = guidance_scale > 1.0
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def run(params, latents, prompt_embeds, pooled, time_ids):
+    def run(params, latents, prompt_embeds, pooled, time_ids, ip_embeds=None):
         b = latents.shape[0]
 
         def body(lat, step):
@@ -116,7 +116,8 @@ def make_sdxl_denoiser(
             inp = scheduler.scale_model_input(lat, step, sigmas)
             inp = jnp.concatenate([inp, inp]) if do_cfg else inp
             out = sdxl_forward(
-                params, cfg, inp.astype(jnp.bfloat16), t, prompt_embeds, pooled, time_ids
+                params, cfg, inp.astype(jnp.bfloat16), t, prompt_embeds, pooled,
+                time_ids, ip_embeds=ip_embeds,
             ).astype(jnp.float32)
             if do_cfg:
                 neg, pos = out[:b], out[b:]

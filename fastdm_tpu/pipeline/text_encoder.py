@@ -322,3 +322,36 @@ class QwenImageTextEncoder:
             hidden = out.hidden_states[-1][:, self.EDIT_DROP_IDX :]
         embeds = np.repeat(np.asarray(hidden, np.float32), num_images_per_prompt, 0)
         return jnp.asarray(embeds, jnp.bfloat16)
+
+
+class CLIPImageEncoder:
+    """CLIP vision tower for IP-Adapter image conditioning (host CPU, lazy).
+    Loads from <model_path>/image_encoder (diffusers layout) or a standalone
+    CLIPVisionModelWithProjection directory."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._loaded = False
+
+    def _load(self):
+        if self._loaded:
+            return
+        import torch
+        from transformers import CLIPImageProcessor, CLIPVisionModelWithProjection
+
+        self.processor = CLIPImageProcessor()
+        self.model = CLIPVisionModelWithProjection.from_pretrained(
+            self.path, torch_dtype=torch.float32
+        )
+        self._loaded = True
+
+    def encode(self, image, num_images_per_prompt: int = 1):
+        """image: (H, W, 3) uint8 -> (N, embed_dim) projected CLIP embedding."""
+        self._load()
+        import torch
+
+        inputs = self.processor(images=image, return_tensors="pt")
+        with torch.no_grad():
+            out = self.model(**inputs).image_embeds  # (1, 1280)
+        emb = np.repeat(np.asarray(out, np.float32), num_images_per_prompt, 0)
+        return jnp.asarray(emb, jnp.bfloat16)
