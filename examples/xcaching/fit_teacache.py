@@ -107,9 +107,151 @@ def fit_flux(args):
     print(f"wrote {args.output}")
 
 
+def _polyfit_and_write(xs, ys, args):
+    coeffs = np.polyfit(np.asarray(xs), np.asarray(ys), deg=min(4, len(xs) - 1))
+    out = {
+        "cache_algorithm": "teacache",
+        "enable_caching": True,
+        "threshold": args.threshold,
+        "coefficients": [float(c) for c in coeffs],
+    }
+    print(json.dumps(out, indent=2))
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {args.output}")
+
+
+def fit_sd35(args):
+    """Probe = block-0 modulated hidden (SD35AdaLayerNormZeroX 9-chunk on the
+    dual-attn block; ref xcaching sd35 path)."""
+    from fastdm_tpu.layers.embeddings import combined_timestep_text_proj_apply
+    from fastdm_tpu.layers.normalization import sd35_ada_layer_norm_zero_x
+    from fastdm_tpu.layers.qlinear import qlinear_apply
+    from fastdm_tpu.models.loader import TensorSource
+    from fastdm_tpu.models.sd35 import (
+        SD3Config, sd3_cropped_pos_embed, sd3_forward, sd3_init_random, sd3_load,
+        sd3_patchify, sd3_run_blocks,
+    )
+    from fastdm_tpu.pipeline.schedulers import FlowMatchEulerScheduler
+
+    cfg = SD3Config(
+        quant="int8" if args.use_int8 else ("fp8" if args.use_fp8 else None),
+        num_layers=args.layers or 24,
+    )
+    if args.model_path:
+        params = sd3_load(TensorSource.from_path(
+            os.path.join(args.model_path, "transformer")), cfg)
+    else:
+        params = jax.jit(lambda k: sd3_init_random(k, cfg))(jax.random.key(0))
+    lh, lw = args.height // 8, args.width // 8
+    pos = sd3_cropped_pos_embed(cfg, params.get("pos_embed_table"), lh, lw)
+    sched = FlowMatchEulerScheduler.create(args.steps, shift=3.0)
+    sig = jnp.asarray(sched.sigmas)
+    k = jax.random.key(args.seed)
+    enc = jax.random.normal(k, (1, 77, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(k, (1, cfg.pooled_projection_dim), jnp.bfloat16)
+    lat = jax.random.normal(k, (1, cfg.in_channels, lh, lw), jnp.float32)
+
+    @jax.jit
+    def probe_and_res(params, lat, t):
+        hidden = sd3_patchify(params, cfg, lat.astype(jnp.float32), pos)
+        temb = combined_timestep_text_proj_apply(
+            params["time_text_embed"], t, pooled)
+        encoder = qlinear_apply(params["context_embedder"], enc)
+        blk0 = jax.tree.map(lambda x: x[0], params["dual_attn_blocks"])
+        probe, *_ = sd35_ada_layer_norm_zero_x(blk0["norm1"], hidden, temb)
+        out = sd3_run_blocks(params, cfg, hidden, encoder, temb)
+        return probe, out - hidden
+
+    xs, ys, prev = [], [], None
+    for i in range(args.steps):
+        t = jnp.broadcast_to(sig[i] * 1000.0, (1,))
+        probe, res = probe_and_res(params, lat, t)
+        if prev is not None:
+            xs.append(rel_l1(probe, prev[0]))
+            ys.append(rel_l1(res, prev[1]))
+        prev = (np.asarray(probe), np.asarray(res))
+        v = sd3_forward(params, cfg, lat, enc, pooled, t, pos)
+        lat = sched.step(v.astype(jnp.float32), jnp.int32(i), lat, sig)
+        print(f"step {i}: x={xs[-1] if xs else None} y={ys[-1] if ys else None}",
+              flush=True)
+    _polyfit_and_write(xs, ys, args)
+
+
+def fit_qwen(args):
+    """Probe = block-0 TEXT-stream modulated input (ref xcaching qwenimage)."""
+    from fastdm_tpu.layers.embeddings import (
+        get_timestep_embedding, timestep_embedding_apply,
+    )
+    from fastdm_tpu.kernels import rms_norm
+    from fastdm_tpu.layers.qlinear import qlinear_apply
+    from fastdm_tpu.models.loader import TensorSource
+    from fastdm_tpu.models.qwenimage import (
+        QwenImageConfig, _modulate, qwen_forward, qwen_init_random, qwen_load,
+        qwen_rope_cos_sin, qwen_run_blocks,
+    )
+    from fastdm_tpu.pipeline.schedulers import (
+        FlowMatchEulerScheduler, flow_match_shift_mu,
+    )
+
+    cfg = QwenImageConfig(
+        quant="int8" if args.use_int8 else ("fp8" if args.use_fp8 else None),
+        quant_mods=args.quant_mods,
+        # full Qwen-Image (60 blocks / ~20B) exceeds one 16GB v5e even at
+        # int8 — fit at reduced depth on one chip or shard via mesh
+        num_layers=args.layers or 60,
+    )
+    if args.model_path:
+        params = qwen_load(TensorSource.from_path(
+            os.path.join(args.model_path, "transformer")), cfg)
+    else:
+        params = jax.jit(lambda k: qwen_init_random(k, cfg))(jax.random.key(0))
+    ht, wt, txt = args.height // 16, args.width // 16, 128
+    cos, sin = qwen_rope_cos_sin(cfg, 1, ht, wt, txt)
+    mu = flow_match_shift_mu(ht * wt)
+    sched = FlowMatchEulerScheduler.create(args.steps, use_dynamic_shifting=True, mu=mu)
+    sig = jnp.asarray(sched.sigmas)
+    k = jax.random.key(args.seed)
+    enc_raw = jax.random.normal(k, (1, txt, cfg.joint_attention_dim), jnp.bfloat16)
+    lat = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
+
+    @jax.jit
+    def probe_and_res(params, lat, t):
+        hidden = qlinear_apply(params["img_in"], lat.astype(jnp.bfloat16))
+        encoder = rms_norm(enc_raw, params["txt_norm"], 1e-6)
+        encoder = qlinear_apply(params["txt_in"], encoder)
+        t_proj = get_timestep_embedding(
+            t.astype(jnp.float32), 256, flip_sin_to_cos=True,
+            downscale_freq_shift=0.0, scale=1000.0,
+        )
+        temb = timestep_embedding_apply(
+            params["time_text_embed"]["timestep_embedder"], t_proj.astype(hidden.dtype))
+        blk0 = jax.tree.map(lambda x: x[0], params["blocks"])
+        txt_mod = qlinear_apply(blk0["txt_mod"], jax.nn.silu(temb))
+        txt_mod1, _ = jnp.split(txt_mod, 2, axis=-1)
+        probe, _ = _modulate(encoder, txt_mod1)
+        out = qwen_run_blocks(params, cfg, hidden, encoder, temb, cos, sin)
+        return probe, out - hidden
+
+    xs, ys, prev = [], [], None
+    for i in range(args.steps):
+        t = jnp.broadcast_to(sig[i], (1,))
+        probe, res = probe_and_res(params, lat, t)
+        if prev is not None:
+            xs.append(rel_l1(probe, prev[0]))
+            ys.append(rel_l1(res, prev[1]))
+        prev = (np.asarray(probe), np.asarray(res))
+        v = qwen_forward(params, cfg, lat.astype(jnp.bfloat16), enc_raw, t, cos, sin)
+        lat = sched.step(v.astype(jnp.float32), jnp.int32(i), lat, sig)
+        print(f"step {i}: x={xs[-1] if xs else None} y={ys[-1] if ys else None}",
+              flush=True)
+    _polyfit_and_write(xs, ys, args)
+
+
 def main():
     parser = argparse.ArgumentParser("teacache coefficient fitting")
-    parser.add_argument("--architecture", default="flux", choices=["flux"])
+    parser.add_argument("--architecture", default="flux",
+                    choices=["flux", "sd35", "qwen"])
     parser.add_argument("--model-path", default=None)
     parser.add_argument("--use-int8", action="store_true")
     parser.add_argument("--use-fp8", action="store_true")
@@ -124,7 +266,7 @@ def main():
     parser.add_argument("--single-layers", type=int, default=None)
     parser.add_argument("--output", default="teacache_flux.json")
     args = parser.parse_args()
-    fit_flux(args)
+    {"flux": fit_flux, "sd35": fit_sd35, "qwen": fit_qwen}[args.architecture](args)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ Array = jax.Array
 class QwenImageConfig:
     patch_size: int = 2
     in_channels: int = 64
-    out_channels: int = 64
+    out_channels: int = 16  # packed: patch^2 * out == in == 64 (diffusers cfg)
     num_layers: int = 60
     attention_head_dim: int = 128
     num_attention_heads: int = 24
