@@ -206,11 +206,36 @@ class FastDMEngine:
         self._decode = jax.jit(lambda p, z: vae_decode(p, self.vae_cfg, z))
         self._encode = jax.jit(lambda p, x: vae_encode(p, self.vae_cfg, x))
 
+    def _cfg_overrides(self, subdir: str, keys, transforms=None):
+        """Model hyperparams from the HF config.json when present — covers
+        checkpoint variants (flux-schnell guidance_embeds=False, sd3.5-large
+        38 layers, ...) without new engine flags (ref: the reference reads
+        hf configs in its wrappers, model_entry.py:316-330,679)."""
+        p = os.path.join(self.model_path, subdir, "config.json")
+        if not os.path.exists(p):
+            return {}
+        cj = _read_json(p)
+        out = {}
+        for k in keys:
+            if cj.get(k) is not None:
+                out[k] = cj[k]
+        for k, fn in (transforms or {}).items():
+            if cj.get(k) is not None:
+                out.update(fn(cj[k]))
+        return out
+
     def _init_flux(self, quant, quant_mods, max_seq):
         from fastdm_tpu.models.flux import FluxConfig, flux_load
         from fastdm_tpu.pipeline.text_encoder import FluxTextEncoder
 
-        self.cfg = FluxConfig(quant=quant, quant_mods=quant_mods)
+        kw = self._cfg_overrides(
+            "transformer",
+            ("patch_size", "in_channels", "out_channels", "num_layers",
+             "num_single_layers", "attention_head_dim", "num_attention_heads",
+             "joint_attention_dim", "pooled_projection_dim", "guidance_embeds"),
+            {"axes_dims_rope": lambda v: {"axes_dims_rope": tuple(v)}},
+        )
+        self.cfg = FluxConfig(quant=quant, quant_mods=quant_mods, **kw)
         self.params = flux_load(
             TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
         )
@@ -221,7 +246,16 @@ class FastDMEngine:
         from fastdm_tpu.models.sd35 import SD3Config, sd3_load
         from fastdm_tpu.pipeline.text_encoder import SD3TextEncoder
 
-        self.cfg = SD3Config(quant=quant)
+        kw = self._cfg_overrides(
+            "transformer",
+            ("sample_size", "patch_size", "in_channels", "out_channels",
+             "num_layers", "attention_head_dim", "num_attention_heads",
+             "joint_attention_dim", "caption_projection_dim",
+             "pooled_projection_dim", "pos_embed_max_size"),
+            {"dual_attention_layers":
+                 lambda v: {"num_dual_layers": len(v)}},
+        )
+        self.cfg = SD3Config(quant=quant, **kw)
         self.params = sd3_load(
             TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
         )
@@ -243,7 +277,13 @@ class FastDMEngine:
         from fastdm_tpu.models.qwenimage import QwenImageConfig, qwen_load
         from fastdm_tpu.pipeline.text_encoder import QwenImageTextEncoder
 
-        self.cfg = QwenImageConfig(quant=quant, quant_mods=quant_mods)
+        kw = self._cfg_overrides(
+            "transformer",
+            ("patch_size", "in_channels", "out_channels", "num_layers",
+             "attention_head_dim", "num_attention_heads", "joint_attention_dim"),
+            {"axes_dims_rope": lambda v: {"axes_dims_rope": tuple(v)}},
+        )
+        self.cfg = QwenImageConfig(quant=quant, quant_mods=quant_mods, **kw)
         self.params = qwen_load(
             TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
         )

@@ -1,0 +1,125 @@
+"""End-to-end FastDMEngine drive on a synthetic FLUX checkpoint directory:
+ctor (config.json overrides -> loader -> VAE) + generate() with precomputed
+embeddings (text encoders stay lazy/unloaded)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_st(path, sd):
+    from safetensors.numpy import save_file
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    save_file(sd, path)
+
+
+TINY = dict(
+    num_layers=2, num_single_layers=2, attention_head_dim=32,
+    num_attention_heads=4, joint_attention_dim=64, pooled_projection_dim=48,
+    in_channels=16, out_channels=16, axes_dims_rope=(8, 12, 12),
+    guidance_embeds=True, patch_size=1,
+)
+
+
+def _flux_transformer_sd(rng):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_flux import _synthetic_state_dict
+
+    return _synthetic_state_dict(TINY, rng)
+
+
+def _vae_sd(rng, latent_channels=4, chans=(8, 16), layers=1, groups=4):
+    sd = {}
+
+    def conv(name, cin, cout, k=3):
+        sd[f"{name}.weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros((cout,), np.float32)
+
+    def lin(name, cin, cout):
+        sd[f"{name}.weight"] = rng.standard_normal((cout, cin)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros((cout,), np.float32)
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = np.ones((c,), np.float32)
+        sd[f"{name}.bias"] = np.zeros((c,), np.float32)
+
+    def resnet(name, cin, cout):
+        norm(f"{name}.norm1", cin)
+        conv(f"{name}.conv1", cin, cout)
+        norm(f"{name}.norm2", cout)
+        conv(f"{name}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{name}.conv_shortcut", cin, cout, k=1)
+
+    rev = list(reversed(chans))
+    top = rev[0]
+    conv("decoder.conv_in", latent_channels, top)
+    resnet("decoder.mid_block.resnets.0", top, top)
+    resnet("decoder.mid_block.resnets.1", top, top)
+    norm("decoder.mid_block.attentions.0.group_norm", top)
+    for n in ("to_q", "to_k", "to_v", "to_out.0"):
+        lin(f"decoder.mid_block.attentions.0.{n}", top, top)
+    prev = top
+    for i, c in enumerate(rev):
+        for r in range(layers + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{r}", prev if r == 0 else c, c)
+        if i < len(rev) - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", c, c)
+        prev = c
+    norm("decoder.conv_norm_out", rev[-1])
+    conv("decoder.conv_out", rev[-1], 3)
+    conv("post_quant_conv", latent_channels, latent_channels, k=1)
+    return sd
+
+
+def test_flux_engine_end_to_end(tmp_path, monkeypatch):
+    import jax.numpy as jnp
+
+    import fastdm_tpu.engine as engine_mod
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.pipeline.vae import VAEConfig
+
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "flux-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _flux_transformer_sd(rng))
+    # checkpoint-variant hyperparams come from config.json (the new override
+    # path): tiny dims + guidance_embeds
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(TINY, f)
+    _write_st(os.path.join(root, "vae", "model.safetensors"), _vae_sd(rng))
+
+    # tiny VAE config in place of the full-size FLUX one (4ch latents: the
+    # packed 16-channel stream unpacks to 4 latent channels at 2x2)
+    monkeypatch.setitem(
+        engine_mod.VAE_CONFIGS, "flux",
+        VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+                  layers_per_block=1, norm_num_groups=4,
+                  scaling_factor=0.5, shift_factor=0.0),
+    )
+
+    eng = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
+                       cache_config={"cache_algorithm": "teacache",
+                                     "enable_caching": True, "threshold": 0.3,
+                                     "coefficients": [1.0, 0.0]})
+    assert eng.cfg.num_layers == 2 and eng.cfg.guidance_embeds  # overrides took
+
+    b, txt = 1, 12
+    embeds = jnp.asarray(rng.standard_normal((b, txt, TINY["joint_attention_dim"])),
+                         jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((b, TINY["pooled_projection_dim"])),
+                         jnp.bfloat16)
+    images = eng.generate(
+        prompt_embeds=embeds, pooled_prompt_embeds=pooled,
+        height=64, width=64, num_inference_steps=2, seed=1,
+    )
+    # tiny 2-stage VAE upscales 2x (not the real 8x): 64/16 tokens -> 8x8
+    # latent -> 16x16 pixels
+    assert images.shape == (1, 16, 16, 3) and images.dtype == np.uint8
+    # cache skip counter surfaced through the engine
+    assert 0 <= eng.last_cache_skips < 2
