@@ -123,3 +123,52 @@ def test_flux_engine_end_to_end(tmp_path, monkeypatch):
     assert images.shape == (1, 16, 16, 3) and images.dtype == np.uint8
     # cache skip counter surfaced through the engine
     assert 0 <= eng.last_cache_skips < 2
+
+
+def test_sd35_engine_end_to_end(tmp_path, monkeypatch):
+    import jax.numpy as jnp
+
+    import fastdm_tpu.engine as engine_mod
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.pipeline.vae import VAEConfig
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_sd35 import DUAL, TINY as SD35_TINY, _state_dict
+
+    rng = np.random.default_rng(1)
+    root = str(tmp_path / "sd35-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    cfg_json = dict(SD35_TINY)
+    cfg_json["dual_attention_layers"] = list(DUAL)
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+    _write_st(os.path.join(root, "vae", "model.safetensors"),
+              _vae_sd(rng, latent_channels=SD35_TINY["in_channels"]))
+
+    monkeypatch.setitem(
+        engine_mod.VAE_CONFIGS, "sd35",
+        VAEConfig(latent_channels=SD35_TINY["in_channels"],
+                  block_out_channels=(8, 16), layers_per_block=1,
+                  norm_num_groups=4, scaling_factor=1.0, shift_factor=0.0),
+    )
+
+    class _FakeTE:
+        def encode(self, prompt, n=1):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return (
+                jnp.asarray(r.standard_normal(
+                    (1, 6, SD35_TINY["joint_attention_dim"])), jnp.bfloat16),
+                jnp.asarray(r.standard_normal(
+                    (1, SD35_TINY["pooled_projection_dim"])), jnp.bfloat16),
+            )
+
+    eng = FastDMEngine(root, architecture="sd35", use_int8=True, verbose=False)
+    assert eng.cfg.num_dual_layers == len(DUAL)  # config.json override took
+    eng.text_encoder = _FakeTE()
+    images = eng.generate(prompt="a cat", negative_prompt="blurry",
+                          height=64, width=64, num_inference_steps=2, seed=3)
+    # 64/8 = 8x8 latent -> tiny 2-stage VAE 2x -> 16x16 pixels
+    assert images.shape == (1, 16, 16, 3) and images.dtype == np.uint8
