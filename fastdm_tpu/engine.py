@@ -305,6 +305,8 @@ class FastDMEngine:
             out_channels=cfg_json.get("out_channels", 16),
             ffn_dim=cfg_json.get("ffn_dim", 13824),
             num_layers=cfg_json.get("num_layers", 40),
+            freq_dim=cfg_json.get("freq_dim", 256),
+            text_dim=cfg_json.get("text_dim", 4096),
             image_dim=cfg_json.get("image_dim"),
             added_kv_proj_dim=cfg_json.get("added_kv_proj_dim"),
             per_token_timestep=bool(cfg_json.get("pos_embed_seq_len")),
@@ -337,7 +339,7 @@ class FastDMEngine:
             self.vae_params = wan_vae_load(
                 TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
             )
-        except NotImplementedError as e:
+        except (NotImplementedError, FileNotFoundError, OSError) as e:
             print(f"wan vae unavailable ({e}); generate() returns latents")
             self.vae_params = None
 
@@ -693,6 +695,13 @@ class FastDMEngine:
 
         from fastdm_tpu.pipeline.wan_vae import wan_vae_encode
 
+        if self.vae_params is None:
+            raise RuntimeError(
+                "wan i2v needs the Wan VAE to encode the conditioning frame, "
+                "but the VAE checkpoint could not be loaded (see the warning "
+                "at engine init)"
+            )
+
         img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0  # (H, W, 3)
         video = jnp.concatenate(
             [img[None], jnp.zeros((num_frames - 1,) + img.shape, jnp.float32)], 0
@@ -756,14 +765,24 @@ class FastDMEngine:
                     self.cfg, sched, num_inference_steps, guidance_scale,
                     guidance_scale_2, self.boundary_ratio, dense_steps,
                 )
-        latents = self._latents((1, self.cfg.in_channels, lf, lh, lw), seed)
+        # noise latents carry out_channels (z_dim, 16); i2v models take
+        # in_channels = z + 20 conditioning channels concatenated per step
+        cond = None
+        if task == "i2v" and image is not None:
+            cond = self._wan_i2v_latents(image, lf, lh, lw, num_frames)
+        latents = self._latents((1, self.cfg.out_channels, lf, lh, lw), seed)
         if use_cache:
+            if cond is not None:
+                raise ValueError(
+                    "i2v with caching is not wired yet — disable cache_config"
+                )
             latents, skips = self._denoisers[key](
                 self.params, latents, pos, neg, cos, sin, sparse_mask
             )
         else:
             latents, skips = self._denoisers[key](
-                self.params, self.params_2, latents, pos, neg, cos, sin, sparse_mask
+                self.params, self.params_2, latents, pos, neg, cos, sin,
+                sparse_mask, cond,
             )
         self._note_skips(skips)
         if output_type == "latent":

@@ -354,17 +354,22 @@ def make_wan_denoiser(
         ).astype(jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=())
-    def run(params, params_2, latents, pos_text, neg_text, rope_cos, rope_sin, sparse_mask):
+    def run(params, params_2, latents, pos_text, neg_text, rope_cos, rope_sin,
+            sparse_mask, cond=None):
         b = latents.shape[0]
 
         def step_once(lat, step, mask):
             sigma = sigmas[step]
             t = jnp.broadcast_to(sigma * 1000.0, (b,))
+            # i2v: constant conditioning channels (mask + encoded first frame)
+            # concatenated every step (diffusers Wan i2v; in_channels 16+20)
+            inp = lat if cond is None else jnp.concatenate(
+                [lat, cond.astype(lat.dtype)], axis=1)
 
             def one(p, g):
-                pos = _fwd(p, lat, pos_text, t, mask)
+                pos = _fwd(p, inp, pos_text, t, mask)
                 if do_cfg:
-                    neg = _fwd(p, lat, neg_text, t, mask)
+                    neg = _fwd(p, inp, neg_text, t, mask)
                     return neg + g * (pos - neg)
                 return pos
 

@@ -172,3 +172,99 @@ def test_sd35_engine_end_to_end(tmp_path, monkeypatch):
                           height=64, width=64, num_inference_steps=2, seed=3)
     # 64/8 = 8x8 latent -> tiny 2-stage VAE 2x -> 16x16 pixels
     assert images.shape == (1, 16, 16, 3) and images.dtype == np.uint8
+
+
+def test_wan_engine_end_to_end_latent(tmp_path):
+    """Wan t2v through the engine: config.json hyperparams, quantized load,
+    CFG denoise loop, latent output (the Wan VAE loader is pending real
+    checkpoints and the engine degrades to latents)."""
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_wan import TINY as WAN_TINY, _state_dict
+
+    rng = np.random.default_rng(2)
+    root = str(tmp_path / "wan-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    cfg_json = dict(WAN_TINY)
+    cfg_json["patch_size"] = [1, 2, 2]
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, WAN_TINY["text_dim"])), jnp.bfloat16)
+
+    eng = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True, verbose=False)
+    assert eng.vae_params is None  # wan VAE pending -> degraded mode
+    eng.text_encoder = _FakeTE()
+    eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
+    lat = eng.generate(prompt="a river", negative_prompt="static",
+                       height=32, width=32, num_frames=5,
+                       num_inference_steps=2, output_type="latent", seed=4)
+    # lf = (5-1)/4+1 = 2 latent frames; 32/8 = 4x4 spatial
+    assert lat.shape == (1, WAN_TINY["in_channels"], 2, 4, 4)
+    assert np.isfinite(lat).all()
+
+    # i2v without a VAE: clear error, not a crash in the encode path
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="Wan VAE"):
+        eng._wan_i2v_latents(np.zeros((32, 32, 3), np.uint8), 2, 4, 4, 5)
+
+
+def test_wan_engine_i2v_cond_path(tmp_path, monkeypatch):
+    """i2v wiring: conditioning channels concat into the model input each
+    step (VAE encode stubbed — the Wan VAE loader is pending checkpoints)."""
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_golden_wan as gw
+
+    i2v_tiny = dict(gw.TINY)
+    i2v_tiny["in_channels"] = gw.TINY["out_channels"] + 4  # z + 4 cond ch
+    rng = np.random.default_rng(3)
+    monkeypatch.setattr(gw, "TINY", i2v_tiny)
+    sd = gw._state_dict(rng)
+
+    root = str(tmp_path / "wan-i2v-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"), sd)
+    cfg_json = dict(i2v_tiny)
+    cfg_json["patch_size"] = [1, 2, 2]
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+
+    eng = FastDMEngine(root, architecture="wan2.2-i2v", use_int8=True, verbose=False)
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, i2v_tiny["text_dim"])), jnp.bfloat16)
+
+    eng.text_encoder = _FakeTE()
+    import dataclasses
+
+    eng.cfg = dataclasses.replace(eng.cfg, text_len=8)
+    # stub the VAE-encode-based conditioning (4 channels here)
+    monkeypatch.setattr(
+        eng, "_wan_i2v_latents",
+        lambda image, lf, lh, lw, nf: jnp.ones((1, 4, lf, lh, lw), jnp.float32),
+    )
+    lat = eng.generate(prompt="a duck", negative_prompt="still", task="i2v",
+                       image=np.zeros((32, 32, 3), np.uint8),
+                       height=32, width=32, num_frames=5,
+                       num_inference_steps=2, output_type="latent", seed=5)
+    assert lat.shape == (1, i2v_tiny["out_channels"], 2, 4, 4)
+    assert np.isfinite(lat).all()
