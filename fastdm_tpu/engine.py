@@ -345,9 +345,32 @@ class FastDMEngine:
 
     # ------------------------------------------------------------ generate
 
+    # reference kwarg spellings (ref: FastDMEngine.generate signature,
+    # model_entry.py:719-731) accepted alongside the diffusers-style ones
+    _GENERATE_ALIASES = {
+        "steps": "num_inference_steps",
+        "gen_seed": "seed",
+        "gen_width": "width",
+        "gen_height": "height",
+        "src_image": "image",
+        "max_seq_len": "max_sequence_length",
+    }
+
     def generate(self, prompt=None, task: str = "t2i", **kw):
         """Dispatch per task/architecture (ref: FastDMEngine.generate,
-        model_entry.py:719-834)."""
+        model_entry.py:719-834). Accepts both the reference's kwarg names
+        (steps/gen_seed/gen_width/gen_height/src_image) and diffusers-style
+        ones (num_inference_steps/seed/width/height/image)."""
+        for ref_name, ours in self._GENERATE_ALIASES.items():
+            if ref_name in kw:
+                if ours in kw:
+                    raise TypeError(
+                        f"generate() got both {ref_name!r} and {ours!r}"
+                    )
+                kw[ours] = kw.pop(ref_name)
+        # the reference engages i2i/i2v from src_image presence; mirror that
+        if kw.get("image") is not None and task == "t2i":
+            task = "i2v" if self.architecture == "wan" else "i2i"
         fn = getattr(self, f"_generate_{self.architecture}")
         return fn(prompt, task=task, **kw)
 

@@ -52,3 +52,33 @@ def test_missing_config_is_empty(tmp_path):
     eng = FastDMEngine.__new__(FastDMEngine)
     eng.model_path = str(tmp_path)
     assert eng._cfg_overrides("transformer", ("num_layers",)) == {}
+
+
+def test_generate_kwarg_aliases(monkeypatch):
+    """Reference spellings (steps/gen_seed/gen_width/...) map onto ours."""
+    from fastdm_tpu.engine import FastDMEngine
+
+    eng = FastDMEngine.__new__(FastDMEngine)
+    eng.architecture = "flux"
+    captured = {}
+
+    def fake(prompt, task="t2i", **kw):
+        captured.update(kw, prompt=prompt, task=task)
+
+    eng._generate_flux = fake
+    eng.generate("hi", steps=7, gen_seed=9, gen_width=256, gen_height=128,
+                 src_image=None)
+    assert captured["num_inference_steps"] == 7
+    assert captured["seed"] == 9 and captured["width"] == 256
+    assert captured["height"] == 128 and captured["image"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="both"):
+        eng.generate("hi", steps=7, num_inference_steps=8)
+
+    # src_image presence engages i2i like the reference
+    import numpy as np
+
+    eng.generate("hi", src_image=np.zeros((8, 8, 3), np.uint8))
+    assert captured["task"] == "i2i"
