@@ -204,7 +204,16 @@ class FastDMEngine:
             TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
         )
         self._decode = jax.jit(lambda p, z: vae_decode(p, self.vae_cfg, z))
-        self._encode = jax.jit(lambda p, x: vae_encode(p, self.vae_cfg, x))
+
+        def _enc(p, x):
+            if "encoder" not in p:
+                raise ValueError(
+                    "this VAE checkpoint has no encoder weights — i2i/edit "
+                    "tasks need the full AutoencoderKL, not a decoder-only one"
+                )
+            return vae_encode(p["encoder"], self.vae_cfg, x)
+
+        self._encode = jax.jit(_enc)
 
     def _cfg_overrides(self, subdir: str, keys, transforms=None):
         """Model hyperparams from the HF config.json when present — covers

@@ -33,7 +33,7 @@ def _flux_transformer_sd(rng):
     return _synthetic_state_dict(TINY, rng)
 
 
-def _vae_sd(rng, latent_channels=4, chans=(8, 16), layers=1, groups=4):
+def _vae_sd(rng, latent_channels=4, chans=(8, 8, 8, 8), layers=1, groups=4):
     sd = {}
 
     def conv(name, cin, cout, k=3):
@@ -74,6 +74,23 @@ def _vae_sd(rng, latent_channels=4, chans=(8, 16), layers=1, groups=4):
     norm("decoder.conv_norm_out", rev[-1])
     conv("decoder.conv_out", rev[-1], 3)
     conv("post_quant_conv", latent_channels, latent_channels, k=1)
+    # encoder (i2i / edit paths)
+    conv("encoder.conv_in", 3, chans[0])
+    prev = chans[0]
+    for i, c in enumerate(chans):
+        for r in range(layers):
+            resnet(f"encoder.down_blocks.{i}.resnets.{r}", prev if r == 0 else c, c)
+        if i < len(chans) - 1:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", c, c)
+        prev = c
+    resnet("encoder.mid_block.resnets.0", prev, prev)
+    resnet("encoder.mid_block.resnets.1", prev, prev)
+    norm("encoder.mid_block.attentions.0.group_norm", prev)
+    for n in ("to_q", "to_k", "to_v", "to_out.0"):
+        lin(f"encoder.mid_block.attentions.0.{n}", prev, prev)
+    norm("encoder.conv_norm_out", prev)
+    conv("encoder.conv_out", prev, 2 * latent_channels)
+    conv("quant_conv", 2 * latent_channels, 2 * latent_channels, k=1)
     return sd
 
 
@@ -98,7 +115,7 @@ def test_flux_engine_end_to_end(tmp_path, monkeypatch):
     # packed 16-channel stream unpacks to 4 latent channels at 2x2)
     monkeypatch.setitem(
         engine_mod.VAE_CONFIGS, "flux",
-        VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+        VAEConfig(latent_channels=4, block_out_channels=(8, 8, 8, 8),
                   layers_per_block=1, norm_num_groups=4,
                   scaling_factor=0.5, shift_factor=0.0),
     )
@@ -118,9 +135,8 @@ def test_flux_engine_end_to_end(tmp_path, monkeypatch):
         prompt_embeds=embeds, pooled_prompt_embeds=pooled,
         height=64, width=64, num_inference_steps=2, seed=1,
     )
-    # tiny 2-stage VAE upscales 2x (not the real 8x): 64/16 tokens -> 8x8
-    # latent -> 16x16 pixels
-    assert images.shape == (1, 16, 16, 3) and images.dtype == np.uint8
+    # 4-stage tiny VAE = real 8x scale: 64/16 tokens -> 8x8 latent -> 64x64
+    assert images.shape == (1, 64, 64, 3) and images.dtype == np.uint8
     # cache skip counter surfaced through the engine
     assert 0 <= eng.last_cache_skips < 2
 
@@ -151,7 +167,7 @@ def test_sd35_engine_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setitem(
         engine_mod.VAE_CONFIGS, "sd35",
         VAEConfig(latent_channels=SD35_TINY["in_channels"],
-                  block_out_channels=(8, 16), layers_per_block=1,
+                  block_out_channels=(8, 8, 8, 8), layers_per_block=1,
                   norm_num_groups=4, scaling_factor=1.0, shift_factor=0.0),
     )
 
@@ -170,8 +186,8 @@ def test_sd35_engine_end_to_end(tmp_path, monkeypatch):
     eng.text_encoder = _FakeTE()
     images = eng.generate(prompt="a cat", negative_prompt="blurry",
                           height=64, width=64, num_inference_steps=2, seed=3)
-    # 64/8 = 8x8 latent -> tiny 2-stage VAE 2x -> 16x16 pixels
-    assert images.shape == (1, 16, 16, 3) and images.dtype == np.uint8
+    # 64/8 = 8x8 latent -> 4-stage tiny VAE 8x -> 64x64 pixels
+    assert images.shape == (1, 64, 64, 3) and images.dtype == np.uint8
 
 
 def test_wan_engine_end_to_end_latent(tmp_path):
@@ -268,3 +284,51 @@ def test_wan_engine_i2v_cond_path(tmp_path, monkeypatch):
                        num_inference_steps=2, output_type="latent", seed=5)
     assert lat.shape == (1, i2v_tiny["out_channels"], 2, 4, 4)
     assert np.isfinite(lat).all()
+
+
+def _tiny_flux_engine(tmp_path, monkeypatch, arch="flux"):
+    import fastdm_tpu.engine as engine_mod
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.pipeline.vae import VAEConfig
+
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "flux-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _flux_transformer_sd(rng))
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(TINY, f)
+    _write_st(os.path.join(root, "vae", "model.safetensors"), _vae_sd(rng))
+    monkeypatch.setitem(
+        engine_mod.VAE_CONFIGS, "flux",
+        VAEConfig(latent_channels=4, block_out_channels=(8, 8, 8, 8),
+                  layers_per_block=1, norm_num_groups=4,
+                  scaling_factor=0.5, shift_factor=0.0),
+    )
+    return FastDMEngine(root, architecture=arch, use_int8=True, verbose=False), rng
+
+
+def test_flux_engine_i2i_and_kontext(tmp_path, monkeypatch):
+    """SDEdit img2img + Kontext editing through the engine, incl. the VAE
+    encoder path (full synthetic AutoencoderKL)."""
+    import jax.numpy as jnp
+
+    eng, rng = _tiny_flux_engine(tmp_path, monkeypatch, arch="flux-kontext")
+    b, txt = 1, 12
+    embeds = jnp.asarray(rng.standard_normal((b, txt, TINY["joint_attention_dim"])),
+                         jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((b, TINY["pooled_projection_dim"])),
+                         jnp.bfloat16)
+    # tiny VAE downsamples 2x, engine tokens use /16: give it a 64x64 source
+    src = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+
+    # Kontext: reference tokens appended (flux-kontext arch + i2i)
+    img = eng.generate(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
+                       task="i2i", image=src, num_inference_steps=2, seed=7)
+    assert img.dtype == np.uint8 and img.shape[0] == 1
+
+    # SDEdit i2i on the plain flux alias (same checkpoint)
+    eng.architecture_full = "flux-dev"
+    img2 = eng.generate(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
+                        task="i2i", image=src, strength=0.5,
+                        num_inference_steps=2, seed=7)
+    assert img2.dtype == np.uint8 and img2.shape[0] == 1
