@@ -332,3 +332,67 @@ def test_flux_engine_i2i_and_kontext(tmp_path, monkeypatch):
                         task="i2i", image=src, strength=0.5,
                         num_inference_steps=2, seed=7)
     assert img2.dtype == np.uint8 and img2.shape[0] == 1
+
+
+def test_qwen_engine_t2i_and_edit(tmp_path, monkeypatch):
+    """Qwen-Image t2i + qwen-image-edit through the engine (true CFG, source
+    tokens appended, VAE encoder path)."""
+    import jax.numpy as jnp
+
+    import fastdm_tpu.engine as engine_mod
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.pipeline.vae import VAEConfig
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_qwen import TINY as Q_TINY, _state_dict
+
+    rng = np.random.default_rng(4)
+    root = str(tmp_path / "qwen-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    # engine requires in == patch^2 * out for the packed latent stream
+    cfg_json = dict(Q_TINY)
+    cfg_json["out_channels"] = Q_TINY["in_channels"] // 4
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+    lat_ch = Q_TINY["in_channels"] // 4
+    _write_st(os.path.join(root, "vae", "model.safetensors"),
+              _vae_sd(rng, latent_channels=lat_ch))
+    monkeypatch.setitem(
+        engine_mod.VAE_CONFIGS, "qwen",
+        VAEConfig(latent_channels=lat_ch, block_out_channels=(8, 8, 8, 8),
+                  layers_per_block=1, norm_num_groups=4,
+                  scaling_factor=1.0, shift_factor=0.0),
+    )
+
+    class _FakeTE:
+        def encode(self, prompt, n=1):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 6, Q_TINY["joint_attention_dim"])), jnp.bfloat16)
+
+        def encode_with_image(self, prompt, image, n=1):
+            r = np.random.default_rng(
+                (abs(hash(str(prompt))) + int(np.asarray(image).sum())) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 6, Q_TINY["joint_attention_dim"])), jnp.bfloat16)
+
+    eng = FastDMEngine(root, architecture="qwen-image-edit", use_int8=True,
+                       verbose=False)
+    eng.text_encoder = _FakeTE()
+
+    img = eng.generate(prompt="a fox", negative_prompt="blurry",
+                       height=64, width=64, num_inference_steps=2,
+                       true_cfg_scale=3.0, seed=6)
+    assert img.shape == (1, 64, 64, 3) and img.dtype == np.uint8
+
+    src = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    edited = eng.generate(prompt="make it red", src_image=src,
+                          num_inference_steps=2, true_cfg_scale=3.0, seed=6)
+    assert edited.shape == (1, 64, 64, 3) and edited.dtype == np.uint8
+    # different source -> different edit (tokens + VL conditioning both shift)
+    edited2 = eng.generate(prompt="make it red", src_image=255 - src,
+                           num_inference_steps=2, true_cfg_scale=3.0, seed=6)
+    assert np.abs(edited.astype(int) - edited2.astype(int)).max() > 0
