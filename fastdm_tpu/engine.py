@@ -537,11 +537,14 @@ class FastDMEngine:
         from fastdm_tpu.pipeline.denoise_more import make_sd3_denoiser
 
         pos, pooled = self.text_encoder.encode(prompt, num_images_per_prompt)
-        neg, neg_pooled = self.text_encoder.encode(
-            negative_prompt or "", num_images_per_prompt
-        )
-        embeds = jnp.concatenate([neg, pos])
-        pooled_all = jnp.concatenate([neg_pooled, pooled])
+        if guidance_scale > 1.0:  # CFG batch: uncond first (diffusers order)
+            neg, neg_pooled = self.text_encoder.encode(
+                negative_prompt or "", num_images_per_prompt
+            )
+            embeds = jnp.concatenate([neg, pos])
+            pooled_all = jnp.concatenate([neg_pooled, pooled])
+        else:
+            embeds, pooled_all = pos, pooled
         b = pos.shape[0]
         lh, lw = height // 8, width // 8
         pos_embed = sd3_cropped_pos_embed(
@@ -572,14 +575,18 @@ class FastDMEngine:
         from fastdm_tpu.pipeline.denoise_more import make_sdxl_denoiser
 
         pos, pooled = self.text_encoder.encode(prompt, num_images_per_prompt)
-        neg, neg_pooled = self.text_encoder.encode(
-            negative_prompt or "", num_images_per_prompt
-        )
-        embeds = jnp.concatenate([neg, pos])
-        pooled_all = jnp.concatenate([neg_pooled, pooled])
+        if guidance_scale > 1.0:  # CFG batch: uncond first (diffusers order)
+            neg, neg_pooled = self.text_encoder.encode(
+                negative_prompt or "", num_images_per_prompt
+            )
+            embeds = jnp.concatenate([neg, pos])
+            pooled_all = jnp.concatenate([neg_pooled, pooled])
+        else:
+            embeds, pooled_all = pos, pooled
         b = pos.shape[0]
         time_ids = jnp.asarray(
-            np.tile([height, width, 0, 0, height, width], (2 * b, 1)), jnp.float32
+            np.tile([height, width, 0, 0, height, width],
+                    (embeds.shape[0], 1)), jnp.float32
         )
         lh, lw = height // 8, width // 8
         use_cn = control_image is not None and self.cn_params is not None

@@ -289,7 +289,7 @@ def sdxl_load(src: TensorSource, cfg: SDXLConfig) -> Dict:
         "resnets": [_resnet_p(src, f"down_blocks.0.resnets.{j}", q) for j in range(2)],
         "downsample": _conv_p(src, "down_blocks.0.downsamplers.0.conv"),
     }
-    for i, n_layers in ((1, 2), (2, 10)):
+    for i, n_layers in ((1, cfg.attn_layers[1]), (2, cfg.attn_layers[2])):
         blk = {
             "resnets": [_resnet_p(src, f"down_blocks.{i}.resnets.{j}", q) for j in range(2)],
             "attns": [
@@ -302,9 +302,9 @@ def sdxl_load(src: TensorSource, cfg: SDXLConfig) -> Dict:
         params[f"down{i}"] = blk
     params["mid"] = {
         "resnets": [_resnet_p(src, f"mid_block.resnets.{j}", q) for j in range(2)],
-        "attn": _t2d_p(src, "mid_block.attentions.0", 10, q, cfg.ip_adapter),
+        "attn": _t2d_p(src, "mid_block.attentions.0", cfg.attn_layers[2], q, cfg.ip_adapter),
     }
-    for i, n_layers in ((0, 10), (1, 2), (2, 0)):
+    for i, n_layers in ((0, cfg.attn_layers[2]), (1, cfg.attn_layers[1]), (2, 0)):
         blk = {
             "resnets": [_resnet_p(src, f"up_blocks.{i}.resnets.{j}", q) for j in range(3)],
         }
