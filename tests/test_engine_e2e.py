@@ -521,3 +521,50 @@ def test_sdxl_engine_end_to_end(tmp_path, monkeypatch):
                        guidance_scale=5.0, seed=8)
     # 64/8 latent -> 4-stage VAE 8x -> 64x64
     assert img.shape == (1, 64, 64, 3) and img.dtype == np.uint8
+
+
+def test_flux_engine_mesh_tp(tmp_path, monkeypatch):
+    """mesh_shape TP-shards the engine weights over the virtual device mesh
+    and generate() runs under GSPMD (conftest provides 8 CPU devices)."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs multiple devices")
+
+    import fastdm_tpu.engine as engine_mod
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.pipeline.vae import VAEConfig
+
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "flux-tp")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _flux_transformer_sd(rng))
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(TINY, f)
+    _write_st(os.path.join(root, "vae", "model.safetensors"), _vae_sd(rng))
+    monkeypatch.setitem(
+        engine_mod.VAE_CONFIGS, "flux",
+        VAEConfig(latent_channels=4, block_out_channels=(8, 8, 8, 8),
+                  layers_per_block=1, norm_num_groups=4,
+                  scaling_factor=0.5, shift_factor=0.0),
+    )
+    eng = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
+                       mesh_shape=(1, 1, 2))
+    assert eng.mesh is not None
+
+    embeds = jnp.asarray(rng.standard_normal((1, 12, TINY["joint_attention_dim"])),
+                         jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, TINY["pooled_projection_dim"])),
+                         jnp.bfloat16)
+    img = eng.generate(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
+                       height=64, width=64, num_inference_steps=2, seed=1)
+    assert img.shape == (1, 64, 64, 3) and img.dtype == np.uint8
+
+    # same weights unsharded -> numerically close (sharding is layout only)
+    eng1 = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False)
+    img1 = eng1.generate(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
+                         height=64, width=64, num_inference_steps=2, seed=1)
+    assert np.abs(img.astype(int) - img1.astype(int)).max() <= 2
