@@ -61,6 +61,12 @@ def generic_param_pspec(path: str) -> P:
     col = any(k in path for k in (
         "qkv", "add_qkv", ".kv", "ff.proj", "ff_context.proj", "img_mlp.proj",
         "txt_mlp.proj", "ffn.proj", "proj_mlp", "attn2.q", "attn.q",
+        # AdaLN modulation projections: their outputs are per-sample (1 token)
+        # so the post-matmul gather is ~free, while replicating the weights
+        # costs 6.8B params on Qwen-Image / 2.2B on FLUX — the difference
+        # between fitting and not fitting TP shards in 16GB HBM
+        "img_mod", "txt_mod", "norm1.linear", "norm1_context.linear",
+        "norm.linear",
     ))
     row = any(k in path for k in (
         "to_out", "to_add_out", "ff.out", "ff_context.out", "img_mlp.out",
