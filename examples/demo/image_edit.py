@@ -32,9 +32,12 @@ def main():
     image = np.asarray(Image.open(args.image).convert("RGB"))
     t0 = time.perf_counter()
     out = engine.generate(
-        prompt=args.prompt, image=image, task="i2i",
+        prompt=args.prompt, negative_prompt=args.negative_prompt,
+        image=image, task="i2i",
         num_inference_steps=args.num_inference_steps,
-        guidance_scale=args.guidance_scale, seed=args.seed,
+        guidance_scale=args.guidance_scale,
+        true_cfg_scale=args.true_cfg_scale if "qwen" in args.architecture else None,
+        seed=args.seed,
     )
     print(f"edit latency: {time.perf_counter() - t0:.2f}s")
     Image.fromarray(out[0]).save(args.output)

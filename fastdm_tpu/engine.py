@@ -618,15 +618,28 @@ class FastDMEngine:
         else:
             ip_embeds = None
             if ip_adapter_image is not None and self.ip_proj is not None:
-                from fastdm_tpu.layers.ip_adapter import image_projection_apply
+                from fastdm_tpu.layers.ip_adapter import (
+                    image_projection_apply, ip_adapter_plus_projection_apply,
+                )
 
-                img_emb = self.image_encoder.encode(
-                    ip_adapter_image, num_images_per_prompt
-                )
-                tokens = image_projection_apply(
-                    {k: self.ip_proj[k] for k in ("proj", "norm")}, img_emb,
-                    self.ip_proj["num_tokens"],
-                )
+                if self.ip_proj["kind"] == "plus":
+                    # Plus conditions on the CLIP penultimate token grid
+                    img_emb = self.image_encoder.encode(
+                        ip_adapter_image, num_images_per_prompt, hidden_states=True
+                    )
+                    tokens = ip_adapter_plus_projection_apply(
+                        self.ip_proj, img_emb,
+                        heads=self.ip_proj["heads"],
+                        head_dim=self.ip_proj["head_dim"],
+                    )
+                else:
+                    img_emb = self.image_encoder.encode(
+                        ip_adapter_image, num_images_per_prompt
+                    )
+                    tokens = image_projection_apply(
+                        {k: self.ip_proj[k] for k in ("proj", "norm")}, img_emb,
+                        self.ip_proj["num_tokens"],
+                    )
                 # CFG batch: zero image tokens for the uncond half (diffusers)
                 ip_embeds = jnp.concatenate([jnp.zeros_like(tokens), tokens])
             latents, skips = self._denoisers[key](

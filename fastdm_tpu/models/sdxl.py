@@ -482,19 +482,56 @@ def sdxl_attach_ip_adapter(params: Dict, src: TensorSource, cfg: SDXLConfig) -> 
     for a in params["up1"]["attns"]:
         attach_t2d(a, n1)
 
-    if "image_proj.proj.weight" not in src:
+    if "image_proj.proj.weight" in src:
+        # plain ImageProjection: one linear -> num_tokens context tokens
+        out_dim = src._tensors["image_proj.proj.weight"].shape[0]
+        proj = {
+            "kind": "simple",
+            "proj": src.linear("image_proj.proj", None),
+            "norm": _ln(src, "image_proj.norm"),
+            "num_tokens": out_dim // cfg.cross_attention_dim,
+        }
+    elif "image_proj.latents" in src:
+        # IP-Adapter-Plus perceiver resampler (official checkpoint layout:
+        # image_proj.latents / proj_in / proj_out / norm_out +
+        # layers.{i}.0.{norm1,norm2,to_q,to_kv,to_out} attention and
+        # layers.{i}.1.{0,1,3} LayerNorm/Linear/Linear feed-forward —
+        # ref analog: FastdmIPAdapterPlusImageProjection, embeddings.py:685+)
+        latents = src.tensor("image_proj.latents", jnp.bfloat16)
+        layers = []
+        i = 0
+        while f"image_proj.layers.{i}.0.to_q.weight" in src:
+            p = f"image_proj.layers.{i}"
+            layers.append({
+                "norm0": _ln(src, f"{p}.0.norm1"),   # input (x) norm
+                "norm1": _ln(src, f"{p}.0.norm2"),   # latents norm
+                "attn": {
+                    "q": src.linear(f"{p}.0.to_q", None),
+                    "kv": src.linear(f"{p}.0.to_kv", None),
+                    "out": src.linear(f"{p}.0.to_out", None),
+                },
+                "ff_norm": _ln(src, f"{p}.1.0"),
+                "ff": {
+                    "proj": src.linear(f"{p}.1.1", None),
+                    "out": src.linear(f"{p}.1.3", None),
+                },
+            })
+            i += 1
+        hidden_dims = latents.shape[-1]
+        proj = {
+            "kind": "plus",
+            "latents": latents,
+            "proj_in": src.linear("image_proj.proj_in", None),
+            "proj_out": src.linear("image_proj.proj_out", None),
+            "norm_out": _ln(src, "image_proj.norm_out"),
+            "layers": layers,
+            "num_tokens": latents.shape[-2],
+            "heads": hidden_dims // 64,
+            "head_dim": 64,
+        }
+    else:
         raise NotImplementedError(
-            "only the plain ImageProjection IP-Adapter layout is supported; "
-            "IP-Adapter-Plus resampler checkpoints need the diffusers-converted "
-            "layout (layers/ip_adapter.py implements the resampler math)"
+            "unrecognized image_proj layout in the IP-Adapter checkpoint"
         )
-    # num_tokens from the projection shape: (num_tokens * ctx_dim, embed_dim)
-    out_dim = src._tensors["image_proj.proj.weight"].shape[0]
-    num_tokens = out_dim // cfg.cross_attention_dim
-    proj = {
-        "proj": src.linear("image_proj.proj", None),
-        "norm": _ln(src, "image_proj.norm"),
-        "num_tokens": num_tokens,
-    }
     src.assert_consumed()
     return proj

@@ -345,13 +345,17 @@ class CLIPImageEncoder:
         )
         self._loaded = True
 
-    def encode(self, image, num_images_per_prompt: int = 1):
-        """image: (H, W, 3) uint8 -> (N, embed_dim) projected CLIP embedding."""
+    def encode(self, image, num_images_per_prompt: int = 1,
+               hidden_states: bool = False):
+        """image: (H, W, 3) uint8 -> (N, embed_dim) projected CLIP embedding,
+        or (N, S, hidden_dim) penultimate-layer tokens when hidden_states=True
+        (IP-Adapter-Plus conditions on these, not the pooled projection)."""
         self._load()
         import torch
 
         inputs = self.processor(images=image, return_tensors="pt")
         with torch.no_grad():
-            out = self.model(**inputs).image_embeds  # (1, 1280)
-        emb = np.repeat(np.asarray(out, np.float32), num_images_per_prompt, 0)
+            out = self.model(**inputs, output_hidden_states=hidden_states)
+            emb_t = out.hidden_states[-2] if hidden_states else out.image_embeds
+        emb = np.repeat(np.asarray(emb_t, np.float32), num_images_per_prompt, 0)
         return jnp.asarray(emb, jnp.bfloat16)
