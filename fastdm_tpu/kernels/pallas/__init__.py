@@ -7,3 +7,4 @@ registry handles this), so this package only registers what it accelerates.
 
 from fastdm_tpu.kernels.pallas import attention  # noqa: F401
 from fastdm_tpu.kernels.pallas import matmul  # noqa: F401
+from fastdm_tpu.kernels.pallas import elementwise  # noqa: F401

@@ -1,0 +1,299 @@
+"""Pallas TPU elementwise kernels: fused rms_norm, rotary embedding,
+gelu-and-mul, per-token int8/fp8 quantization.
+
+TPU-native analogs of the reference's CUDA elementwise set (ref:
+csrc/elmwise_ops.cu — rms_norm_kernel :57-85, fused-QKV RoPE :86-168,
+per-token quant :251-388) and its triton twins (fastdm/kernel/triton/).
+
+The registry's "auto" policy keeps these on the jnp backend — XLA fuses
+them into producers/consumers, which a standalone pallas launch cannot
+(measured in BENCH_NOTES.md). They exist as selectable backends
+(FASTDM_KERNEL_BACKEND=pallas) so every reference kernel family has a
+hand-written TPU twin, and as the basis for future fusion experiments.
+
+Each kernel tiles rows over a 1D grid with the full feature dim resident in
+VMEM (diffusion feature dims are 128..21504 — comfortably under the budget).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastdm_tpu.kernels.registry import kernel_registry
+
+_INTERPRET = os.environ.get("FASTDM_PALLAS_INTERPRET", "0") == "1"
+
+Array = jax.Array
+
+_EPS_SCALE = 1e-8
+_FP8_MAX = 448.0
+
+
+def _row_grid(n_rows: int, width: int = 4096):
+    # Mosaic stack-allocates the f32 intermediates of the kernel body, so the
+    # effective per-row footprint is several f32 copies of the block — budget
+    # ~1MB of input rows to stay far from the 16MB scoped-vmem cap
+    budget_rows = (1024 * 1024) // (width * 4)
+    br = max(8, min(256, budget_rows // 8 * 8, max(8, n_rows)))
+    pad = (-n_rows) % br
+    return br, pad, (n_rows + pad) // br
+
+
+def _pad_rows(x, pad):
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+# ------------------------------------------------------------------ rms_norm
+
+
+def _rms_kernel(x_ref, w_ref, o_ref, *, eps, has_w):
+    x = x_ref[...].astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    y = x * jax.lax.rsqrt(var + eps)
+    if has_w:
+        y = y * w_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@kernel_registry.register("rms_norm", "pallas")
+def rms_norm_pallas(x: Array, weight: Optional[Array], eps: float) -> Array:
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    br, pad, nb = _row_grid(x2.shape[0], shape[-1])
+    x2 = _pad_rows(x2, pad)
+    has_w = weight is not None
+    in_specs = [pl.BlockSpec((br, shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    operands = [x2]
+    if has_w:
+        in_specs.append(
+            pl.BlockSpec((1, shape[-1]), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(weight.reshape(1, -1))
+
+    def kernel(*refs):
+        if has_w:
+            x_ref, w_ref, o_ref = refs
+        else:
+            (x_ref, o_ref), w_ref = refs, None
+        _rms_kernel(x_ref, w_ref, o_ref, eps=eps, has_w=has_w)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((br, shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=_INTERPRET,
+    )(*operands)
+    return out[: x.reshape(-1, shape[-1]).shape[0]].reshape(shape)
+
+
+# ------------------------------------------------------------ gelu_and_mul
+
+
+def _erf(z):
+    # Mosaic has no erf/erfc lowering; Abramowitz & Stegun 7.1.26 rational
+    # approximation (|error| < 1.5e-7, far below bf16 resolution) using exp
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    s = jnp.sign(z)
+    za = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * za)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-za * za))
+
+
+def _gelu_mul_kernel(x_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)
+    d = x.shape[-1] // 2
+    g = x[..., d:]
+    gelu = 0.5 * g * (1.0 + _erf(g * 0.7071067811865476))
+    o_ref[...] = (x[..., :d] * gelu).astype(o_ref.dtype)
+
+
+@kernel_registry.register("gelu_and_mul", "pallas")
+def gelu_and_mul_pallas(x: Array) -> Array:
+    shape = x.shape
+    d2 = shape[-1]
+    x2 = x.reshape(-1, d2)
+    br, pad, nb = _row_grid(x2.shape[0], shape[-1])
+    x2 = _pad_rows(x2, pad)
+    out = pl.pallas_call(
+        _gelu_mul_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((br, d2), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((br, d2 // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], d2 // 2), x.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=_INTERPRET,
+    )(x2)
+    return out[: x.reshape(-1, d2).shape[0]].reshape(shape[:-1] + (d2 // 2,))
+
+
+# ---------------------------------------------------------------- quantize
+
+
+def _quant_int8_kernel(x_ref, q_ref, s_ref, zp_ref, *, symmetric):
+    x = x_ref[...].astype(jnp.float32)
+    row_min = jnp.min(x, axis=-1, keepdims=True)
+    row_max = jnp.max(x, axis=-1, keepdims=True)
+    if symmetric:
+        amax = jnp.maximum(jnp.abs(row_min), jnp.abs(row_max))
+        scale = jnp.maximum(amax, _EPS_SCALE) / 127.0
+        q_ref[...] = jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
+        s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
+    else:
+        scale = jnp.maximum(row_max - row_min, _EPS_SCALE) / 255.0
+        zp = -128.0 - jnp.round(row_min / scale)
+        q_ref[...] = jnp.clip(jnp.round(x / scale) + zp, -128, 127).astype(jnp.int8)
+        s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
+        zp_ref[...] = jnp.broadcast_to(zp.astype(jnp.int32), zp_ref.shape)
+
+
+@kernel_registry.register("quantize_to_int8", "pallas")
+def quantize_to_int8_pallas(
+    x: Array, symmetric: bool = True
+) -> Tuple[Array, Array, Optional[Array]]:
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    n = x2.shape[0]
+    br, pad, nb = _row_grid(x2.shape[0], shape[-1])
+    x2 = _pad_rows(x2, pad)
+    # scale/zp blocks keep a 128-lane minor dim (scalar-per-row outputs are
+    # stored broadcast and sliced to column 0 afterwards)
+    lanes = 128
+    out_shapes = [
+        jax.ShapeDtypeStruct(x2.shape, jnp.int8),
+        jax.ShapeDtypeStruct((x2.shape[0], lanes), jnp.float32),
+        jax.ShapeDtypeStruct((x2.shape[0], lanes), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((br, shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((br, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((br, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    q, s, zp = pl.pallas_call(
+        functools.partial(_quant_int8_kernel, symmetric=symmetric),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((br, shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=_INTERPRET,
+    )(x2)
+    q = q[:n].reshape(shape)
+    scale = s[:n, :1].reshape(shape[:-1] + (1,))
+    if symmetric:
+        return q, scale, None
+    return q, scale, zp[:n, :1].reshape(shape[:-1] + (1,))
+
+
+def _quant_fp8_kernel(x_ref, q_ref, s_ref):
+    x = x_ref[...].astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), _EPS_SCALE)
+    scale = amax / _FP8_MAX
+    q_ref[...] = jnp.clip(x / scale, -_FP8_MAX, _FP8_MAX).astype(jnp.float8_e4m3fn)
+    s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
+
+
+@kernel_registry.register("quantize_to_fp8", "pallas")
+def quantize_to_fp8_pallas(x: Array) -> Tuple[Array, Array]:
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    n = x2.shape[0]
+    br, pad, nb = _row_grid(x2.shape[0], shape[-1])
+    x2 = _pad_rows(x2, pad)
+    lanes = 128
+    q, s = pl.pallas_call(
+        _quant_fp8_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((br, shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((br, shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x2.shape, jnp.float8_e4m3fn),
+            jax.ShapeDtypeStruct((x2.shape[0], lanes), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=_INTERPRET,
+    )(x2)
+    return q[:n].reshape(shape), s[:n, :1].reshape(shape[:-1] + (1,))
+
+
+# ------------------------------------------------------------------- rope
+
+
+def _rope_kernel(x_ref, cosf_ref, sinf_ref, o_ref, *, is_neox, head_size):
+    # pure 2D: rows = sequence positions, lanes = flattened H*D. cosf/sinf
+    # are full-width tables (head-tiled outside the kernel; Mosaic has no
+    # strided gather), and rotate() is expressed with lane rolls masked by
+    # in-head position — pair/half rolls never cross a head boundary.
+    x = x_ref[...].astype(jnp.float32)           # (bs, H*D)
+    cosf = cosf_ref[...]
+    sinf = sinf_ref[...]
+    j = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % head_size
+    if is_neox:
+        h2 = head_size // 2
+        rot = jnp.where(j < h2, -jnp.roll(x, -h2, axis=-1), jnp.roll(x, h2, axis=-1))
+    else:
+        even = (j % 2) == 0
+        rot = jnp.where(even, -jnp.roll(x, -1, axis=-1), jnp.roll(x, 1, axis=-1))
+    o_ref[...] = (x * cosf + rot * sinf).astype(o_ref.dtype)
+
+
+def _rope_one(x3: Array, cosf: Array, sinf: Array, is_neox: bool, head_size: int) -> Array:
+    b, s, hd = x3.shape
+    x2 = x3.reshape(b * s, hd)
+    cosf = jnp.broadcast_to(cosf[None], (b, s, hd)).reshape(b * s, hd)
+    sinf = jnp.broadcast_to(sinf[None], (b, s, hd)).reshape(b * s, hd)
+    br, pad, nb = _row_grid(x2.shape[0], hd)
+    x2, cosf, sinf = _pad_rows(x2, pad), _pad_rows(cosf, pad), _pad_rows(sinf, pad)
+    out = pl.pallas_call(
+        functools.partial(_rope_kernel, is_neox=is_neox, head_size=head_size),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((br, hd), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, hd), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, hd), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, hd), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x3.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=_INTERPRET,
+    )(x2, cosf, sinf)
+    return out[: b * s].reshape(b, s, hd)
+
+
+@kernel_registry.register("rotembd", "pallas")
+def rotary_pos_embedding_pallas(
+    query: Array, key: Array, head_size: int, cos: Array, sin: Array,
+    is_neox: bool = False,
+) -> Tuple[Array, Array]:
+    qs, ks = query.shape, key.shape
+    cos = cos.astype(jnp.float32)
+    sin = sin.astype(jnp.float32)
+    # full-width tables (XLA-side): neox tiles halves, interleaved repeats
+    # each angle across its lane pair; the sign of the rotated term folds
+    # into the kernel's rotate() so sinf stays positive
+    if is_neox:
+        cosf = jnp.concatenate([cos, cos], axis=-1)
+        sinf = jnp.concatenate([sin, sin], axis=-1)
+    else:
+        cosf = jnp.repeat(cos, 2, axis=-1)
+        sinf = jnp.repeat(sin, 2, axis=-1)
+    # q and k may carry different head counts (GQA); tile per tensor
+    q = _rope_one(query, jnp.tile(cosf, (1, qs[-1] // head_size)),
+                  jnp.tile(sinf, (1, qs[-1] // head_size)), is_neox, head_size)
+    k = _rope_one(key, jnp.tile(cosf, (1, ks[-1] // head_size)),
+                  jnp.tile(sinf, (1, ks[-1] // head_size)), is_neox, head_size)
+    return q, k
