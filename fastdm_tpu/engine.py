@@ -817,6 +817,36 @@ class FastDMEngine:
                     self.cfg, sched, num_inference_steps, guidance_scale,
                     guidance_scale_2, self.boundary_ratio, dense_steps,
                 )
+        # ti2v (5B): clean first latent frame + per-token timestep 0, no
+        # channel concat (ref: the 5B pipeline's expand_timesteps flow)
+        if (self.architecture_full == "wan2.2-ti2v" and image is not None
+                and task in ("i2v", "ti2v")):
+            from fastdm_tpu.pipeline.denoise_more import make_wan_ti2v_denoiser
+            from fastdm_tpu.pipeline.wan_vae import wan_vae_encode
+
+            if self.vae_params is None:
+                raise RuntimeError(
+                    "wan ti2v needs the Wan VAE to encode the conditioning "
+                    "frame, but the VAE checkpoint could not be loaded"
+                )
+            img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
+            cond = wan_vae_encode(self.vae_params, self.vae_cfg, img[None, None])
+            key = ("wan-ti2v", lf, lh, lw, num_inference_steps, guidance_scale)
+            if key not in self._denoisers:
+                sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=5.0)
+                self._denoisers[key] = make_wan_ti2v_denoiser(
+                    self.cfg, sched, num_inference_steps, guidance_scale
+                )
+            latents = self._latents((1, self.cfg.out_channels, lf, lh, lw), seed)
+            latents, skips = self._denoisers[key](
+                self.params, latents, cond, pos, neg, cos, sin
+            )
+            self._note_skips(skips)
+            if output_type == "latent" or self.vae_params is None:
+                return np.asarray(latents)
+            video = wan_vae_decode(self.vae_params, self.vae_cfg, latents)
+            return self._to_images(video)
+
         # noise latents carry out_channels (z_dim, 16); i2v models take
         # in_channels = z + 20 conditioning channels concatenated per step
         cond = None

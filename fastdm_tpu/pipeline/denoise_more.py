@@ -461,3 +461,60 @@ def make_wan_cached_denoiser(
         return latents_out, st_p["skips"] + st_n["skips"]
 
     return run
+
+
+def make_wan_ti2v_denoiser(
+    cfg: WanConfig,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    guidance_scale: float = 5.0,
+):
+    """Wan2.2-ti2v (5B) image-conditioned loop: the clean encoded first latent
+    frame is re-pinned into the latents every step and its tokens carry
+    timestep 0 via the model's per-token timestep path
+    (cfg.per_token_timestep; ref: wan.py:76-92 temb ndim-4 handling — the
+    diffusers ti2v flow with expand_timesteps).
+
+    run(params, latents (B,C,F,H,W), cond (B,C,1,H,W), pos_text, neg_text,
+    rope_cos, rope_sin) -> latents with frame 0 = cond."""
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+    assert cfg.per_token_timestep, "ti2v needs per_token_timestep=True"
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run(params, latents, cond, pos_text, neg_text, rope_cos, rope_sin):
+        b, c, f, h, w = latents.shape
+        pt, ph, pw = cfg.patch_size
+        tokens_per_frame = (h // ph) * (w // pw)
+        n_tokens = (f // pt) * tokens_per_frame
+        # frame-0 tokens are conditioned -> timestep 0
+        frame_idx = jnp.arange(n_tokens) // tokens_per_frame
+        tmask = (frame_idx > 0).astype(jnp.float32)[None]  # (1, S)
+
+        def body(lat, step):
+            sigma = sigmas[step]
+            lat_in = jnp.concatenate([cond.astype(lat.dtype), lat[:, :, pt:]], axis=2)
+            t_tok = jnp.broadcast_to(sigma * 1000.0 * tmask, (b, n_tokens))
+
+            def one(text):
+                return wan_forward(
+                    params, cfg, lat_in.astype(jnp.bfloat16), t_tok, text,
+                    rope_cos=rope_cos, rope_sin=rope_sin,
+                ).astype(jnp.float32)
+
+            pos = one(pos_text)
+            if do_cfg:
+                neg = one(neg_text)
+                out = neg + guidance_scale * (pos - neg)
+            else:
+                out = pos
+            return scheduler.step(out, step, lat_in.astype(jnp.float32), sigmas), None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        # final output keeps the clean conditioning frame
+        return (
+            jnp.concatenate([cond.astype(latents.dtype), latents[:, :, pt:]], axis=2),
+            jnp.zeros((), jnp.int32),
+        )
+
+    return run

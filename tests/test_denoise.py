@@ -182,3 +182,32 @@ def test_wan_cached_denoiser():
     out, _ = run(params, lat, pos, neg, cos, sin, None)
     assert out.shape == lat.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wan_ti2v_denoiser_pins_conditioning_frame():
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import make_wan_ti2v_denoiser
+
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=32, freq_dim=16, ffn_dim=64,
+                    num_layers=2, text_len=8, per_token_timestep=True,
+                    quant="int8")
+    params = wan_init_random(jax.random.key(0), cfg)
+    sched = FlowMatchEulerScheduler.create(2, shift=1.0)
+    run = make_wan_ti2v_denoiser(cfg, sched, 2, guidance_scale=5.0)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 4, 8, 8), jnp.float32)
+    cond = jax.random.normal(jax.random.key(2), (1, 4, 1, 8, 8), jnp.float32)
+    pos = jax.random.normal(k, (1, 8, cfg.text_dim), jnp.bfloat16)
+    neg = jax.random.normal(jax.random.key(3), pos.shape, jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, 4, 8, 8)
+    out, _ = run(params, lat.copy(), cond, pos, neg, cos, sin)
+    assert out.shape == (1, 4, 4, 8, 8)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # frame 0 stays exactly the conditioning latent
+    np.testing.assert_array_equal(np.asarray(out[:, :, :1], np.float32),
+                                  np.asarray(cond, np.float32))
+    # a different conditioning frame steers the generated frames
+    cond2 = -cond
+    out2, _ = run(params, lat.copy(), cond2, pos, neg, cos, sin)
+    assert np.abs(np.asarray(out[:, :, 1:] - out2[:, :, 1:], np.float32)).max() > 1e-5
