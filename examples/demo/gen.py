@@ -11,12 +11,33 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from fastdm_tpu.common_args import add_engine_args, add_generation_args
 
 
-def save_images(images, path):
+def save_images(images, path, fps=16):
+    """Images: (N, H, W, 3) stills or (1, F, H, W, 3) video frames (t2v).
+    Video saves per-frame PNGs (plus .mp4 when imageio is available —
+    ref: gen.py export_to_video flow)."""
+    import numpy as np
     from PIL import Image
 
     base, ext = os.path.splitext(path)
-    for i, img in enumerate(images):
-        p = path if len(images) == 1 else f"{base}_{i}{ext}"
+    arr = np.asarray(images)
+    if arr.ndim == 5:  # video: (B, F, H, W, 3)
+        frames = arr[0]
+        try:
+            import imageio
+
+            mp4 = base + ".mp4"
+            imageio.mimsave(mp4, list(frames), fps=fps)
+            print(f"saved {mp4} ({len(frames)} frames)")
+            return
+        except Exception as e:  # no imageio / no ffmpeg backend
+            print(f"mp4 unavailable ({e.__class__.__name__}); writing frames")
+            for i, f in enumerate(frames):
+                fp = f"{base}_f{i:04d}.png"
+                Image.fromarray(f).save(fp)
+            print(f"saved {len(frames)} frames as {base}_f*.png")
+            return
+    for i, img in enumerate(arr):
+        p = path if len(arr) == 1 else f"{base}_{i}{ext}"
         Image.fromarray(img).save(p)
         print(f"saved {p}")
 
@@ -59,9 +80,16 @@ def main():
         engine.generate(**gen_kwargs)
 
     t0 = time.perf_counter()
+    if args.task in ("t2v", "i2v", "ti2v"):
+        gen_kwargs["num_frames"] = args.num_frames
+        if args.image:
+            import numpy as np
+            from PIL import Image
+
+            gen_kwargs["image"] = np.asarray(Image.open(args.image).convert("RGB"))
     images = engine.generate(**gen_kwargs)
     print(f"generation latency: {time.perf_counter() - t0:.2f}s")
-    save_images(images, args.output)
+    save_images(images, args.output, fps=args.fps)
 
 
 if __name__ == "__main__":
