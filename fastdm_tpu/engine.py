@@ -181,12 +181,20 @@ class FastDMEngine:
             cfg_file = os.path.join(path, "config.json")
             if os.path.exists(cfg_file):
                 cn_json = _read_json(cfg_file)
-            self.cn_cfg = FluxControlNetConfig(
-                quant=self.quant,
-                num_layers=cn_json.get("num_layers", 5),
-                num_single_layers=cn_json.get("num_single_layers", 0),
-                guidance_embeds=cn_json.get("guidance_embeds", False),
-            )
+            kw = {
+                k: cn_json[k]
+                for k in ("num_layers", "num_single_layers", "guidance_embeds",
+                          "patch_size", "in_channels", "out_channels",
+                          "attention_head_dim", "num_attention_heads",
+                          "joint_attention_dim", "pooled_projection_dim")
+                if cn_json.get(k) is not None
+            }
+            if cn_json.get("axes_dims_rope") is not None:
+                kw["axes_dims_rope"] = tuple(cn_json["axes_dims_rope"])
+            kw.setdefault("num_layers", 5)
+            kw.setdefault("num_single_layers", 0)
+            kw.setdefault("guidance_embeds", False)
+            self.cn_cfg = FluxControlNetConfig(quant=self.quant, **kw)
             self.cn_params = flux_controlnet_load(TensorSource.from_path(path), self.cn_cfg)
         elif self.architecture == "sdxl":
             from fastdm_tpu.models.controlnets import sdxl_controlnet_load

@@ -339,10 +339,16 @@ class CLIPImageEncoder:
         import torch
         from transformers import CLIPImageProcessor, CLIPVisionModelWithProjection
 
-        self.processor = CLIPImageProcessor()
         self.model = CLIPVisionModelWithProjection.from_pretrained(
             self.path, torch_dtype=torch.float32
         )
+        try:  # ship-alongside preprocessor config when present
+            self.processor = CLIPImageProcessor.from_pretrained(self.path)
+        except Exception:
+            s = self.model.config.image_size
+            self.processor = CLIPImageProcessor(
+                size={"shortest_edge": s}, crop_size={"height": s, "width": s}
+            )
         self._loaded = True
 
     def encode(self, image, num_images_per_prompt: int = 1,

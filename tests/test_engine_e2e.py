@@ -628,3 +628,146 @@ def test_qwen_engine_mesh_tp(tmp_path, monkeypatch):
     # bf16 reduction-order differences under GSPMD can move a uint8 pixel a
     # few counts; 5/255 still pins sharded == unsharded semantics
     assert np.abs(outs[None].astype(int) - outs[(1, 1, 2)].astype(int)).max() <= 5
+
+
+def _flux_cn_sd(rng, cfg_dict, n_layers=1, n_single=1, union=False):
+    """Synthetic FLUX ControlNet checkpoint (diffusers layout)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_flux import _synthetic_state_dict
+
+    tiny = dict(cfg_dict)
+    tiny["num_layers"], tiny["num_single_layers"] = n_layers, n_single
+    sd = _synthetic_state_dict(tiny, rng)
+    d = tiny["num_attention_heads"] * tiny["attention_head_dim"]
+    del sd["norm_out.linear.weight"], sd["norm_out.linear.bias"]
+    del sd["proj_out.weight"], sd["proj_out.bias"]
+    sd["controlnet_x_embedder.weight"] = rng.standard_normal(
+        (d, tiny["in_channels"])).astype(np.float32) * 0.04
+    sd["controlnet_x_embedder.bias"] = np.zeros((d,), np.float32)
+    for i in range(n_layers):
+        sd[f"controlnet_blocks.{i}.weight"] = rng.standard_normal((d, d)).astype(np.float32) * 0.02
+        sd[f"controlnet_blocks.{i}.bias"] = np.zeros((d,), np.float32)
+    for i in range(n_single):
+        sd[f"controlnet_single_blocks.{i}.weight"] = rng.standard_normal((d, d)).astype(np.float32) * 0.02
+        sd[f"controlnet_single_blocks.{i}.bias"] = np.zeros((d,), np.float32)
+    if union:
+        sd["controlnet_mode_embedder.weight"] = rng.standard_normal((10, d)).astype(np.float32) * 0.1
+    return sd
+
+
+def test_flux_engine_controlnet_path(tmp_path, monkeypatch):
+    """controlnet_path end-to-end: CN checkpoint dir -> engine ->
+    generate(control_image=...) conditions the output."""
+    import jax.numpy as jnp
+
+    eng, rng = _tiny_flux_engine(tmp_path, monkeypatch)  # base engine first
+    # build the CN checkpoint next to it and reload with controlnet_path
+    from fastdm_tpu.engine import FastDMEngine
+
+    root = str(tmp_path / "flux-tiny")
+    cn_dir = str(tmp_path / "flux-cn")
+    _write_st(os.path.join(cn_dir, "model.safetensors"),
+              _flux_cn_sd(rng, TINY))
+    cn_cfg_json = dict(TINY)
+    cn_cfg_json.update(num_layers=1, num_single_layers=1, guidance_embeds=True)
+    with open(os.path.join(cn_dir, "config.json"), "w") as f:
+        json.dump(cn_cfg_json, f)
+
+    eng_cn = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
+                          controlnet_path=cn_dir)
+    b, txt = 1, 12
+    embeds = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (b, txt, TINY["joint_attention_dim"])), jnp.bfloat16)
+    pooled = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (b, TINY["pooled_projection_dim"])), jnp.bfloat16)
+    hintA = (np.random.default_rng(3).random((64, 64, 3)) * 255).astype(np.uint8)
+
+    imgA = eng_cn.generate(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
+                           height=64, width=64, num_inference_steps=2, seed=1,
+                           control_image=hintA, controlnet_conditioning_scale=1.0)
+    img0 = eng_cn.generate(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
+                           height=64, width=64, num_inference_steps=2, seed=1)
+    assert imgA.shape == img0.shape == (1, 64, 64, 3)
+    # the hint conditions the output
+    assert np.abs(imgA.astype(int) - img0.astype(int)).max() > 0
+
+
+def test_sdxl_engine_ip_adapter_path(tmp_path, monkeypatch):
+    """ip_adapter_path end-to-end: attach from checkpoint dir, encode the
+    style image with a real (tiny) CLIP vision tower, condition generate()."""
+    import jax.numpy as jnp
+
+    import fastdm_tpu.engine as engine_mod
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.models.sdxl import SDXLConfig
+    from fastdm_tpu.pipeline.vae import VAEConfig
+
+    rng = np.random.default_rng(9)
+    root = str(tmp_path / "sdxl-ip")
+    _write_st(os.path.join(root, "unet", "model.safetensors"), _sdxl_sd(rng))
+    _write_st(os.path.join(root, "vae", "model.safetensors"),
+              _vae_sd(rng, latent_channels=4))
+    monkeypatch.setitem(
+        engine_mod.VAE_CONFIGS, "sdxl",
+        VAEConfig(latent_channels=4, block_out_channels=(8, 8, 8, 8),
+                  layers_per_block=1, norm_num_groups=4,
+                  scaling_factor=0.5, shift_factor=0.0),
+    )
+    tiny_cfg = SDXLConfig(
+        block_channels=(8, 16, 32), cross_attention_dim=16, attn_layers=(0, 1, 2),
+        head_dim=8, addition_time_embed_dim=4, time_embed_dim=16,
+        add_embedding_in_dim=8 + 6 * 4, norm_groups=4, quant="int8",
+    )
+    monkeypatch.setattr("fastdm_tpu.models.sdxl.SDXLConfig",
+                        lambda quant=None, **kw: tiny_cfg)
+
+    # tiny REAL CLIP vision tower saved in diffusers layout
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    clip_cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_attention_heads=2,
+        num_hidden_layers=2, image_size=32, patch_size=8, projection_dim=24,
+    )
+    import torch
+
+    torch.manual_seed(0)
+    clip = CLIPVisionModelWithProjection(clip_cfg)
+    clip.save_pretrained(os.path.join(root, "image_encoder"))
+
+    # IP-Adapter checkpoint (plain layout, embed_dim = projection_dim 24)
+    sd, idx = {}, 0
+    for ch, nl, cnt in ((16, 1, 2), (32, 2, 2), (32, 2, 1), (32, 2, 3), (16, 1, 3)):
+        for _ in range(cnt):
+            for _ in range(nl):
+                idx += 1
+                for n in ("to_k_ip", "to_v_ip"):
+                    sd[f"ip_adapter.{idx}.{n}.weight"] = (
+                        rng.standard_normal((ch, 16)).astype(np.float32) * 0.1)
+                idx += 1
+    sd["image_proj.proj.weight"] = rng.standard_normal((4 * 16, 24)).astype(np.float32) * 0.1
+    sd["image_proj.proj.bias"] = np.zeros(64, np.float32)
+    sd["image_proj.norm.weight"] = np.ones(16, np.float32)
+    sd["image_proj.norm.bias"] = np.zeros(16, np.float32)
+    ip_dir = str(tmp_path / "ip-adapter")
+    _write_st(os.path.join(ip_dir, "ip-adapter.safetensors"), sd)
+
+    class _FakeTE:
+        def encode(self, prompt, n=1):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return (jnp.asarray(r.standard_normal((1, 6, 16)), jnp.bfloat16),
+                    jnp.asarray(r.standard_normal((1, 8)), jnp.bfloat16))
+
+    eng = FastDMEngine(root, architecture="sdxl", use_int8=True, verbose=False,
+                       ip_adapter_path=ip_dir, ip_adapter_scale=0.8)
+    eng.text_encoder = _FakeTE()
+
+    style = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    img_ip = eng.generate(prompt="a boat", negative_prompt="fog",
+                          height=64, width=64, num_inference_steps=2, seed=8,
+                          ip_adapter_image=style)
+    img_0 = eng.generate(prompt="a boat", negative_prompt="fog",
+                         height=64, width=64, num_inference_steps=2, seed=8)
+    assert img_ip.shape == (1, 64, 64, 3)
+    assert np.abs(img_ip.astype(int) - img_0.astype(int)).max() > 0
