@@ -76,6 +76,67 @@ def combined_timestep_text_proj_apply(
     return emb + pooled
 
 
+def text_image_projection_apply(
+    params, text_embeds: Array, image_embeds: Array,
+    num_image_text_embeds: int = 10,
+) -> Array:
+    """Kandinsky-2.1-style text+image context projection
+    (ref: TextImageProjection, embeddings.py:412-438): the image embedding
+    expands to `num_image_text_embeds` context tokens which are prepended to
+    the projected text tokens."""
+    b = text_embeds.shape[0]
+    img = qlinear_apply(params["image_embeds"], image_embeds)
+    img = img.reshape(b, num_image_text_embeds, -1)
+    txt = qlinear_apply(params["text_proj"], text_embeds)
+    return jnp.concatenate([img, txt], axis=1)
+
+
+def attention_pooling_apply(params, x: Array, num_heads: int) -> Array:
+    """Single-query attention pooling over a token sequence
+    (ref: AttentionPooling, embeddings.py:440-487 — deep-floyd's pooler):
+    class token = mean(x) + learned positional embedding; one attention read
+    over [cls, x]; returns (B, D)."""
+    b, _, d = x.shape
+    hd = d // num_heads
+    cls = jnp.mean(x, axis=1, keepdims=True) + params["positional_embedding"].astype(x.dtype)
+    xa = jnp.concatenate([cls, x], axis=1)
+
+    def heads(t):
+        return t.reshape(b, -1, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q = heads(qlinear_apply(params["q_proj"], cls))
+    k = heads(qlinear_apply(params["k_proj"], xa))
+    v = heads(qlinear_apply(params["v_proj"], xa))
+    # the reference scales q AND k by dim^-1/4 before the product for fp16
+    # stability, then softmaxes in fp32 (embeddings.py:478-480)
+    scale = 1.0 / math.sqrt(math.sqrt(hd))
+    logits = jnp.einsum("bhqc,bhkc->bhqk", q * scale, k * scale)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    a = jnp.einsum("bhqk,bhkc->bhqc", w, v)  # (B, H, 1, hd)
+    return a.transpose(0, 2, 1, 3).reshape(b, d)
+
+
+def text_time_embedding_apply(params, hidden_states: Array, num_heads: int = 64) -> Array:
+    """LN -> attention-pool -> proj -> LN (ref: TextTimeEmbedding,
+    embeddings.py:489-505); the 'text' addition_embed_type of UNet/ControlNet."""
+    from fastdm_tpu.layers.normalization import layer_norm
+
+    h = layer_norm(hidden_states, params["norm1"]["gamma"], params["norm1"]["beta"], 1e-5)
+    h = attention_pooling_apply(params["pool"], h, num_heads)
+    h = qlinear_apply(params["proj"], h)
+    return layer_norm(h, params["norm2"]["gamma"], params["norm2"]["beta"], 1e-5)
+
+
+def text_image_time_embedding_apply(params, text_embeds: Array, image_embeds: Array) -> Array:
+    """(ref: TextImageTimeEmbedding, embeddings.py:507-525); the 'text_image'
+    addition_embed_type (Kandinsky 2.1)."""
+    from fastdm_tpu.layers.normalization import layer_norm
+
+    txt = qlinear_apply(params["text_proj"], text_embeds)
+    txt = layer_norm(txt, params["text_norm"]["gamma"], params["text_norm"]["beta"], 1e-5)
+    return txt + qlinear_apply(params["image_proj"], image_embeds)
+
+
 def rope_1d_freqs(dim: int, pos: np.ndarray, theta: float = 10000.0) -> np.ndarray:
     """(S, dim/2) float64 angles (ref: get_1d_rotary_pos_embed, embeddings.py:160-214)."""
     inv = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))

@@ -22,6 +22,9 @@ from fastdm_tpu.layers.conv2d import conv2d, group_norm
 from fastdm_tpu.layers.embeddings import (
     combined_timestep_text_proj_apply,
     get_timestep_embedding,
+    text_image_projection_apply,
+    text_image_time_embedding_apply,
+    text_time_embedding_apply,
     timestep_embedding_apply,
 )
 from fastdm_tpu.layers.qlinear import qlinear_apply
@@ -56,23 +59,73 @@ def sdxl_controlnet_forward(
     controlnet_cond: Array,        # (B, 8H, 8W, 3) hint image, NHWC
     conditioning_scale: float = 1.0,
     guess_mode: bool = False,
+    class_labels: Optional[Array] = None,
+    class_embed_sinusoidal: bool = False,  # class_embed_type == "timestep"
+    image_embeds: Optional[Array] = None,  # Kandinsky-style added_cond_kwargs
+    global_pool_conditions: bool = False,
 ) -> Tuple[List[Array], Array]:
     """(ref: SdxlControlNetModelCore.forward, controlnets.py:545-737).
-    Returns (down_block_res_samples (9, NHWC), mid_block_res_sample)."""
+    Returns (down_block_res_samples (9, NHWC), mid_block_res_sample).
+
+    The addition/class/encoder-hid embedding variants are dispatched by param
+    structure (the same information the reference routes through config
+    strings, controlnets.py:255-325):
+      add_embedding with {pool,proj}         -> addition_embed_type "text"
+      add_embedding with {text_proj}         -> "text_image" (Kandinsky 2.1)
+      add_embedding with {linear1,linear2}   -> "text_time" (SDXL default)
+      class_embedding {weight} lookup table or {linear1,linear2} MLP
+        (+ class_embed_sinusoidal for class_embed_type == "timestep")
+      encoder_hid_proj with {image_embeds}   -> "text_image_proj", else "text_proj"
+    """
     b = sample.shape[0]
     dt = jnp.bfloat16
     t_emb = get_timestep_embedding(
         timestep, cfg.block_channels[0], flip_sin_to_cos=True, downscale_freq_shift=0.0
     )
     emb = timestep_embedding_apply(params["time_embedding"], t_emb.astype(dt))
-    time_embeds = get_timestep_embedding(
-        time_ids.reshape(-1), cfg.addition_time_embed_dim, flip_sin_to_cos=True,
-        downscale_freq_shift=0.0,
-    ).reshape(b, -1)
-    add_embeds = jnp.concatenate([text_embeds.astype(jnp.float32), time_embeds], axis=-1)
-    emb = emb + timestep_embedding_apply(params["add_embedding"], add_embeds.astype(dt))
+
+    ce = params.get("class_embedding")
+    if ce is not None:
+        if "weight" in ce:  # nn.Embedding lookup table
+            class_emb = ce["weight"][class_labels]
+        else:  # TimestepEmbedding MLP ("timestep" kind first converts labels
+            # to the sinusoidal basis, ref :649-651 via time_proj)
+            labels = class_labels
+            if class_embed_sinusoidal:
+                labels = get_timestep_embedding(
+                    labels, cfg.block_channels[0], flip_sin_to_cos=True,
+                    downscale_freq_shift=0.0,
+                )
+            class_emb = timestep_embedding_apply(ce, labels.astype(dt))
+        emb = emb + class_emb.astype(emb.dtype)
+
+    ae = params.get("add_embedding")
+    if ae is not None:
+        if "pool" in ae:  # addition_embed_type == "text"
+            emb = emb + text_time_embedding_apply(
+                ae, encoder_hidden_states.astype(dt), cfg.addition_embed_num_heads
+            )
+        elif "text_proj" in ae:  # "text_image"
+            emb = emb + text_image_time_embedding_apply(
+                ae, encoder_hidden_states.astype(dt), image_embeds.astype(dt)
+            )
+        else:  # "text_time" (SDXL)
+            time_embeds = get_timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim,
+                flip_sin_to_cos=True, downscale_freq_shift=0.0,
+            ).reshape(b, -1)
+            add_embeds = jnp.concatenate(
+                [text_embeds.astype(jnp.float32), time_embeds], axis=-1
+            )
+            emb = emb + timestep_embedding_apply(ae, add_embeds.astype(dt))
 
     ctx = encoder_hidden_states.astype(dt)
+    ehp = params.get("encoder_hid_proj")
+    if ehp is not None:
+        if "image_embeds" in ehp:  # "text_image_proj" (Kandinsky 2.1)
+            ctx = text_image_projection_apply(ehp, ctx, image_embeds.astype(dt))
+        else:  # "text_proj"
+            ctx = qlinear_apply(ehp, ctx)
     x = jnp.transpose(sample, (0, 2, 3, 1)).astype(dt)
     x = conv2d(params["conv_in"], x)
     x = x + controlnet_cond_embedding_apply(params["cond_embedding"], controlnet_cond)
@@ -102,13 +155,18 @@ def sdxl_controlnet_forward(
     ]
     mid_sample = conv2d(params["controlnet_mid_block"], x)
 
-    if guess_mode:
+    if guess_mode and not global_pool_conditions:
         scales = jnp.logspace(-1, 0, len(down_samples) + 1) * conditioning_scale
         down_samples = [s * sc for s, sc in zip(down_samples, scales[:-1])]
         mid_sample = mid_sample * scales[-1]
     else:
         down_samples = [s * conditioning_scale for s in down_samples]
         mid_sample = mid_sample * conditioning_scale
+    if global_pool_conditions:
+        # spatial mean-pool of every residual (ref: controlnets.py:731-735);
+        # NHWC here, so pool over (1, 2)
+        down_samples = [jnp.mean(s, axis=(1, 2), keepdims=True) for s in down_samples]
+        mid_sample = jnp.mean(mid_sample, axis=(1, 2), keepdims=True)
     return down_samples, mid_sample
 
 
@@ -144,6 +202,66 @@ def sdxl_controlnet_init_random(
     return params
 
 
+def _cn_add_embedding_p(src: TensorSource):
+    """Detect + load the checkpoint's addition_embed_type variant
+    (ref config routing: controlnets.py:303-325)."""
+    from fastdm_tpu.models.sdxl import _ln
+
+    if "add_embedding.linear_1.weight" in src:  # "text_time" (SDXL)
+        return {
+            "linear1": src.linear("add_embedding.linear_1", None),
+            "linear2": src.linear("add_embedding.linear_2", None),
+        }
+    if "add_embedding.pool.positional_embedding" in src:  # "text"
+        return {
+            "norm1": _ln(src, "add_embedding.norm1"),
+            "pool": {
+                "positional_embedding": src.tensor(
+                    "add_embedding.pool.positional_embedding"
+                ),
+                "q_proj": src.linear("add_embedding.pool.q_proj", None),
+                "k_proj": src.linear("add_embedding.pool.k_proj", None),
+                "v_proj": src.linear("add_embedding.pool.v_proj", None),
+            },
+            "proj": src.linear("add_embedding.proj", None),
+            "norm2": _ln(src, "add_embedding.norm2"),
+        }
+    if "add_embedding.text_proj.weight" in src:  # "text_image"
+        return {
+            "text_proj": src.linear("add_embedding.text_proj", None),
+            "text_norm": _ln(src, "add_embedding.text_norm"),
+            "image_proj": src.linear("add_embedding.image_proj", None),
+        }
+    return None
+
+
+def _cn_class_embedding_p(src: TensorSource):
+    """class_embed_type variants (ref: controlnets.py:281-301). The lookup
+    table vs MLP distinction is recoverable from the checkpoint keys; the
+    timestep-vs-projection distinction (sinusoid first or not) must come from
+    config.json and is patched onto 'kind' by the caller when known."""
+    if "class_embedding.weight" in src:  # nn.Embedding table
+        return {"weight": src.tensor("class_embedding.weight")}
+    if "class_embedding.linear_1.weight" in src:  # timestep/projection MLP
+        return {
+            "linear1": src.linear("class_embedding.linear_1", None),
+            "linear2": src.linear("class_embedding.linear_2", None),
+        }
+    return None
+
+
+def _cn_encoder_hid_p(src: TensorSource):
+    """encoder_hid_dim_type variants (ref: controlnets.py:255-279)."""
+    if "encoder_hid_proj.weight" in src:  # "text_proj": one linear
+        return src.linear("encoder_hid_proj", None)
+    if "encoder_hid_proj.image_embeds.weight" in src:  # "text_image_proj"
+        return {
+            "image_embeds": src.linear("encoder_hid_proj.image_embeds", None),
+            "text_proj": src.linear("encoder_hid_proj.text_proj", None),
+        }
+    return None
+
+
 def sdxl_controlnet_load(src: TensorSource, cfg: SDXLConfig) -> Dict:
     """Load a diffusers SDXL ControlNet checkpoint."""
     from fastdm_tpu.models.sdxl import _conv_p, _resnet_p, _t2d_p
@@ -155,10 +273,6 @@ def sdxl_controlnet_load(src: TensorSource, cfg: SDXLConfig) -> Dict:
             "linear1": src.linear("time_embedding.linear_1", None),
             "linear2": src.linear("time_embedding.linear_2", None),
         },
-        "add_embedding": {
-            "linear1": src.linear("add_embedding.linear_1", None),
-            "linear2": src.linear("add_embedding.linear_2", None),
-        },
         "cond_embedding": {
             "conv_in": _conv_p(src, "controlnet_cond_embedding.conv_in"),
             "blocks": [
@@ -167,6 +281,13 @@ def sdxl_controlnet_load(src: TensorSource, cfg: SDXLConfig) -> Dict:
             "conv_out": _conv_p(src, "controlnet_cond_embedding.conv_out"),
         },
     }
+    for name, loaded in (
+        ("add_embedding", _cn_add_embedding_p(src)),
+        ("class_embedding", _cn_class_embedding_p(src)),
+        ("encoder_hid_proj", _cn_encoder_hid_p(src)),
+    ):
+        if loaded is not None:
+            params[name] = loaded
     params["down0"] = {
         "resnets": [_resnet_p(src, f"down_blocks.0.resnets.{j}", q) for j in range(2)],
         "downsample": _conv_p(src, "down_blocks.0.downsamplers.0.conv"),

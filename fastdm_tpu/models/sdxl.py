@@ -45,6 +45,7 @@ class SDXLConfig:
     addition_time_embed_dim: int = 256
     time_embed_dim: int = 1280
     add_embedding_in_dim: int = 2816  # 1280 pooled text + 6*256 time ids
+    addition_embed_num_heads: int = 64  # TextTimeEmbedding pooler heads
     norm_groups: int = 32
     quant: Optional[str] = "int8"
     ip_adapter: bool = False
