@@ -77,8 +77,12 @@ class FastDMEngine:
         controlnet_path: Optional[str] = None,  # flux/sdxl CN checkpoint dir
         ip_adapter_path: Optional[str] = None,  # sdxl IP-Adapter checkpoint
         ip_adapter_scale: float = 0.6,
+        vae_tiling: bool = False,   # diffusers enable_vae_tiling parity
+        vae_slicing: bool = False,  # diffusers enable_vae_slicing parity
         verbose: bool = True,
     ):
+        self.vae_tiling = vae_tiling
+        self.vae_slicing = vae_slicing
         arch = ARCH_ALIASES.get(architecture)
         if arch is None:
             raise ValueError(f"unknown architecture {architecture!r}")
@@ -211,17 +215,55 @@ class FastDMEngine:
         self.vae_params = vae_load(
             TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
         )
-        self._decode = jax.jit(lambda p, z: vae_decode(p, self.vae_cfg, z))
+        self._bind_vae_fns()
 
-        def _enc(p, x):
+    def _bind_vae_fns(self):
+        """Pick the decode/encode strategy from the tiling/slicing flags
+        (diffusers enable_vae_tiling/enable_vae_slicing parity — the reference
+        inherits these from the pipeline; here they are engine state)."""
+        from fastdm_tpu.pipeline.vae import (
+            vae_decode_sliced, vae_decode_tiled, vae_encode_tiled,
+        )
+
+        if self.vae_tiling:
+            self._decode = lambda p, z: vae_decode_tiled(p, self.vae_cfg, z)
+        elif self.vae_slicing:
+            self._decode = lambda p, z: vae_decode_sliced(p, self.vae_cfg, z)
+        else:
+            self._decode = jax.jit(lambda p, z: vae_decode(p, self.vae_cfg, z))
+
+        def _enc_params(p):
             if "encoder" not in p:
                 raise ValueError(
                     "this VAE checkpoint has no encoder weights — i2i/edit "
                     "tasks need the full AutoencoderKL, not a decoder-only one"
                 )
-            return vae_encode(p["encoder"], self.vae_cfg, x)
+            return p["encoder"]
 
-        self._encode = jax.jit(_enc)
+        if self.vae_tiling:
+            self._encode = lambda p, x: vae_encode_tiled(
+                _enc_params(p), self.vae_cfg, x
+            )
+        else:
+            self._encode = jax.jit(
+                lambda p, x: vae_encode(_enc_params(p), self.vae_cfg, x)
+            )
+
+    def enable_vae_tiling(self):
+        self.vae_tiling = True
+        self._bind_vae_fns()
+
+    def disable_vae_tiling(self):
+        self.vae_tiling = False
+        self._bind_vae_fns()
+
+    def enable_vae_slicing(self):
+        self.vae_slicing = True
+        self._bind_vae_fns()
+
+    def disable_vae_slicing(self):
+        self.vae_slicing = False
+        self._bind_vae_fns()
 
     def _cfg_overrides(self, subdir: str, keys, transforms=None):
         """Model hyperparams from the HF config.json when present — covers
@@ -346,18 +388,30 @@ class FastDMEngine:
             os.path.join(self.model_path, "model_index.json")
         ) else None
         self.text_encoder = WanTextEncoder(self.model_path, self.cfg.text_len)
-        # Wan VAE (AutoencoderKLWan) is 3D — loaded separately; the checkpoint
-        # name-map is pending validation against a real state dict, so a load
-        # failure degrades to latent-only output instead of breaking the engine
+        # Wan VAE (AutoencoderKLWan) is 3D — loaded separately; numerical
+        # parity is unvalidated against real checkpoints, so any load failure
+        # (incl. layout drift caught by the consumption assert) degrades to
+        # latent-only output instead of breaking the engine
         from fastdm_tpu.pipeline.wan_vae import WanVAEConfig, wan_vae_load
 
-        self.vae_cfg = WanVAEConfig()
+        vae_kw = self._cfg_overrides(
+            "vae", ("base_dim", "z_dim", "num_res_blocks"),
+            {
+                "latents_mean": lambda v: {"latents_mean": tuple(v)},
+                "latents_std": lambda v: {"latents_std": tuple(v)},
+                "dim_mult": lambda v: {"dim_mult": tuple(v)},
+                # diffusers spells it 'temperal_downsample'
+                "temperal_downsample": lambda v: {"temporal_downsample": tuple(v)},
+            },
+        )
+        self.vae_cfg = WanVAEConfig(**vae_kw)
         try:
             self.vae_params = wan_vae_load(
                 TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
             )
-        except (NotImplementedError, FileNotFoundError, OSError) as e:
-            print(f"wan vae unavailable ({e}); generate() returns latents")
+        except (NotImplementedError, FileNotFoundError, OSError, KeyError,
+                AssertionError) as e:
+            print(f"wan vae unavailable ({e!r}); generate() returns latents")
             self.vae_params = None
 
     # ------------------------------------------------------------ generate

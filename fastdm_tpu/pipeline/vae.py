@@ -87,6 +87,11 @@ def vae_decode(params, cfg: VAEConfig, latents: Array) -> Array:
     """
     z = latents.astype(jnp.float32) / cfg.scaling_factor + cfg.shift_factor
     x = jnp.transpose(z, (0, 2, 3, 1)).astype(jnp.bfloat16)  # NCHW -> NHWC
+    return _decoder_core(params, cfg, x)
+
+
+def _decoder_core(params, cfg: VAEConfig, x: Array) -> Array:
+    """Decoder on already-scaled NHWC latents -> (B, 8H, 8W, 3)."""
     if "post_quant_conv" in params:
         x = _conv(params["post_quant_conv"], x)
     g = cfg.norm_num_groups
@@ -108,6 +113,142 @@ def vae_decode(params, cfg: VAEConfig, latents: Array) -> Array:
     x = _group_norm(params["norm_out"], x, g)
     x = _conv(params["conv_out"], jax.nn.silu(x))
     return x.astype(jnp.float32)
+
+
+# per-tile-shape jit caches (at most 4 distinct tile shapes each)
+_decoder_core_jit = jax.jit(_decoder_core, static_argnums=(1,))
+_vae_decode_jit = jax.jit(vae_decode, static_argnums=(1,))
+
+
+# ------------------------------------------------------- tiling / slicing
+#
+# The reference inherits diffusers' enable_vae_tiling/enable_vae_slicing on
+# its pipelines; this is the owned equivalent. Same algorithm as diffusers
+# AutoencoderKL.tiled_decode/tiled_encode: overlapping tiles (default 512px /
+# 64-latent tiles, 25% overlap), linear cross-fade over the overlap band,
+# then crop each tile to its non-blended extent. Cuts peak decode HBM from
+# O(full image) to O(tile) — the enabler for 2048px images and video frames
+# on a 16 GB chip.
+
+
+def _blend_v(a: Array, b: Array, extent: int) -> Array:
+    """Cross-fade b's top rows into a's bottom rows (NHWC, axis=1)."""
+    extent = min(a.shape[1], b.shape[1], extent)
+    if extent <= 0:
+        return b
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent)[None, :, None, None]
+    head = a[:, a.shape[1] - extent:].astype(jnp.float32) * (1 - w) \
+        + b[:, :extent].astype(jnp.float32) * w
+    return jnp.concatenate([head.astype(b.dtype), b[:, extent:]], axis=1)
+
+
+def _blend_h(a: Array, b: Array, extent: int) -> Array:
+    """Cross-fade b's left columns into a's right columns (NHWC, axis=2)."""
+    extent = min(a.shape[2], b.shape[2], extent)
+    if extent <= 0:
+        return b
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent)[None, None, :, None]
+    head = a[:, :, a.shape[2] - extent:].astype(jnp.float32) * (1 - w) \
+        + b[:, :, :extent].astype(jnp.float32) * w
+    return jnp.concatenate([head.astype(b.dtype), b[:, :, extent:]], axis=2)
+
+
+def vae_decode_tiled(
+    params, cfg: VAEConfig, latents: Array,
+    tile_latent_size: int = 64, overlap_factor: float = 0.25,
+) -> Array:
+    """Tiled decode (diffusers AutoencoderKL.tiled_decode parity).
+
+    latents: (B, C_lat, H, W). Each (tile_latent_size)^2 latent tile decodes
+    independently (shape-stable -> one XLA compile per distinct tile shape,
+    at most 4: interior/right/bottom/corner), overlaps cross-fade linearly.
+    """
+    z = latents.astype(jnp.float32) / cfg.scaling_factor + cfg.shift_factor
+    x = jnp.transpose(z, (0, 2, 3, 1)).astype(jnp.bfloat16)  # NHWC
+    h, w = x.shape[1], x.shape[2]
+    if h <= tile_latent_size and w <= tile_latent_size:
+        return _decoder_core(params, cfg, x)
+
+    sf = 2 ** (len(cfg.block_out_channels) - 1)                  # px per latent
+    overlap = int(tile_latent_size * (1 - overlap_factor))       # latent step
+    blend_extent = int(tile_latent_size * sf * overlap_factor)   # px fade band
+    row_limit = tile_latent_size * sf - blend_extent             # px kept/tile
+
+    rows = []
+    for i in range(0, h, overlap):
+        row = []
+        for j in range(0, w, overlap):
+            tile = x[:, i:i + tile_latent_size, j:j + tile_latent_size, :]
+            row.append(_decoder_core_jit(params, cfg, tile))
+        rows.append(row)
+
+    out_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend_extent)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend_extent)
+            result_row.append(tile[:, :row_limit, :row_limit, :])
+        out_rows.append(jnp.concatenate(result_row, axis=2))
+    out = jnp.concatenate(out_rows, axis=1)
+    return out[:, : h * sf, : w * sf, :].astype(jnp.float32)
+
+
+def vae_encode_tiled(
+    params, cfg: VAEConfig, image: Array,
+    tile_sample_size: int = 512, overlap_factor: float = 0.25,
+) -> Array:
+    """Tiled deterministic encode (diffusers tiled_encode parity).
+
+    image: (B, H, W, 3) in [-1, 1] -> (B, C_lat, H/8, W/8) scaled latents.
+    Blending happens on the scaled latents — valid because the scale/shift
+    map is affine, so it commutes with the convex cross-fade.
+    """
+    h, w = image.shape[1], image.shape[2]
+    if h <= tile_sample_size and w <= tile_sample_size:
+        return vae_encode(params, cfg, image)
+
+    sf = 2 ** (len(cfg.block_out_channels) - 1)                  # px per latent
+    overlap = int(tile_sample_size * (1 - overlap_factor))       # px step
+    lat_tile = tile_sample_size // sf
+    blend_extent = int(lat_tile * overlap_factor)                # latent fade
+    row_limit = lat_tile - blend_extent
+
+    rows = []
+    for i in range(0, h, overlap):
+        row = []
+        for j in range(0, w, overlap):
+            tile = image[:, i:i + tile_sample_size, j:j + tile_sample_size, :]
+            z = _vae_encode_jit(params, cfg, tile)                # (B,C,h',w')
+            row.append(jnp.transpose(z, (0, 2, 3, 1)))           # NHWC blend
+        rows.append(row)
+
+    out_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend_extent)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend_extent)
+            result_row.append(tile[:, :row_limit, :row_limit, :])
+        out_rows.append(jnp.concatenate(result_row, axis=2))
+    out = jnp.concatenate(out_rows, axis=1)[:, : h // sf, : w // sf, :]
+    return jnp.transpose(out, (0, 3, 1, 2))
+
+
+def vae_decode_sliced(params, cfg: VAEConfig, latents: Array) -> Array:
+    """Batch-sliced decode (diffusers enable_vae_slicing parity): decode one
+    sample at a time so peak activation memory is batch-independent."""
+    if latents.shape[0] == 1:
+        return _vae_decode_jit(params, cfg, latents)
+    return jnp.concatenate(
+        [_vae_decode_jit(params, cfg, latents[i:i + 1])
+         for i in range(latents.shape[0])],
+        axis=0,
+    )
 
 
 def vae_encode(params, cfg: VAEConfig, image: Array, sample_noise: Optional[Array] = None) -> Array:
@@ -141,6 +282,9 @@ def vae_encode(params, cfg: VAEConfig, image: Array, sample_noise: Optional[Arra
         mean = mean + std * sample_noise
     z = jnp.transpose(mean, (0, 3, 1, 2))  # NHWC -> NCHW latents
     return (z - cfg.shift_factor) * cfg.scaling_factor
+
+
+_vae_encode_jit = jax.jit(vae_encode, static_argnums=(1,))
 
 
 # ---------------------------------------------------------------- loading

@@ -1,19 +1,35 @@
 """Wan 3D causal VAE (AutoencoderKLWan) in JAX.
 
-The reference rides diffusers' torch implementation (SURVEY.md §1); this is a
-from-scratch JAX port of the published Wan2.1 VAE architecture: causal 3D
-convolutions (temporal padding in front only), RMS-normed residual blocks,
-spatial mid-block attention, 3 spatial (2x) + 2 temporal (2x) down/up stages,
-and per-channel latent mean/std normalization.
+The reference rides diffusers' torch implementation (SURVEY.md §1: the VAE is
+not reimplemented there); this is a from-scratch JAX port of the public
+Wan2.1 VAE architecture as shipped in diffusers' AutoencoderKLWan:
 
-NOTE: structure follows the public Wan2.1 VAE; numerical parity against real
-checkpoints is pending (no checkpoints in this environment) — the loader is
-name-mapped to the diffusers AutoencoderKLWan state dict and will raise on any
-unconsumed tensor, which is the designed safety net for layout drift.
+  * causal 3D convolutions (temporal zero-padding in front only),
+  * channel RMS norms (F.normalize * sqrt(dim) * gamma),
+  * per-frame spatial attention in the mid blocks,
+  * encoder: 3 spatial 2x downsamples (the last two also temporal 2x),
+  * decoder: upsamplers that HALVE channels spatially and run a 2x-channel
+    temporal conv whose output interleaves into doubled frames,
+  * the first frame bypasses every temporal up/down conv (the "Rep"/skip
+    cache semantics of the chunked torch decoder), giving the causal
+    1 + 4k frame layout.
+
+The torch implementation decodes frame-chunked with feat caches; on TPU the
+whole sequence is one jitted program, written as the exact vectorized
+equivalent of those cache semantics:
+  * temporal downsample == stride-2 VALID conv over the full sequence plus a
+    passthrough of frame 0,
+  * temporal upsample == causal conv (2-frame zero history) over frames 1..T
+    producing 2C channels that interleave to 2(T-1) frames, with frame 0
+    passed through untouched.
+
+Numerical parity against real checkpoints is pending (no checkpoints in this
+environment); the loader targets the diffusers AutoencoderKLWan key layout
+and the exhaustive-consumption assert surfaces any drift immediately.
 
 Memory: decodes the full sequence in one program (fine for <= ~33 latent
-frames at 480p on 16GB); frame-chunked decode with causal-conv caches is the
-planned follow-up for 81-frame 720p.
+frames at 480p on 16GB); frame-chunked decode mirroring the torch cache walk
+is the follow-up for 81-frame 720p.
 """
 
 from __future__ import annotations
@@ -40,6 +56,17 @@ class WanVAEConfig:
     latents_mean: Optional[Tuple[float, ...]] = None
     latents_std: Optional[Tuple[float, ...]] = None
 
+    @property
+    def encoder_dims(self) -> Tuple[int, ...]:
+        # [96, 96, 192, 384, 384] for the defaults
+        return tuple(self.base_dim * m for m in (1,) + tuple(self.dim_mult))
+
+    @property
+    def decoder_dims(self) -> Tuple[int, ...]:
+        # [384, 384, 384, 192, 96]
+        m = tuple(self.dim_mult)
+        return tuple(self.base_dim * u for u in (m[-1],) + m[::-1])
+
 
 def _causal_conv3d(params, x: Array, stride=(1, 1, 1)) -> Array:
     """NDHWC conv with causal temporal padding (front only) and SAME spatial.
@@ -58,14 +85,57 @@ def _causal_conv3d(params, x: Array, stride=(1, 1, 1)) -> Array:
     return (out + params["b"].astype(jnp.float32)).astype(jnp.bfloat16)
 
 
+def _conv3d_valid_t(params, x: Array, t_stride: int) -> Array:
+    """Temporal conv with NO temporal padding (VALID over time, SAME space)."""
+    kt, kh, kw = params["w"].shape[:3]
+    pads = [(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)]
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16),
+        params["w"].astype(jnp.bfloat16),
+        window_strides=(t_stride, 1, 1),
+        padding=pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + params["b"].astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _conv2d_frames(params, x: Array, stride: int = 1, zero_pad_rb: bool = False) -> Array:
+    """Per-frame 2D conv on NDHWC (vmapped over time via reshape).
+
+    zero_pad_rb: diffusers' downsample pads (0,1,0,1) (right/bottom) then
+    runs a stride-2 VALID conv."""
+    b, t, h, w, c = x.shape
+    y = x.reshape(b * t, h, w, c).astype(jnp.bfloat16)
+    if zero_pad_rb:
+        y = jnp.pad(y, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        padding = "VALID"
+    else:
+        kh, kw_ = params["w"].shape[:2]
+        padding = [(kh // 2, kh // 2), (kw_ // 2, kw_ // 2)]
+    out = jax.lax.conv_general_dilated(
+        y, params["w"].astype(jnp.bfloat16),
+        window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    out = (out + params["b"].astype(jnp.float32)).astype(jnp.bfloat16)
+    return out.reshape(b, t, out.shape[1], out.shape[2], out.shape[3])
+
+
 def _rms_norm_channel(params, x: Array) -> Array:
-    """RMS norm over the channel dim (Wan VAE norm layers)."""
+    """Wan RMS norm: F.normalize over channels * sqrt(dim) * gamma
+    (== x * rsqrt(mean(x^2)) * gamma)."""
     x32 = x.astype(jnp.float32)
     scale = jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + 1e-12)
-    return (x32 * scale * params["gamma"].astype(jnp.float32)).astype(x.dtype)
+    y = x32 * scale * params["gamma"].astype(jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def _res_block(params, x: Array) -> Array:
+    """WanResidualBlock: RMS+SiLU+CausalConv x2 with (1x1x1) conv shortcut."""
     h = _rms_norm_channel(params["norm1"], x)
     h = _causal_conv3d(params["conv1"], jax.nn.silu(h))
     h = _rms_norm_channel(params["norm2"], h)
@@ -76,7 +146,8 @@ def _res_block(params, x: Array) -> Array:
 
 
 def _attn_block(params, x: Array) -> Array:
-    """Per-frame spatial self-attention (single head)."""
+    """WanAttentionBlock: per-frame spatial self-attention (single head),
+    1x1-conv qkv/proj."""
     b, t, hh, ww, c = x.shape
     y = _rms_norm_channel(params["norm"], x).reshape(b * t, hh * ww, c)
     qkv = (
@@ -98,23 +169,45 @@ def _attn_block(params, x: Array) -> Array:
     return x + o.reshape(b, t, hh, ww, c)
 
 
-def _temporal_upsample2x(x: Array) -> Array:
-    b, t, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None], (b, t, 2, h, w, c)).reshape(b, 2 * t, h, w, c)
-    return x
-
-
-def _spatial_upsample2x(x: Array) -> Array:
+def _upsample_nearest2x_frames(x: Array) -> Array:
     b, t, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, :, None, :, None, :], (b, t, h, 2, w, 2, c))
     return x.reshape(b, t, 2 * h, 2 * w, c)
 
 
-def wan_vae_decode(params, cfg: WanVAEConfig, latents: Array) -> Array:
-    """(B, C_z, F, H, W) latents -> (B, F_out, H*8, W*8, 3) video in [-1, 1].
+def _temporal_upsample(params, x: Array) -> Array:
+    """WanResample upsample3d temporal step, vectorized cache semantics:
+    frame 0 passes through; frames 1..T-1 run the causal (3,1,1) conv to 2C
+    channels whose halves interleave into two output frames each
+    (the torch "Rep" first-chunk skip + per-chunk doubling)."""
+    head = x[:, :1]
+    tail = x[:, 1:]
+    if tail.shape[1] == 0:
+        return head
+    y = _causal_conv3d(params, tail)        # (B, T-1, H, W, 2C)
+    b, tm1, h, w, c2 = y.shape
+    c = c2 // 2
+    # torch: reshape(b, 2, c, t) then stack((x[:,0], x[:,1]), dim=3) — the
+    # channel tensor is (2, C) blocked, frame 2j = first block of frame j
+    y = y.reshape(b, tm1, h, w, 2, c)
+    y = jnp.moveaxis(y, 4, 2)               # (B, T-1, 2, H, W, C)
+    y = y.reshape(b, 2 * tm1, h, w, c)
+    return jnp.concatenate([head, y], axis=1)
 
-    F_out = 1 + (F - 1) * 4 (first latent frame is not temporally expanded,
-    matching the causal 1+4k frame layout)."""
+
+def _temporal_downsample(params, x: Array) -> Array:
+    """WanResample downsample3d temporal step, vectorized cache semantics:
+    frame 0 passes through; a stride-2 VALID (3,1,1) conv covers the full
+    sequence (windows starting at frame 0)."""
+    head = x[:, :1]
+    if x.shape[1] < 3:
+        return head
+    tail = _conv3d_valid_t(params, x, t_stride=2)
+    return jnp.concatenate([head, tail], axis=1)
+
+
+def wan_vae_decode(params, cfg: WanVAEConfig, latents: Array) -> Array:
+    """(B, C_z, F, H, W) latents -> (B, 1+4(F-1), H*8, W*8, 3) in [-1, 1]."""
     z = latents.astype(jnp.float32)
     if cfg.latents_mean is not None:
         mean = jnp.asarray(cfg.latents_mean, jnp.float32)[None, :, None, None, None]
@@ -133,13 +226,11 @@ def wan_vae_decode(params, cfg: WanVAEConfig, latents: Array) -> Array:
     for blk in dec["up"]:
         for r in blk["resnets"]:
             x = _res_block(r, x)
-        if "temporal_up" in blk:
-            x = _temporal_upsample2x(x)
-            # drop the duplicated leading frame to keep the causal 1+4k layout
-            x = x[:, 1:]
-            x = _causal_conv3d(blk["temporal_up"], x)
-        if "spatial_up" in blk:
-            x = _causal_conv3d(blk["spatial_up"], _spatial_upsample2x(x))
+        if "time_conv" in blk:
+            x = _temporal_upsample(blk["time_conv"], x)
+        if "upsample" in blk:
+            # nearest-exact 2x then conv to dim//2 (WanResample upsample)
+            x = _conv2d_frames(blk["upsample"], _upsample_nearest2x_frames(x))
 
     x = _rms_norm_channel(dec["norm_out"], x)
     x = _causal_conv3d(dec["conv_out"], jax.nn.silu(x))
@@ -153,10 +244,11 @@ def wan_vae_encode(params, cfg: WanVAEConfig, video: Array) -> Array:
     for blk in enc["down"]:
         for r in blk["resnets"]:
             x = _res_block(r, x)
-        if "spatial_down" in blk:
-            x = _causal_conv3d(blk["spatial_down"], x, stride=(1, 2, 2))
-        if "temporal_down" in blk:
-            x = _causal_conv3d(blk["temporal_down"], x, stride=(2, 1, 1))
+        if "downsample" in blk:
+            # ZeroPad2d((0,1,0,1)) + stride-2 conv (WanResample downsample)
+            x = _conv2d_frames(blk["downsample"], x, stride=2, zero_pad_rb=True)
+        if "time_conv" in blk:
+            x = _temporal_downsample(blk["time_conv"], x)
     x = _res_block(enc["mid"]["res0"], x)
     x = _attn_block(enc["mid"]["attn"], x)
     x = _res_block(enc["mid"]["res1"], x)
@@ -185,29 +277,129 @@ def _conv3d_p(src: TensorSource, prefix: str) -> Dict[str, Array]:
     }
 
 
+def _conv2d_p(src: TensorSource, prefix: str) -> Dict[str, Array]:
+    w = np.asarray(src.tensor(f"{prefix}.weight", jnp.float32))  # (out,in,kh,kw)
+    b = src.tensor(f"{prefix}.bias", jnp.float32)
+    return {
+        "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)), jnp.bfloat16),  # HWIO
+        "b": b,
+    }
+
+
+def _lin_from_conv1x1(src: TensorSource, prefix: str) -> Dict[str, Array]:
+    """Wan attention qkv/proj are 1x1 Conv2d; fold to (cin, cout) matmuls."""
+    w = np.asarray(src.tensor(f"{prefix}.weight", jnp.float32))  # (out,in,1,1)
+    b = src.tensor(f"{prefix}.bias", jnp.float32)
+    return {"w": jnp.asarray(w[:, :, 0, 0].T, jnp.bfloat16), "b": b}
+
+
 def _norm_p(src: TensorSource, prefix: str) -> Dict[str, Array]:
-    return {"gamma": src.tensor(f"{prefix}.gamma", jnp.float32).reshape(-1)}
+    p = {"gamma": src.tensor(f"{prefix}.gamma", jnp.float32).reshape(-1)}
+    if f"{prefix}.bias" in src:
+        p["bias"] = src.tensor(f"{prefix}.bias", jnp.float32).reshape(-1)
+    return p
+
+
+def _res_p(src: TensorSource, prefix: str) -> Dict[str, Array]:
+    p = {
+        "norm1": _norm_p(src, f"{prefix}.norm1"),
+        "conv1": _conv3d_p(src, f"{prefix}.conv1"),
+        "norm2": _norm_p(src, f"{prefix}.norm2"),
+        "conv2": _conv3d_p(src, f"{prefix}.conv2"),
+    }
+    if f"{prefix}.conv_shortcut.weight" in src:
+        p["shortcut"] = _conv3d_p(src, f"{prefix}.conv_shortcut")
+    return p
+
+
+def _attn_p(src: TensorSource, prefix: str) -> Dict[str, Array]:
+    return {
+        "norm": _norm_p(src, f"{prefix}.norm"),
+        "qkv": _lin_from_conv1x1(src, f"{prefix}.to_qkv"),
+        "proj": _lin_from_conv1x1(src, f"{prefix}.proj"),
+    }
+
+
+def _mid_p(src: TensorSource, prefix: str) -> Dict[str, Array]:
+    return {
+        "res0": _res_p(src, f"{prefix}.resnets.0"),
+        "attn": _attn_p(src, f"{prefix}.attentions.0"),
+        "res1": _res_p(src, f"{prefix}.resnets.1"),
+    }
 
 
 def wan_vae_load(src: TensorSource, cfg: WanVAEConfig) -> Dict:
     """Load a diffusers AutoencoderKLWan checkpoint.
 
-    Exact key names vary between diffusers releases; this targets the
-    0.33+ layout (decoder.up_blocks / resnets / upsamplers). Unconsumed
-    tensors raise, surfacing any drift immediately."""
+    The diffusers module keeps the original Wan layout: FLAT
+    encoder.down_blocks / decoder.up_blocks ModuleLists where residual
+    blocks and WanResample entries share one index space, resample convs at
+    '<block>.resample.1' (Sequential [pad/upsample, conv]) and temporal
+    convs at '<block>.time_conv'. Exhaustive consumption asserts on exit."""
+    n_stages = len(cfg.dim_mult)
 
-    raise NotImplementedError(
-        "wan_vae_load: checkpoint name-map pending validation against a real "
-        "AutoencoderKLWan state dict (none available in this environment); "
-        "decode/encode paths are functional with random params via "
-        "wan_vae_random()."
-    )
+    # ---- encoder: walk the flat index space the way the module was built
+    enc: Dict = {"conv_in": _conv3d_p(src, "encoder.conv_in"), "down": []}
+    idx = 0
+    for i in range(n_stages):
+        blk: Dict = {"resnets": []}
+        for _ in range(cfg.num_res_blocks):
+            blk["resnets"].append(_res_p(src, f"encoder.down_blocks.{idx}"))
+            idx += 1
+        if i != n_stages - 1:
+            p = f"encoder.down_blocks.{idx}"
+            blk["downsample"] = _conv2d_p(src, f"{p}.resample.1")
+            if f"{p}.time_conv.weight" in src:  # downsample3d
+                blk["time_conv"] = _conv3d_p(src, f"{p}.time_conv")
+            idx += 1
+        enc["down"].append(blk)
+    enc["mid"] = _mid_p(src, "encoder.mid_block")
+    enc["norm_out"] = _norm_p(src, "encoder.norm_out")
+    enc["conv_out"] = _conv3d_p(src, "encoder.conv_out")
+
+    # ---- decoder
+    dec: Dict = {"conv_in": _conv3d_p(src, "decoder.conv_in"), "up": []}
+    dec["mid"] = _mid_p(src, "decoder.mid_block")
+    idx = 0
+    for i in range(n_stages):
+        blk = {"resnets": []}
+        for _ in range(cfg.num_res_blocks + 1):
+            blk["resnets"].append(_res_p(src, f"decoder.up_blocks.{idx}"))
+            idx += 1
+        if i != n_stages - 1:
+            p = f"decoder.up_blocks.{idx}"
+            if f"{p}.time_conv.weight" in src:  # upsample3d
+                blk["time_conv"] = _conv3d_p(src, f"{p}.time_conv")
+            blk["upsample"] = _conv2d_p(src, f"{p}.resample.1")
+            idx += 1
+        dec["up"].append(blk)
+    dec["norm_out"] = _norm_p(src, "decoder.norm_out")
+    dec["conv_out"] = _conv3d_p(src, "decoder.conv_out")
+
+    params: Dict = {"encoder": enc, "decoder": dec}
+    if "quant_conv.weight" in src:
+        params["quant_conv"] = _conv3d_p(src, "quant_conv")
+    if "post_quant_conv.weight" in src:
+        params["post_quant_conv"] = _conv3d_p(src, "post_quant_conv")
+    src.assert_consumed()
+    return params
+
+
+# ---------------------------------------------------------------- random init
 
 
 def _rand_conv3d(key, kt, kh, kw, cin, cout, std=0.05):
     kw_, kb = jax.random.split(key)
     return {
         "w": jax.random.normal(kw_, (kt, kh, kw, cin, cout), jnp.bfloat16) * std,
+        "b": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def _rand_conv2d(key, kh, kw, cin, cout, std=0.05):
+    kw_, kb = jax.random.split(key)
+    return {
+        "w": jax.random.normal(kw_, (kh, kw, cin, cout), jnp.bfloat16) * std,
         "b": jnp.zeros((cout,), jnp.float32),
     }
 
@@ -228,70 +420,72 @@ def _rand_res(key, cin, cout):
 
 
 def wan_vae_random(key, cfg: WanVAEConfig) -> Dict:
-    """Random-weight Wan VAE (decoder + encoder) for tests/profiling."""
-    dims = [cfg.base_dim * m for m in cfg.dim_mult]
-    ks = list(jax.random.split(key, 64))
-
-    def lin(c):
-        return {
-            "w": jax.random.normal(ks.pop(), (c, 3 * c), jnp.bfloat16) * 0.02,
-            "b": jnp.zeros((3 * c,), jnp.float32),
-        }
+    """Random-weight Wan VAE (decoder + encoder), faithful channel flow
+    (tests/profiling without checkpoints)."""
+    ks = list(jax.random.split(key, 128))
 
     def attn(c):
         return {
             "norm": _rand_norm(c),
-            "qkv": lin(c),
+            "qkv": {
+                "w": jax.random.normal(ks.pop(), (c, 3 * c), jnp.bfloat16) * 0.02,
+                "b": jnp.zeros((3 * c,), jnp.float32),
+            },
             "proj": {
                 "w": jax.random.normal(ks.pop(), (c, c), jnp.bfloat16) * 0.02,
                 "b": jnp.zeros((c,), jnp.float32),
             },
         }
 
-    top = dims[-1]
-    dec_dims = list(reversed(dims))
-    dec = {
-        "conv_in": _rand_conv3d(ks.pop(), 3, 3, 3, cfg.z_dim, top),
-        "mid": {"res0": _rand_res(ks.pop(), top, top), "attn": attn(top),
-                "res1": _rand_res(ks.pop(), top, top)},
-        "norm_out": _rand_norm(dec_dims[-1]),
-        "conv_out": _rand_conv3d(ks.pop(), 3, 3, 3, dec_dims[-1], 3),
+    n_stages = len(cfg.dim_mult)
+
+    # encoder: dims [96, 96, 192, 384, 384]
+    e_dims = cfg.encoder_dims
+    enc: Dict = {"conv_in": _rand_conv3d(ks.pop(), 3, 3, 3, 3, e_dims[0]), "down": []}
+    for i in range(n_stages):
+        cin, cout = e_dims[i], e_dims[i + 1]
+        blk: Dict = {"resnets": []}
+        for r in range(cfg.num_res_blocks):
+            blk["resnets"].append(_rand_res(ks.pop(), cin if r == 0 else cout, cout))
+        if i != n_stages - 1:
+            blk["downsample"] = _rand_conv2d(ks.pop(), 3, 3, cout, cout)
+            if cfg.temporal_downsample[i]:
+                blk["time_conv"] = _rand_conv3d(ks.pop(), 3, 1, 1, cout, cout)
+        enc["down"].append(blk)
+    top = e_dims[-1]
+    enc["mid"] = {"res0": _rand_res(ks.pop(), top, top), "attn": attn(top),
+                  "res1": _rand_res(ks.pop(), top, top)}
+    enc["norm_out"] = _rand_norm(top)
+    enc["conv_out"] = _rand_conv3d(ks.pop(), 3, 3, 3, top, 2 * cfg.z_dim)
+
+    # decoder: dims [384, 384, 384, 192, 96]; in_dim halves after an upsample
+    d_dims = cfg.decoder_dims
+    t_up = tuple(reversed(cfg.temporal_downsample))
+    dec: Dict = {
+        "conv_in": _rand_conv3d(ks.pop(), 3, 3, 3, cfg.z_dim, d_dims[0]),
+        "mid": {"res0": _rand_res(ks.pop(), d_dims[0], d_dims[0]),
+                "attn": attn(d_dims[0]),
+                "res1": _rand_res(ks.pop(), d_dims[0], d_dims[0])},
         "up": [],
     }
-    t_up = list(reversed(cfg.temporal_downsample))
-    prev = top
-    for i, d in enumerate(dec_dims):
-        blk = {"resnets": [
-            _rand_res(ks.pop(), prev if r == 0 else d, d)
-            for r in range(cfg.num_res_blocks + 1)
-        ]}
-        if t_up[i] if i < len(t_up) else False:
-            blk["temporal_up"] = _rand_conv3d(ks.pop(), 3, 3, 3, d, d)
-        if i < len(dec_dims) - 1:
-            blk["spatial_up"] = _rand_conv3d(ks.pop(), 3, 3, 3, d, d)
+    for i in range(n_stages):
+        cin, cout = d_dims[i], d_dims[i + 1]
+        if i > 0:
+            cin //= 2  # previous stage's upsample conv halved the channels
+        blk = {"resnets": []}
+        for r in range(cfg.num_res_blocks + 1):
+            blk["resnets"].append(_rand_res(ks.pop(), cin if r == 0 else cout, cout))
+        if i != n_stages - 1:
+            if t_up[i]:
+                blk["time_conv"] = _rand_conv3d(ks.pop(), 3, 1, 1, cout, 2 * cout)
+            blk["upsample"] = _rand_conv2d(ks.pop(), 3, 3, cout, cout // 2)
         dec["up"].append(blk)
-        prev = d
+    dec["norm_out"] = _rand_norm(d_dims[-1])
+    dec["conv_out"] = _rand_conv3d(ks.pop(), 3, 3, 3, d_dims[-1], 3)
 
-    enc_dims = dims
-    enc = {
-        "conv_in": _rand_conv3d(ks.pop(), 3, 3, 3, 3, enc_dims[0]),
-        "mid": {"res0": _rand_res(ks.pop(), enc_dims[-1], enc_dims[-1]),
-                "attn": attn(enc_dims[-1]),
-                "res1": _rand_res(ks.pop(), enc_dims[-1], enc_dims[-1])},
-        "norm_out": _rand_norm(enc_dims[-1]),
-        "conv_out": _rand_conv3d(ks.pop(), 3, 3, 3, enc_dims[-1], 2 * cfg.z_dim),
-        "down": [],
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _rand_conv3d(ks.pop(), 1, 1, 1, 2 * cfg.z_dim, 2 * cfg.z_dim),
+        "post_quant_conv": _rand_conv3d(ks.pop(), 1, 1, 1, cfg.z_dim, cfg.z_dim),
     }
-    prev = enc_dims[0]
-    for i, d in enumerate(enc_dims):
-        blk = {"resnets": [
-            _rand_res(ks.pop(), prev if r == 0 else d, d)
-            for r in range(cfg.num_res_blocks)
-        ]}
-        if i < len(enc_dims) - 1:
-            blk["spatial_down"] = _rand_conv3d(ks.pop(), 3, 3, 3, d, d)
-            if cfg.temporal_downsample[i]:
-                blk["temporal_down"] = _rand_conv3d(ks.pop(), 3, 1, 1, d, d)
-        enc["down"].append(blk)
-        prev = d
-    return {"decoder": dec, "encoder": enc}

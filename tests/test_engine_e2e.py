@@ -771,3 +771,56 @@ def test_sdxl_engine_ip_adapter_path(tmp_path, monkeypatch):
                          height=64, width=64, num_inference_steps=2, seed=8)
     assert img_ip.shape == (1, 64, 64, 3)
     assert np.abs(img_ip.astype(int) - img_0.astype(int)).max() > 0
+
+
+def test_wan_engine_end_to_end_pixels(tmp_path):
+    """Wan t2v through the engine WITH a (synthetic, diffusers-layout)
+    AutoencoderKLWan checkpoint: the engine loads the 3D VAE, denoises, and
+    decodes to pixel frames (1 + 4(lf-1) frames at 8x latent scale)."""
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_wan import TINY as WAN_TINY, _state_dict
+    from test_wan_vae import TINY as VAE_TINY, _mk_diffusers_state_dict
+
+    rng = np.random.default_rng(7)
+    root = str(tmp_path / "wan-tiny-vae")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    cfg_json = dict(WAN_TINY)
+    cfg_json["patch_size"] = [1, 2, 2]
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+    _write_st(os.path.join(root, "vae", "model.safetensors"),
+              _mk_diffusers_state_dict(VAE_TINY))
+    with open(os.path.join(root, "vae", "config.json"), "w") as f:
+        json.dump({
+            "base_dim": VAE_TINY.base_dim, "z_dim": VAE_TINY.z_dim,
+            "num_res_blocks": VAE_TINY.num_res_blocks,
+            "dim_mult": list(VAE_TINY.dim_mult),
+            "temperal_downsample": list(VAE_TINY.temporal_downsample),
+            "latents_mean": list(VAE_TINY.latents_mean),
+            "latents_std": list(VAE_TINY.latents_std),
+        }, f)
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, WAN_TINY["text_dim"])), jnp.bfloat16)
+
+    eng = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True, verbose=False)
+    assert eng.vae_params is not None  # the VAE checkpoint loaded
+    assert eng.vae_cfg.z_dim == VAE_TINY.z_dim
+    eng.text_encoder = _FakeTE()
+    eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
+    video = eng.generate(prompt="a river", negative_prompt="static",
+                         height=32, width=32, num_frames=5,
+                         num_inference_steps=2, seed=4)
+    # lf = 2 latent frames -> 1 + 4*(2-1) = 5 output frames, 32x32 px
+    assert video.shape == (1, 5, 32, 32, 3)
+    assert video.dtype == np.uint8

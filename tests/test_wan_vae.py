@@ -1,0 +1,205 @@
+"""Wan 3D causal VAE: diffusers AutoencoderKLWan layout loader + the
+vectorized cache semantics (pipeline/wan_vae.py).
+
+No real Wan checkpoints or diffusers exist in this image, so the oracle here
+is the ARCHITECTURE CONTRACT: a synthetic state dict with the exact diffusers
+key names/shapes must load exhaustively, decode must produce the causal
+1 + 4(F-1) frame layout at 8x spatial scale, the first frame must bypass the
+temporal convs, and the convs must be temporally causal."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastdm_tpu.models.loader import TensorSource
+from fastdm_tpu.pipeline.wan_vae import (
+    WanVAEConfig,
+    wan_vae_decode,
+    wan_vae_encode,
+    wan_vae_load,
+    wan_vae_random,
+)
+
+TINY = WanVAEConfig(
+    base_dim=8,
+    z_dim=4,
+    dim_mult=(1, 2, 4, 4),
+    num_res_blocks=1,
+    temporal_downsample=(False, True, True),
+    latents_mean=tuple(0.1 * i for i in range(4)),
+    latents_std=tuple(1.0 + 0.1 * i for i in range(4)),
+)
+
+
+def _mk_diffusers_state_dict(cfg: WanVAEConfig):
+    """Synthetic AutoencoderKLWan state dict: exact key names and shapes of
+    the diffusers module tree (flat down_blocks/up_blocks, resample.1 convs,
+    time_conv, RMS 'gamma' params)."""
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def conv3d(name, cin, cout, kt=3, kh=3, kw=3):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (cout, cin, kt, kh, kw)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros((cout,), np.float32)
+
+    def conv2d(name, cin, cout, k=3):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (cout, cin, k, k)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros((cout,), np.float32)
+
+    def norm(name, c, images=False):
+        shape = (c, 1, 1) if images else (c, 1, 1, 1)
+        sd[f"{name}.gamma"] = np.ones(shape, np.float32)
+
+    def res(name, cin, cout):
+        norm(f"{name}.norm1", cin)
+        conv3d(f"{name}.conv1", cin, cout)
+        norm(f"{name}.norm2", cout)
+        conv3d(f"{name}.conv2", cout, cout)
+        if cin != cout:
+            conv3d(f"{name}.conv_shortcut", cin, cout, kt=1, kh=1, kw=1)
+
+    def attn(name, c):
+        norm(f"{name}.norm", c, images=True)
+        conv2d(f"{name}.to_qkv", c, 3 * c, k=1)
+        conv2d(f"{name}.proj", c, c, k=1)
+
+    def mid(name, c):
+        res(f"{name}.resnets.0", c, c)
+        attn(f"{name}.attentions.0", c)
+        res(f"{name}.resnets.1", c, c)
+
+    n = len(cfg.dim_mult)
+    e = cfg.encoder_dims  # (8, 8, 16, 32, 32)
+    conv3d("encoder.conv_in", 3, e[0])
+    idx = 0
+    for i in range(n):
+        cin, cout = e[i], e[i + 1]
+        for r in range(cfg.num_res_blocks):
+            res(f"encoder.down_blocks.{idx}", cin if r == 0 else cout, cout)
+            idx += 1
+        if i != n - 1:
+            conv2d(f"encoder.down_blocks.{idx}.resample.1", cout, cout)
+            if cfg.temporal_downsample[i]:
+                conv3d(f"encoder.down_blocks.{idx}.time_conv", cout, cout,
+                       kt=3, kh=1, kw=1)
+            idx += 1
+    mid("encoder.mid_block", e[-1])
+    norm("encoder.norm_out", e[-1])
+    conv3d("encoder.conv_out", e[-1], 2 * cfg.z_dim)
+    conv3d("quant_conv", 2 * cfg.z_dim, 2 * cfg.z_dim, kt=1, kh=1, kw=1)
+
+    d = cfg.decoder_dims  # (32, 32, 32, 16, 8)
+    conv3d("post_quant_conv", cfg.z_dim, cfg.z_dim, kt=1, kh=1, kw=1)
+    conv3d("decoder.conv_in", cfg.z_dim, d[0])
+    mid("decoder.mid_block", d[0])
+    t_up = tuple(reversed(cfg.temporal_downsample))
+    idx = 0
+    for i in range(n):
+        cin, cout = d[i], d[i + 1]
+        if i > 0:
+            cin //= 2
+        for r in range(cfg.num_res_blocks + 1):
+            res(f"decoder.up_blocks.{idx}", cin if r == 0 else cout, cout)
+            idx += 1
+        if i != n - 1:
+            if t_up[i]:
+                conv3d(f"decoder.up_blocks.{idx}.time_conv", cout, 2 * cout,
+                       kt=3, kh=1, kw=1)
+            conv2d(f"decoder.up_blocks.{idx}.resample.1", cout, cout // 2)
+            idx += 1
+    norm("decoder.norm_out", d[-1])
+    conv3d("decoder.conv_out", d[-1], 3)
+    return sd
+
+
+def test_loader_consumes_diffusers_layout():
+    src = TensorSource(_mk_diffusers_state_dict(TINY))
+    params = wan_vae_load(src, TINY)  # assert_consumed inside
+    assert "quant_conv" in params and "post_quant_conv" in params
+    assert len(params["decoder"]["up"]) == 4
+    # stage 0/1 temporal upsamplers, stage 2 spatial-only, stage 3 none
+    assert "time_conv" in params["decoder"]["up"][0]
+    assert "time_conv" in params["decoder"]["up"][1]
+    assert "time_conv" not in params["decoder"]["up"][2]
+    assert "upsample" not in params["decoder"]["up"][3]
+
+
+def test_decode_frame_layout_and_scale():
+    params = wan_vae_load(TensorSource(_mk_diffusers_state_dict(TINY)), TINY)
+    t, h, w = 3, 4, 5
+    z = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, TINY.z_dim, t, h, w)),
+        jnp.float32,
+    )
+    video = jax.jit(lambda p, z: wan_vae_decode(p, TINY, z))(params, z)
+    # 1 + 4(t-1) frames, 8x spatial
+    assert video.shape == (1, 1 + 4 * (t - 1), h * 8, w * 8, 3)
+    assert np.isfinite(np.asarray(video)).all()
+
+
+def test_encode_decode_roundtrip_shapes():
+    params = wan_vae_load(TensorSource(_mk_diffusers_state_dict(TINY)), TINY)
+    f, h, w = 9, 32, 40
+    video = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, f, h, w, 3)) * 0.1,
+        jnp.float32,
+    )
+    z = wan_vae_encode(params, TINY, video)
+    assert z.shape == (1, TINY.z_dim, 1 + (f - 1) // 4, h // 8, w // 8)
+    out = wan_vae_decode(params, TINY, z)
+    assert out.shape == (1, f, h, w, 3)
+
+
+def test_decode_is_temporally_causal():
+    """Changing latent frame k must not change output frames before
+    1 + 4(k-1) (the causal conv + first-frame-passthrough contract)."""
+    params = wan_vae_load(TensorSource(_mk_diffusers_state_dict(TINY)), TINY)
+    rng = np.random.default_rng(3)
+    z0 = rng.standard_normal((1, TINY.z_dim, 4, 4, 4)).astype(np.float32)
+    z1 = z0.copy()
+    z1[:, :, 2] += 1.0  # perturb latent frame 2 -> output frames >= 1+4*1 = 5
+    v0 = np.asarray(wan_vae_decode(params, TINY, jnp.asarray(z0)))
+    v1 = np.asarray(wan_vae_decode(params, TINY, jnp.asarray(z1)))
+    assert np.allclose(v0[:, :5], v1[:, :5], atol=1e-3)
+    assert not np.allclose(v0[:, 5:], v1[:, 5:], atol=1e-3)
+
+
+def test_first_frame_independent_of_later_frames():
+    """Frame 0 bypasses every temporal conv: decoding only frame 0 equals
+    frame 0 of the full decode (the torch chunked decoder's first chunk)."""
+    params = wan_vae_load(TensorSource(_mk_diffusers_state_dict(TINY)), TINY)
+    rng = np.random.default_rng(4)
+    z = rng.standard_normal((1, TINY.z_dim, 3, 4, 4)).astype(np.float32)
+    full = np.asarray(wan_vae_decode(params, TINY, jnp.asarray(z)))
+    first = np.asarray(wan_vae_decode(params, TINY, jnp.asarray(z[:, :, :1])))
+    assert first.shape[1] == 1
+    np.testing.assert_allclose(first[:, 0], full[:, 0], atol=2e-2)
+
+
+def test_random_params_match_loader_structure():
+    """wan_vae_random builds the same pytree structure the loader produces."""
+    loaded = wan_vae_load(TensorSource(_mk_diffusers_state_dict(TINY)), TINY)
+    rand = wan_vae_random(jax.random.key(0), TINY)
+    l_tree = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: x.shape, loaded)
+    )
+    r_tree = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: x.shape, rand)
+    )
+    assert l_tree == r_tree
+    l_shapes = jax.tree_util.tree_map(lambda x: x.shape, loaded)
+    r_shapes = jax.tree_util.tree_map(lambda x: x.shape, rand)
+    assert l_shapes == r_shapes
+
+
+def test_encode_temporal_downsample_count():
+    # 1+4k input frames -> after two temporal 2x stages: 1+k latent frames
+    params = wan_vae_random(jax.random.key(1), TINY)
+    for f in (1, 5, 13):
+        video = jnp.zeros((1, f, 16, 16, 3), jnp.float32)
+        z = wan_vae_encode(params, TINY, video)
+        assert z.shape[2] == 1 + (f - 1) // 4, f
