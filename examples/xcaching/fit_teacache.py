@@ -107,7 +107,7 @@ def fit_flux(args):
     print(f"wrote {args.output}")
 
 
-def _polyfit_and_write(xs, ys, args):
+def _polyfit_and_write(xs, ys, args, negtive_coefficients=None):
     coeffs = np.polyfit(np.asarray(xs), np.asarray(ys), deg=min(4, len(xs) - 1))
     out = {
         "cache_algorithm": "teacache",
@@ -115,6 +115,9 @@ def _polyfit_and_write(xs, ys, args):
         "threshold": args.threshold,
         "coefficients": [float(c) for c in coeffs],
     }
+    if negtive_coefficients is not None:
+        # reference spelling (TeaCacheConfig.negtive_coefficients)
+        out["negtive_coefficients"] = [float(c) for c in negtive_coefficients]
     print(json.dumps(out, indent=2))
     with open(args.output, "w") as f:
         json.dump(out, f, indent=2)
@@ -216,9 +219,9 @@ def fit_qwen(args):
     lat = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
 
     @jax.jit
-    def probe_and_res(params, lat, t):
+    def probe_and_res(params, lat, t, enc):
         hidden = qlinear_apply(params["img_in"], lat.astype(jnp.bfloat16))
-        encoder = rms_norm(enc_raw, params["txt_norm"], 1e-6)
+        encoder = rms_norm(enc, params["txt_norm"], 1e-6)
         encoder = qlinear_apply(params["txt_in"], encoder)
         t_proj = get_timestep_embedding(
             t.astype(jnp.float32), 256, flip_sin_to_cos=True,
@@ -233,19 +236,42 @@ def fit_qwen(args):
         out = qwen_run_blocks(params, cfg, hidden, encoder, temb, cos, sin)
         return probe, out - hidden
 
-    xs, ys, prev = [], [], None
+    # --dual fits a second coefficient set from the true-CFG negative pass
+    # (ref: qwenimage_teacache_dual.py -> TeaCacheConfig.negtive_coefficients;
+    # the cache keeps separate pos/neg state, xcaching.py:66-76)
+    enc_neg = jax.random.normal(
+        jax.random.fold_in(k, 1), (1, txt, cfg.joint_attention_dim), jnp.bfloat16
+    )
+    branches = {"positive": enc_raw}
+    if args.dual:
+        branches["negative"] = enc_neg
+    series = {b: {"xs": [], "ys": [], "prev": None} for b in branches}
     for i in range(args.steps):
         t = jnp.broadcast_to(sig[i], (1,))
-        probe, res = probe_and_res(params, lat, t)
-        if prev is not None:
-            xs.append(rel_l1(probe, prev[0]))
-            ys.append(rel_l1(res, prev[1]))
-        prev = (np.asarray(probe), np.asarray(res))
-        v = qwen_forward(params, cfg, lat.astype(jnp.bfloat16), enc_raw, t, cos, sin)
-        lat = sched.step(v.astype(jnp.float32), jnp.int32(i), lat, sig)
-        print(f"step {i}: x={xs[-1] if xs else None} y={ys[-1] if ys else None}",
-              flush=True)
-    _polyfit_and_write(xs, ys, args)
+        v_pos = None
+        for b, enc_b in branches.items():
+            probe, res = probe_and_res(params, lat, t, enc_b)
+            s = series[b]
+            if s["prev"] is not None:
+                s["xs"].append(rel_l1(probe, s["prev"][0]))
+                s["ys"].append(rel_l1(res, s["prev"][1]))
+            s["prev"] = (np.asarray(probe), np.asarray(res))
+            v = qwen_forward(params, cfg, lat.astype(jnp.bfloat16), enc_b, t, cos, sin)
+            if b == "positive":
+                v_pos = v
+        # step on the positive branch (true-CFG combination needs real
+        # prompts; for fitting only the per-branch distances matter)
+        lat = sched.step(v_pos.astype(jnp.float32), jnp.int32(i), lat, sig)
+        sp = series["positive"]
+        print(f"step {i}: x={sp['xs'][-1] if sp['xs'] else None} "
+              f"y={sp['ys'][-1] if sp['ys'] else None}", flush=True)
+    neg = None
+    if args.dual:
+        sn = series["negative"]
+        neg = np.polyfit(np.asarray(sn["xs"]), np.asarray(sn["ys"]),
+                         deg=min(4, len(sn["xs"]) - 1))
+    _polyfit_and_write(series["positive"]["xs"], series["positive"]["ys"], args,
+                       negtive_coefficients=neg)
 
 
 def main():
@@ -265,6 +291,9 @@ def main():
     parser.add_argument("--layers", type=int, default=None)
     parser.add_argument("--single-layers", type=int, default=None)
     parser.add_argument("--output", default="teacache_flux.json")
+    parser.add_argument("--dual", action="store_true",
+                        help="also fit negtive_coefficients from the true-CFG "
+                             "negative branch (qwen; ref qwenimage_teacache_dual.py)")
     args = parser.parse_args()
     {"flux": fit_flux, "sd35": fit_sd35, "qwen": fit_qwen}[args.architecture](args)
 

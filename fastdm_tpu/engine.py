@@ -455,6 +455,18 @@ class FastDMEngine:
             if self.verbose:
                 print(f"cache skipped {self.last_cache_skips} transformer passes")
 
+    def _wan_decode(self, latents):
+        """3D-VAE decode; long sequences stream frame-by-frame (lax.scan with
+        conv caches, peak activations = one latent frame) so 81-frame 720p
+        fits 16GB HBM. Short clips use the full-sequence program."""
+        from fastdm_tpu.pipeline.wan_vae import (
+            wan_vae_decode, wan_vae_decode_chunked,
+        )
+
+        if latents.shape[2] > 8:
+            return wan_vae_decode_chunked(self.vae_params, self.vae_cfg, latents)
+        return wan_vae_decode(self.vae_params, self.vae_cfg, latents)
+
     def _to_images(self, img: jnp.ndarray) -> np.ndarray:
         img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))
         return (img * 255).round().astype(np.uint8)
@@ -835,7 +847,6 @@ class FastDMEngine:
     ):
         from fastdm_tpu.models.wan import wan_rope_cos_sin
         from fastdm_tpu.pipeline.denoise_more import make_wan_denoiser
-        from fastdm_tpu.pipeline.wan_vae import wan_vae_decode
 
         pos = self.text_encoder.encode(prompt)
         neg = self.text_encoder.encode(negative_prompt or "")
@@ -906,7 +917,7 @@ class FastDMEngine:
             self._note_skips(skips)
             if output_type == "latent" or self.vae_params is None:
                 return np.asarray(latents)
-            video = wan_vae_decode(self.vae_params, self.vae_cfg, latents)
+            video = self._wan_decode(latents)
             return self._to_images(video)
 
         # noise latents carry out_channels (z_dim, 16); i2v models take
@@ -933,5 +944,5 @@ class FastDMEngine:
             return np.asarray(latents)
         if self.vae_params is None:
             return np.asarray(latents)
-        video = wan_vae_decode(self.vae_params, self.vae_cfg, latents)
+        video = self._wan_decode(latents)
         return self._to_images(video)

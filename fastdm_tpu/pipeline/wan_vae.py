@@ -265,6 +265,105 @@ def wan_vae_encode(params, cfg: WanVAEConfig, video: Array) -> Array:
     return z
 
 
+# ------------------------------------------------- chunked (streaming) decode
+#
+# The torch decoder walks latent frames one at a time with per-conv feature
+# caches; that is the memory story for 81-frame 720p (full-sequence decode
+# holds every intermediate activation at 8x spatial scale). This is the same
+# walk as one jitted lax.scan: the carry is the cache pytree (last 2 input
+# frames of every kt=3 causal conv; 2-frame history of every temporal
+# upsample conv), the body decodes ONE latent frame into 4 output frames.
+# Numerically identical to wan_vae_decode (same conv windows), peak memory
+# O(1 latent frame).
+
+
+def _dec_frame(params, cfg: WanVAEConfig, x: Array, caches, first: bool):
+    """Decoder body on one latent chunk. first=True is the torch decoder's
+    chunk-0 semantics: zero conv history, temporal upsamplers skipped
+    (frame 0 passthrough). Returns (frames, new_caches)."""
+    new_c: Dict[str, Array] = {}
+
+    def cc(name, p, x):
+        kt = p["w"].shape[0]
+        if kt == 1:
+            return _conv3d_valid_t(p, x, 1)
+        if first:
+            hist = jnp.concatenate([jnp.zeros_like(x[:, :1]), x], axis=1)[:, -(kt - 1):]
+            new_c[name] = hist
+            return _causal_conv3d(p, x)
+        inp = jnp.concatenate([caches[name], x], axis=1)
+        new_c[name] = inp[:, -(kt - 1):]
+        return _conv3d_valid_t(p, inp, 1)
+
+    def res(name, p, x):
+        h = _rms_norm_channel(p["norm1"], x)
+        h = cc(f"{name}.c1", p["conv1"], jax.nn.silu(h))
+        h = _rms_norm_channel(p["norm2"], h)
+        h = cc(f"{name}.c2", p["conv2"], jax.nn.silu(h))
+        if "shortcut" in p:
+            x = _causal_conv3d(p["shortcut"], x)  # 1x1x1, cache-free
+        return x + h
+
+    def t_up(name, p, x):
+        if first:
+            # frame 0 bypasses the temporal conv entirely; seed zero history
+            new_c[name] = jnp.zeros(
+                (x.shape[0], p["w"].shape[0] - 1) + x.shape[2:], x.dtype
+            )
+            return x
+        y = cc(name, p, x)                      # (B, T, H, W, 2C)
+        b, t, h, w, c2 = y.shape
+        c = c2 // 2
+        y = y.reshape(b, t, h, w, 2, c)
+        y = jnp.moveaxis(y, 4, 2).reshape(b, 2 * t, h, w, c)
+        return y
+
+    if "post_quant_conv" in params:
+        x = _causal_conv3d(params["post_quant_conv"], x)  # 1x1x1
+    dec = params["decoder"]
+    x = cc("conv_in", dec["conv_in"], x)
+    x = res("mid.r0", dec["mid"]["res0"], x)
+    x = _attn_block(dec["mid"]["attn"], x)
+    x = res("mid.r1", dec["mid"]["res1"], x)
+    for i, blk in enumerate(dec["up"]):
+        for j, r in enumerate(blk["resnets"]):
+            x = res(f"up{i}.r{j}", r, x)
+        if "time_conv" in blk:
+            x = t_up(f"up{i}.t", blk["time_conv"], x)
+        if "upsample" in blk:
+            x = _conv2d_frames(blk["upsample"], _upsample_nearest2x_frames(x))
+    x = _rms_norm_channel(dec["norm_out"], x)
+    x = cc("conv_out", dec["conv_out"], jax.nn.silu(x))
+    return x.astype(jnp.float32), new_c
+
+
+def wan_vae_decode_chunked(params, cfg: WanVAEConfig, latents: Array) -> Array:
+    """Streaming decode: (B, C_z, F, H, W) -> (B, 1+4(F-1), 8H, 8W, 3) with
+    peak activation memory of ONE latent frame (lax.scan over frames,
+    conv caches in the carry). Matches wan_vae_decode numerically."""
+    z = latents.astype(jnp.float32)
+    if cfg.latents_mean is not None:
+        mean = jnp.asarray(cfg.latents_mean, jnp.float32)[None, :, None, None, None]
+        std = jnp.asarray(cfg.latents_std, jnp.float32)[None, :, None, None, None]
+        z = z * std + mean
+    x = jnp.transpose(z, (0, 2, 3, 4, 1)).astype(jnp.bfloat16)  # NDHWC
+
+    first, caches = _dec_frame(params, cfg, x[:, :1], None, first=True)
+    if x.shape[1] == 1:
+        return first
+
+    xs = jnp.moveaxis(x[:, 1:], 1, 0)[:, :, None]  # (F-1, B, 1, H, W, C)
+
+    def body(carry, xt):
+        out, carry = _dec_frame(params, cfg, xt, carry, first=False)
+        return carry, out
+
+    _, ys = jax.lax.scan(body, caches, xs)          # (F-1, B, 4, 8H, 8W, 3)
+    f1, b, k, hh, ww, c = ys.shape
+    rest = jnp.moveaxis(ys, 0, 1).reshape(b, f1 * k, hh, ww, c)
+    return jnp.concatenate([first, rest], axis=1)
+
+
 # ---------------------------------------------------------------- loading
 
 
