@@ -736,16 +736,18 @@ class FastDMEngine:
         scale = true_cfg_scale if true_cfg_scale is not None else guidance_scale
         edit = task == "i2i" and image is not None
         if edit:
-            # qwen-image-edit: source image conditions both the VL prompt
+            # qwen-image-edit: source image(s) condition both the VL prompt
             # encoding and the token stream (ref: FastDMEngine i2i,
-            # model_entry.py:764-766 → diffusers QwenImageEditPipeline)
-            height, width = image.shape[0], image.shape[1]
+            # model_entry.py:764-766 → diffusers QwenImageEdit[Plus]Pipeline;
+            # a list of images is the api_server blend_mode="list" input)
+            images = list(image) if isinstance(image, (list, tuple)) else [image]
+            height, width = images[0].shape[0], images[0].shape[1]
             pos = self.text_encoder.encode_with_image(
-                prompt, image, num_images_per_prompt
+                prompt, images, num_images_per_prompt
             )
             neg = (
                 self.text_encoder.encode_with_image(
-                    negative_prompt or " ", image, num_images_per_prompt
+                    negative_prompt or " ", images, num_images_per_prompt
                 )
                 if scale > 1.0
                 else pos
@@ -768,14 +770,19 @@ class FastDMEngine:
             from fastdm_tpu.pipeline.denoise import flux_pack_latents
             from fastdm_tpu.pipeline.denoise_more import make_qwen_edit_denoiser
 
-            img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
-            z = self._encode(self.vae_params, img[None])
-            src_tokens = flux_pack_latents(z)
+            src_parts, extra_shapes = [], []
+            for im in images:
+                img = jnp.asarray(im, jnp.float32) / 127.5 - 1.0
+                z = self._encode(self.vae_params, img[None])
+                src_parts.append(flux_pack_latents(z))
+                extra_shapes.append((1, im.shape[0] // 16, im.shape[1] // 16))
+            src_tokens = jnp.concatenate(src_parts, axis=1)
             src_tokens = jnp.broadcast_to(src_tokens, (b, *src_tokens.shape[1:]))
             cos, sin = qwen_rope_cos_sin(
-                self.cfg, 1, ht, wt, s, extra_shapes=((1, ht, wt),)
+                self.cfg, 1, ht, wt, s, extra_shapes=tuple(extra_shapes)
             )
-            key = ("qwen-edit", ht, wt, num_inference_steps, scale, s)
+            key = ("qwen-edit", ht, wt, num_inference_steps, scale, s,
+                   src_tokens.shape[1])
             if key not in self._denoisers:
                 mu = flow_match_shift_mu(ht * wt)
                 sched = FlowMatchEulerScheduler.create(

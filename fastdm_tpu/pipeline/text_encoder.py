@@ -291,12 +291,15 @@ class QwenImageTextEncoder:
     EDIT_DROP_IDX = 64
 
     def encode_with_image(self, prompt, image, num_images_per_prompt: int = 1):
-        """Vision-conditioned prompt embedding. image: (H, W, 3) uint8.
-        Falls back to text-only encoding if the checkpoint lacks the vision
-        tower (e.g. a plain Qwen-Image text_encoder dir)."""
+        """Vision-conditioned prompt embedding. image: (H, W, 3) uint8 or a
+        list of them (multi-image edit: each gets a 'Picture {i}:' vision
+        block, the QwenImageEditPlus template convention). Falls back to
+        text-only encoding if the checkpoint lacks the vision tower (e.g. a
+        plain Qwen-Image text_encoder dir)."""
         self._load()
         import torch
 
+        images = list(image) if isinstance(image, (list, tuple)) else [image]
         try:
             if not hasattr(self, "_vl"):
                 from transformers import AutoProcessor, AutoModelForVision2Seq
@@ -312,10 +315,20 @@ class QwenImageTextEncoder:
             print(f"qwen-edit: no vision tower ({e}); text-only conditioning")
             return self.encode(prompt, num_images_per_prompt)
 
-        prompts = [self.EDIT_TEMPLATE.format(p) for p in _as_list(prompt)]
+        vision = "<|vision_start|><|image_pad|><|vision_end|>"
+        if len(images) == 1:
+            user_prefix = vision
+        else:
+            user_prefix = "".join(
+                f"Picture {i + 1}: {vision}" for i in range(len(images))
+            )
+        template = self.EDIT_TEMPLATE.replace(
+            "<|im_start|>user\n" + vision, "<|im_start|>user\n" + user_prefix
+        )
+        prompts = [template.format(p) for p in _as_list(prompt)]
         with torch.no_grad():
             inputs = self._vl_processor(
-                text=prompts, images=[image] * len(prompts), return_tensors="pt",
+                text=prompts, images=images * len(prompts), return_tensors="pt",
                 padding=True,
             )
             out = self._vl(**inputs, output_hidden_states=True)

@@ -374,8 +374,9 @@ def test_qwen_engine_t2i_and_edit(tmp_path, monkeypatch):
                 r.standard_normal((1, 6, Q_TINY["joint_attention_dim"])), jnp.bfloat16)
 
         def encode_with_image(self, prompt, image, n=1):
-            r = np.random.default_rng(
-                (abs(hash(str(prompt))) + int(np.asarray(image).sum())) % 2**31)
+            imgs = image if isinstance(image, (list, tuple)) else [image]
+            tot = sum(int(np.asarray(i).sum()) for i in imgs)
+            r = np.random.default_rng((abs(hash(str(prompt))) + tot) % 2**31)
             return jnp.asarray(
                 r.standard_normal((1, 6, Q_TINY["joint_attention_dim"])), jnp.bfloat16)
 
@@ -396,6 +397,15 @@ def test_qwen_engine_t2i_and_edit(tmp_path, monkeypatch):
     edited2 = eng.generate(prompt="make it red", src_image=255 - src,
                            num_inference_steps=2, true_cfg_scale=3.0, seed=6)
     assert np.abs(edited.astype(int) - edited2.astype(int)).max() > 0
+
+    # multi-image edit (EditPlus / api_server blend_mode="list"): a list of
+    # differently-sized sources, each contributing its own token block +
+    # rope frame entry
+    src2 = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+    multi = eng.generate(prompt="combine them", src_image=[src, src2],
+                         num_inference_steps=2, true_cfg_scale=3.0, seed=6)
+    assert multi.shape == (1, 64, 64, 3)  # output sized from image[0]
+    assert np.abs(multi.astype(int) - edited.astype(int)).max() > 0
 
 
 def _sdxl_sd(rng, c=(8, 16, 32), ctx=16, te=16, add_in=32, n1=1, n2=2):
