@@ -15,7 +15,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-from fastdm_tpu.common_args import add_engine_args, add_generation_args
+from fastdm_tpu.common_args import add_engine_args, parse_mesh_shape, add_generation_args
 
 
 def main():
@@ -49,6 +49,7 @@ def main():
         kernel_backend=args.kernel_backend,
         cache_config=args.cache_config,
         controlnet_path=args.controlnet_path,
+        mesh_shape=parse_mesh_shape(args.mesh_shape),
     )
     print(f"model + controlnet load: {time.perf_counter() - t0:.1f}s")
 

@@ -8,7 +8,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-from fastdm_tpu.common_args import add_engine_args, add_generation_args
+from fastdm_tpu.common_args import add_engine_args, parse_mesh_shape, add_generation_args
 
 
 def save_images(images, path, fps=16):
@@ -60,6 +60,7 @@ def main():
         cache_config=args.cache_config,
         sparse_attn_config=args.sparse_attn_config,
         oom_resolve=args.oom_resolve,
+        mesh_shape=parse_mesh_shape(args.mesh_shape),
         quant_mods=args.quant_mods,
     )
     print(f"model load latency: {time.perf_counter() - t0:.2f}s")

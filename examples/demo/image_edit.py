@@ -8,16 +8,20 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-from fastdm_tpu.common_args import add_engine_args, add_generation_args
+from fastdm_tpu.common_args import add_engine_args, parse_mesh_shape, add_generation_args
 
 
 def main():
     parser = argparse.ArgumentParser("fastdm_tpu image edit demo")
     add_engine_args(parser)
     add_generation_args(parser)
+    parser.add_argument("--images", nargs="+", default=None,
+                        help="multiple source images (multi-image edit; "
+                             "qwen-image-edit-2509 style)")
     args = parser.parse_args()
-    if args.image is None:
-        raise SystemExit("--image is required for i2i")
+    paths = args.images or ([args.image] if args.image else None)
+    if not paths:
+        raise SystemExit("--image (or --images) is required for i2i")
 
     import numpy as np
     from PIL import Image
@@ -28,12 +32,13 @@ def main():
         model_path=args.model_path, architecture=args.architecture,
         use_fp8=args.use_fp8, use_int8=args.use_int8,
         kernel_backend=args.kernel_backend, cache_config=args.cache_config,
+        mesh_shape=parse_mesh_shape(args.mesh_shape),
     )
-    image = np.asarray(Image.open(args.image).convert("RGB"))
+    imgs = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
     t0 = time.perf_counter()
     out = engine.generate(
         prompt=args.prompt, negative_prompt=args.negative_prompt,
-        image=image, task="i2i",
+        image=imgs if len(imgs) > 1 else imgs[0], task="i2i",
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale,
         true_cfg_scale=args.true_cfg_scale if "qwen" in args.architecture else None,

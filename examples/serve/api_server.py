@@ -25,7 +25,7 @@ from typing import Any, Dict, List, Optional, Union
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-from fastdm_tpu.common_args import add_engine_args
+from fastdm_tpu.common_args import add_engine_args, parse_mesh_shape
 
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
 logger = logging.getLogger("fastdm_tpu.serve")
@@ -353,6 +353,7 @@ def main():
         kernel_backend=args.kernel_backend,
         cache_config=args.cache_config,
         sparse_attn_config=args.sparse_attn_config,
+        mesh_shape=parse_mesh_shape(args.mesh_shape),
     )
     logger.info("Model loading latency: %.4f seconds", time.time() - t0)
     uvicorn.run(build_app(engine, args.served_model_name, wan_lightning),

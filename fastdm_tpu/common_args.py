@@ -26,6 +26,10 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="JSON config for radial sparse attention")
     parser.add_argument("--oom-resolve", action="store_true",
                         help="accepted for parity; text encoders are always host-side")
+    parser.add_argument("--mesh-shape", type=str, default=None,
+                        help="dp,sp,tp device-mesh shape for multi-chip "
+                             "sharding, e.g. 1,2,4 (new vs the single-GPU "
+                             "reference)")
     parser.add_argument("--quant-mods", action="store_true",
                         help="also quantize AdaLN/mod projections (small-HBM chips)")
     return parser
@@ -53,3 +57,10 @@ def add_generation_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPar
     parser.add_argument("--warmup", type=int, default=1,
                         help="warmup generations before the timed one")
     return parser
+
+
+def parse_mesh_shape(val):
+    """'1,2,4' -> (1, 2, 4); None passes through."""
+    if not val:
+        return None
+    return tuple(int(x) for x in val.split(","))
