@@ -62,6 +62,9 @@ def fit_flux(args):
     pooled = jax.random.normal(k, (1, cfg.pooled_projection_dim), jnp.bfloat16)
     latents = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
 
+    dicache = getattr(args, "algorithm", "teacache") == "dicache"
+    probe_depth = getattr(args, "probe_depth", 1)
+
     @jax.jit
     def step_probe_and_out(params, lat, t):
         g = jnp.full((1,), args.guidance_scale, jnp.float32)
@@ -70,8 +73,20 @@ def fit_flux(args):
             params["time_text_embed"], t * 1000.0, pooled,
             g * 1000.0 if cfg.guidance_embeds else None)
         encoder = qlinear_apply(params["context_embedder"], encoder_raw)
-        probe, *_ = ada_layer_norm_zero(
-            _tree_slice(params["dual_blocks"], 0)["norm1"], hidden, temb)
+        if dicache:
+            # DiCache probe = output of the first probe_depth dual blocks
+            # (ref: flux_dicache.py delta_y; xcaching.py:420-556)
+            from fastdm_tpu.models.flux import flux_dual_block
+
+            h, e = hidden, encoder
+            for d in range(probe_depth):
+                h, e = flux_dual_block(
+                    _tree_slice(params["dual_blocks"], d), h, e, temb, cos, sin, cfg
+                )
+            probe = h
+        else:
+            probe, *_ = ada_layer_norm_zero(
+                _tree_slice(params["dual_blocks"], 0)["norm1"], hidden, temb)
         out = flux_run_blocks(params, cfg, hidden, encoder, temb, cos, sin)
         residual = out - hidden
         return probe, residual, out
@@ -93,6 +108,35 @@ def fit_flux(args):
         lat = sched.step(v, jnp.int32(i), lat, sig)
         print(f"step {i}: x={xs[-1] if xs else None} y={ys[-1] if ys else None}",
               flush=True)
+
+    if dicache:
+        # sweep thresholds over the recorded delta_y series: for each, count
+        # the steps that would skip, and report the residual error those
+        # skips would incur (ref flow: flux_dicache.py records + offline
+        # threshold choice)
+        xs_a, ys_a = np.asarray(xs), np.asarray(ys)
+        print("threshold sweep (delta_y -> skips, mean residual-change when skipping):")
+        best = None
+        for th in np.quantile(xs_a, [0.2, 0.35, 0.5, 0.65, 0.8]):
+            mask = xs_a < th
+            err = float(ys_a[mask].mean()) if mask.any() else 0.0
+            print(f"  threshold={th:.4f}: skips {int(mask.sum())}/{len(xs_a)} "
+                  f"mean_err={err:.4f}")
+            if best is None or (mask.sum() and err < best[1]):
+                best = (float(th), err)
+        out = {
+            "cache_algorithm": "dicache",
+            "enable_caching": True,
+            "threshold": args.threshold if args.threshold != 0.25 else best[0],
+            "probe_depth": probe_depth,
+            "ret_ratio": 0.2,
+            "rel_l1_distance_algo": "delta_y",
+        }
+        print(json.dumps(out, indent=2))
+        with open(args.output, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {args.output}")
+        return
 
     coeffs = np.polyfit(np.asarray(xs), np.asarray(ys), deg=min(4, len(xs) - 1))
     out = {
@@ -294,6 +338,11 @@ def main():
     parser.add_argument("--dual", action="store_true",
                         help="also fit negtive_coefficients from the true-CFG "
                              "negative branch (qwen; ref qwenimage_teacache_dual.py)")
+    parser.add_argument("--algorithm", default="teacache",
+                        choices=["teacache", "dicache"],
+                        help="dicache records probe-block delta_y and sweeps "
+                             "thresholds (flux; ref flux_dicache.py)")
+    parser.add_argument("--probe-depth", type=int, default=1)
     args = parser.parse_args()
     {"flux": fit_flux, "sd35": fit_sd35, "qwen": fit_qwen}[args.architecture](args)
 

@@ -880,12 +880,26 @@ class FastDMEngine:
                 )
             dense_steps = self.sparse_attn.config.dense_steps
         cos, sin = wan_rope_cos_sin(self.cfg, lf, lh, lw)
-        use_cache = self.cache is not None and self.params_2 is None
+        use_cache = self.cache is not None
+        dual = self.params_2 is not None
         key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale, dense_steps,
-               use_cache)
+               use_cache, dual)
         if key not in self._denoisers:
             sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=5.0)
-            if use_cache:
+            if use_cache and dual:
+                # A14B + cache: one cache state per expert per CFG branch
+                # (ref: AutoCache x2, model_entry.py:673-690)
+                from fastdm_tpu.pipeline.denoise_more import (
+                    make_wan_dual_cached_denoiser,
+                )
+
+                self._denoisers[key] = make_wan_dual_cached_denoiser(
+                    self.cfg, sched, num_inference_steps, self.cache.config,
+                    guidance_scale, guidance_scale_2,
+                    self.boundary_ratio if self.boundary_ratio is not None else 0.875,
+                    dense_steps,
+                )
+            elif use_cache:
                 from fastdm_tpu.pipeline.denoise_more import make_wan_cached_denoiser
 
                 self._denoisers[key] = make_wan_cached_denoiser(
@@ -933,13 +947,14 @@ class FastDMEngine:
         if task == "i2v" and image is not None:
             cond = self._wan_i2v_latents(image, lf, lh, lw, num_frames)
         latents = self._latents((1, self.cfg.out_channels, lf, lh, lw), seed)
-        if use_cache:
-            if cond is not None:
-                raise ValueError(
-                    "i2v with caching is not wired yet — disable cache_config"
-                )
+        if use_cache and dual:
             latents, skips = self._denoisers[key](
-                self.params, latents, pos, neg, cos, sin, sparse_mask
+                self.params, self.params_2, latents, pos, neg, cos, sin,
+                sparse_mask, cond,
+            )
+        elif use_cache:
+            latents, skips = self._denoisers[key](
+                self.params, latents, pos, neg, cos, sin, sparse_mask, cond
             )
         else:
             latents, skips = self._denoisers[key](

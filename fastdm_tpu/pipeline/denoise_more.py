@@ -416,9 +416,9 @@ def make_wan_cached_denoiser(
     guidance_scale: float = 5.0,
 ):
     """Single-expert Wan loop with FBCache/DiCache and dual pos/neg cache
-    streams (ref: xcaching negtive_cache for wan; the reference builds one
-    AutoCache per expert — the dual-expert cached loop lands with the A14B
-    preset work)."""
+    streams (ref: xcaching negtive_cache for wan). cond carries the i2v
+    conditioning channels (mask + encoded first frame), concatenated each
+    step like the uncached loop."""
     from fastdm_tpu.caching.xcaching import cache_init_state
     from fastdm_tpu.models.wan import wan_forward_cached
 
@@ -426,7 +426,8 @@ def make_wan_cached_denoiser(
     do_cfg = guidance_scale > 1.0
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def run(params, latents, pos_text, neg_text, rope_cos, rope_sin, sparse_mask):
+    def run(params, latents, pos_text, neg_text, rope_cos, rope_sin, sparse_mask,
+            cond=None):
         b, c, f, h, w = latents.shape
         pt, ph, pw = cfg.patch_size
         n_tok = (f // pt) * (h // ph) * (w // pw)
@@ -437,16 +438,18 @@ def make_wan_cached_denoiser(
         def body(carry, step):
             lat, sp, sn = carry
             t = jnp.broadcast_to(sigmas[step] * 1000.0, (b,))
+            inp = lat if cond is None else jnp.concatenate(
+                [lat, cond.astype(lat.dtype)], axis=1)
             pos, sp = wan_forward_cached(
                 params, cfg, cache_cfg, sp, step, num_steps,
-                lat.astype(jnp.bfloat16), t, pos_text,
+                inp.astype(jnp.bfloat16), t, pos_text,
                 rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=sparse_mask,
             )
             pos = pos.astype(jnp.float32)
             if do_cfg:
                 neg, sn = wan_forward_cached(
                     params, cfg, cache_cfg, sn, step, num_steps,
-                    lat.astype(jnp.bfloat16), t, neg_text,
+                    inp.astype(jnp.bfloat16), t, neg_text,
                     rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=sparse_mask,
                 )
                 out = neg.astype(jnp.float32) + guidance_scale * (pos - neg.astype(jnp.float32))
@@ -459,6 +462,106 @@ def make_wan_cached_denoiser(
             body, (latents, st0, st1), jnp.arange(num_steps)
         )
         return latents_out, st_p["skips"] + st_n["skips"]
+
+    return run
+
+
+def make_wan_dual_cached_denoiser(
+    cfg: WanConfig,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    cache_cfg,
+    guidance_scale: float = 5.0,
+    guidance_scale_2: Optional[float] = None,
+    boundary_ratio: float = 0.875,
+    dense_warmup_steps: int = 0,
+):
+    """A14B dual-expert loop WITH caching: one FBCache/DiCache state per
+    expert per CFG branch (4 states total), matching the reference engine's
+    one-AutoCache-per-expert construction (model_entry.py:673-690). Expert
+    switching is the same sigma >= boundary lax.cond as the uncached loop;
+    each branch threads only its own cache states so a skip decision never
+    reads the other expert's residuals.
+
+    run(params, params_2, latents, pos_text, neg_text, cos, sin, sparse_mask,
+    cond=None) -> (latents, skips)."""
+    from fastdm_tpu.caching.xcaching import cache_init_state
+    from fastdm_tpu.models.wan import wan_forward_cached
+
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+    g2 = guidance_scale_2 if guidance_scale_2 is not None else guidance_scale
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(params, params_2, latents, pos_text, neg_text, rope_cos, rope_sin,
+            sparse_mask, cond=None):
+        b, c, f, h, w = latents.shape
+        pt, ph, pw = cfg.patch_size
+        n_tok = (f // pt) * (h // ph) * (w // pw)
+        hshape = (b, n_tok, cfg.inner_dim)
+        states0 = tuple(cache_init_state(cache_cfg, hshape, hshape)
+                        for _ in range(4))  # (pos1, neg1, pos2, neg2)
+
+        def one(p, g, sp, sn, inp, t, step, mask):
+            pos, sp = wan_forward_cached(
+                p, cfg, cache_cfg, sp, step, num_steps,
+                inp.astype(jnp.bfloat16), t, pos_text,
+                rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+            )
+            pos = pos.astype(jnp.float32)
+            if do_cfg:
+                neg, sn = wan_forward_cached(
+                    p, cfg, cache_cfg, sn, step, num_steps,
+                    inp.astype(jnp.bfloat16), t, neg_text,
+                    rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+                )
+                return neg.astype(jnp.float32) + g * (pos - neg.astype(jnp.float32)), sp, sn
+            return pos, sp, sn
+
+        def step_once(lat, states, step, mask):
+            sigma = sigmas[step]
+            t = jnp.broadcast_to(sigma * 1000.0, (b,))
+            inp = lat if cond is None else jnp.concatenate(
+                [lat, cond.astype(lat.dtype)], axis=1)
+            sp1, sn1, sp2, sn2 = states
+
+            def expert1(_):
+                out, sp, sn = one(params, guidance_scale, sp1, sn1, inp, t, step, mask)
+                return out, (sp, sn, sp2, sn2)
+
+            def expert2(_):
+                out, sp, sn = one(params_2, g2, sp2, sn2, inp, t, step, mask)
+                return out, (sp1, sn1, sp, sn)
+
+            out, states = jax.lax.cond(sigma >= boundary_ratio, expert1, expert2, None)
+            return scheduler.step(out, step, lat, sigmas), states
+
+        carry = (latents, states0)
+        if sparse_mask is not None and dense_warmup_steps > 0:
+            def dense_body(cr, step):
+                lat, st = cr
+                lat, st = step_once(lat, st, step, None)
+                return (lat, st), None
+
+            carry, _ = jax.lax.scan(dense_body, carry, jnp.arange(dense_warmup_steps))
+
+            def sparse_body(cr, step):
+                lat, st = cr
+                lat, st = step_once(lat, st, step, sparse_mask)
+                return (lat, st), None
+
+            carry, _ = jax.lax.scan(
+                sparse_body, carry, jnp.arange(dense_warmup_steps, num_steps)
+            )
+        else:
+            def body(cr, step):
+                lat, st = cr
+                lat, st = step_once(lat, st, step, sparse_mask)
+                return (lat, st), None
+
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(num_steps))
+        latents_out, states = carry
+        return latents_out, sum(st["skips"] for st in states)
 
     return run
 

@@ -211,3 +211,74 @@ def test_wan_ti2v_denoiser_pins_conditioning_frame():
     cond2 = -cond
     out2, _ = run(params, lat.copy(), cond2, pos, neg, cos, sin)
     assert np.abs(np.asarray(out[:, :, 1:] - out2[:, :, 1:], np.float32)).max() > 1e-5
+
+
+def test_wan_dual_cached_denoiser():
+    """A14B-style dual expert WITH caching: per-expert per-branch cache
+    states, boundary switch, i2v conditioning channels."""
+    from fastdm_tpu.caching.config import FBCacheConfig
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import (
+        make_wan_denoiser, make_wan_dual_cached_denoiser,
+    )
+
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=4, quant="int8")
+    p1 = wan_init_random(jax.random.key(0), cfg)
+    p2 = wan_init_random(jax.random.key(7), cfg)
+    sched = FlowMatchEulerScheduler.create(4, shift=5.0)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 2, 16, 16), jnp.float32)
+    pos = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    neg = jax.random.normal(jax.random.key(3), (1, cfg.text_len, cfg.text_dim),
+                            jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, 2, 16, 16)
+
+    # threshold 0 -> never skip: cached dual must match the uncached dual loop
+    never = FBCacheConfig(cache_algorithm="fbcache", enable_caching=True,
+                          threshold=0.0, warmup_steps=0, negtive_cache=True)
+    run_c = make_wan_dual_cached_denoiser(cfg, sched, 4, never,
+                                          guidance_scale=2.0, boundary_ratio=0.5)
+    out_c, skips = run_c(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    run_u = make_wan_denoiser(cfg, sched, 4, guidance_scale=2.0,
+                              boundary_ratio=0.5)
+    out_u, _ = run_u(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    assert int(np.asarray(skips)) == 0
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_u), atol=2e-2)
+
+    # huge threshold -> skips happen on both experts (warmup 1 forces step-0
+    # compute per state; later steps replay residuals)
+    always = FBCacheConfig(cache_algorithm="fbcache", enable_caching=True,
+                           threshold=100.0, warmup_steps=1, negtive_cache=True)
+    run_s = make_wan_dual_cached_denoiser(cfg, sched, 4, always,
+                                          guidance_scale=2.0, boundary_ratio=0.5)
+    out_s, skips_s = run_s(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    assert int(np.asarray(skips_s)) > 0
+    assert np.isfinite(np.asarray(out_s)).all()
+
+
+def test_wan_cached_denoiser_with_i2v_cond():
+    """Single-expert cached loop accepts the i2v conditioning channels."""
+    from fastdm_tpu.caching.config import FBCacheConfig
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import make_wan_cached_denoiser
+
+    # i2v: model in_channels = latent 4 + 4 conditioning channels
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=8,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=4, quant="int8")
+    params = wan_init_random(jax.random.key(0), cfg)
+    cache = FBCacheConfig(cache_algorithm="fbcache", enable_caching=True,
+                          threshold=10.0, warmup_steps=1, negtive_cache=True)
+    sched = FlowMatchEulerScheduler.create(3, shift=5.0)
+    run = make_wan_cached_denoiser(cfg, sched, 3, cache, guidance_scale=2.0)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 2, 16, 16), jnp.float32)
+    cond = jax.random.normal(jax.random.key(5), (1, 4, 2, 16, 16), jnp.float32)
+    pos = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    neg = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, 2, 16, 16)
+    out, _ = run(params, lat, pos, neg, cos, sin, None, cond)
+    assert out.shape == lat.shape
+    assert np.isfinite(np.asarray(out)).all()

@@ -834,3 +834,54 @@ def test_wan_engine_end_to_end_pixels(tmp_path):
     # lf = 2 latent frames -> 1 + 4*(2-1) = 5 output frames, 32x32 px
     assert video.shape == (1, 5, 32, 32, 3)
     assert video.dtype == np.uint8
+
+
+def test_wan_engine_dual_expert_cached(tmp_path):
+    """A14B-style dual expert + FBCache through the engine: transformer_2
+    loads, model_index.json's boundary_ratio drives the expert switch, and
+    the cached dual loop runs end-to-end."""
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_wan import TINY as WAN_TINY, _state_dict
+
+    rng = np.random.default_rng(11)
+    root = str(tmp_path / "wan-a14b-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    _write_st(os.path.join(root, "transformer_2", "model.safetensors"),
+              _state_dict(np.random.default_rng(12)))
+    cfg_json = dict(WAN_TINY)
+    cfg_json["patch_size"] = [1, 2, 2]
+    for sub in ("transformer", "transformer_2"):
+        with open(os.path.join(root, sub, "config.json"), "w") as f:
+            json.dump(cfg_json, f)
+    with open(os.path.join(root, "model_index.json"), "w") as f:
+        json.dump({"boundary_ratio": 0.5}, f)
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, WAN_TINY["text_dim"])), jnp.bfloat16)
+
+    eng = FastDMEngine(
+        root, architecture="wan2.2-t2v", use_int8=True, verbose=False,
+        cache_config={"cache_algorithm": "fbcache", "enable_caching": True,
+                      "threshold": 100.0, "warmup_steps": 1,
+                      "negtive_cache": True},
+    )
+    assert eng.params_2 is not None and eng.boundary_ratio == 0.5
+    eng.text_encoder = _FakeTE()
+    eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
+    lat = eng.generate(prompt="a storm", negative_prompt="calm",
+                       height=32, width=32, num_frames=5,
+                       num_inference_steps=4, output_type="latent", seed=4)
+    assert lat.shape == (1, WAN_TINY["in_channels"], 2, 4, 4)
+    assert np.isfinite(lat).all()
+    # huge threshold + warmup 1 -> the cached loop must report skips
+    assert eng.last_cache_skips > 0
