@@ -156,6 +156,13 @@ class FastDMEngine:
             n = int(np.prod(mesh_shape))
             devs = np.asarray(jax.devices()[:n]).reshape(mesh_shape)
             self.mesh = Mesh(devs, AXES)
+            if self.mesh.shape.get("sp", 1) > 1:
+                # long-sequence scale-out: dense attention becomes a ring
+                # over the sp axis (the Wan 81f/720p design case,
+                # BENCH_NOTES.md scaling analysis)
+                from fastdm_tpu.parallel import cp_state
+
+                cp_state.set_cp_mesh(self.mesh)
             self.params = shard_params_by_name(self.params, self.mesh)
             if getattr(self, "params_2", None) is not None:
                 self.params_2 = shard_params_by_name(self.params_2, self.mesh)

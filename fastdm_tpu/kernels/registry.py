@@ -50,6 +50,17 @@ class KernelRegistry:
             raise ValueError(f"invalid kernel backend {choice!r}; expected one of {_VALID}")
         impls = self._ops.get(op_name, {})
         if choice == "auto":
+            if op_name == "sdpa" and "ring" in impls:
+                # an active sequence-parallel mesh overrides the single-chip
+                # choice: attention must run as a ring over the sp axis
+                # (engine sets this when mesh_shape has sp > 1)
+                try:
+                    from fastdm_tpu.parallel import cp_state
+
+                    if cp_state.get_cp_mesh() is not None:
+                        return "ring"
+                except ImportError:
+                    pass
             if (
                 "pallas" in impls
                 and jax.default_backend() == "tpu"

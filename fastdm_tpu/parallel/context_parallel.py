@@ -81,6 +81,100 @@ def ring_attention(
     return out.astype(query.dtype)
 
 
+def _repeat_kv(t: Array, reps: int) -> Array:
+    if reps == 1:
+        return t
+    b, s, h, d = t.shape
+    return jnp.broadcast_to(t[:, :, :, None, :], (b, s, h, reps, d)).reshape(
+        b, s, h * reps, d
+    )
+
+
+def sdpa_ring(
+    query: Array,
+    key: Array,
+    value: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+) -> Array:
+    """Registry backend "ring" for the dense sdpa op: exact attention with
+    the sequence sharded over the active CP mesh's axis (set via
+    cp_state.set_cp_mesh). Same flattened-head contract as the jnp/pallas
+    backends; S must divide the sp axis size."""
+    from fastdm_tpu.kernels.registry import kernel_registry
+    from fastdm_tpu.parallel import cp_state
+
+    mesh = cp_state.get_cp_mesh()
+    axis = cp_state.get_cp_axis()
+    if is_causal:
+        raise NotImplementedError("ring sdpa is non-causal (diffusion attention)")
+    assert mesh is not None, "sdpa_ring needs an active CP mesh (cp_state)"
+
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    q = query.reshape(b, sq, num_q_heads, head_dim)
+    k = key.reshape(b, skv, num_kv_heads, head_dim)
+    v = value.reshape(b, skv, num_kv_heads, head_dim)
+    if num_kv_heads != num_q_heads:
+        k = _repeat_kv(k, num_q_heads // num_kv_heads)
+        v = _repeat_kv(v, num_q_heads // num_kv_heads)
+
+    sp = mesh.shape[axis]
+    sm = (head_dim ** -0.5) if scale is None else scale
+
+    if sq % sp:
+        # query stream not shardable (odd joint lengths): single-device impl
+        return kernel_registry.select("sdpa", "jnp")(
+            query, key, value, num_q_heads, num_kv_heads, head_dim,
+            is_causal, scale,
+        )
+
+    if sq == skv:
+        # self-attention: K/V shards rotate around the ring
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(None, axis, None, None),) * 3,
+            out_specs=P(None, axis, None, None),
+        )
+        def attn(q, k, v):
+            return ring_attention(q, k, v, axis_name=axis, scale=sm)
+
+        out = attn(q, k, v)
+    else:
+        # cross-attention (short text/image context): queries stay sharded,
+        # K/V replicate — every chip attends locally, zero per-layer comm
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(None, axis, None, None), P(), P()),
+            out_specs=P(None, axis, None, None),
+        )
+        def attn(q, k, v):
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * sm
+            p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            return jnp.einsum(
+                "bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32
+            ).astype(q.dtype)
+
+        out = attn(q, k, v)
+    return out.reshape(b, sq, num_q_heads * head_dim).astype(query.dtype)
+
+
+def _register():
+    from fastdm_tpu.kernels.registry import kernel_registry
+
+    kernel_registry.register("sdpa", "ring")(sdpa_ring)
+
+
+_register()
+
+
 def make_cp_attention(mesh: Mesh, axis_name: str = "sp"):
     """Returns attn(q, k, v) over (B, S, H, D) arrays sequence-sharded on
     `axis_name`; drop-in for single-chip sdpa when sequences exceed one

@@ -222,3 +222,31 @@ def flux_dryrun_step(n_devices: int) -> None:
         f"dryrun_multichip ok: mesh dp={dp} sp={sp} tp={tp}, "
         f"loss={float(loss):.4f}, {len(leaves)} grad leaves"
     )
+
+
+def wan_sp_dryrun_step(n_devices: int) -> None:
+    """One wan denoise forward with ring (sequence-parallel) attention over
+    an all-sp mesh — the Wan 81f/720p scale-out path at tiny shapes: self-
+    attention rotates K/V shards around the ring, cross-attention keeps text
+    KV replicated with sharded queries."""
+    from fastdm_tpu.models.wan import WanConfig, wan_forward, wan_init_random
+    from fastdm_tpu.parallel import cp_state
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:n_devices]).reshape(1, n_devices, 1)
+    mesh = Mesh(devs, AXES)
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=8, quant="int8")
+    params = wan_init_random(jax.random.key(0), cfg)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 2, 16, 16), jnp.bfloat16)  # 128 tokens
+    text = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    t = jnp.full((1,), 500.0)
+    cp_state.set_cp_mesh(mesh)
+    try:
+        out = wan_forward(params, cfg, lat, t, text)
+        assert jnp.isfinite(out.astype(jnp.float32)).all()
+    finally:
+        cp_state.set_cp_mesh(None)
+    print(f"wan sp dryrun ok: ring attention over sp={n_devices}, out {out.shape}")
