@@ -163,6 +163,13 @@ class FastDMEngine:
                 from fastdm_tpu.parallel import cp_state
 
                 cp_state.set_cp_mesh(self.mesh)
+                if self.sparse_attn is not None:
+                    # the block-sparse pallas kernel is single-chip; under sp
+                    # the ring already scales attention ~1/sp — combining the
+                    # two is future work, dense-ring wins here
+                    print("sparse_attn_config ignored with sp > 1 "
+                          "(ring attention handles the long sequence)")
+                    self.sparse_attn = None
             self.params = shard_params_by_name(self.params, self.mesh)
             if getattr(self, "params_2", None) is not None:
                 self.params_2 = shard_params_by_name(self.params_2, self.mesh)

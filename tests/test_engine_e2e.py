@@ -885,3 +885,57 @@ def test_wan_engine_dual_expert_cached(tmp_path):
     assert np.isfinite(lat).all()
     # huge threshold + warmup 1 -> the cached loop must report skips
     assert eng.last_cache_skips > 0
+
+
+def test_wan_engine_sp_mesh_matches_single(tmp_path):
+    """Wan t2v through the engine with a sequence-parallel mesh (sp=2): ring
+    attention engages via the registry auto policy and the latents match the
+    unsharded run."""
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.parallel import cp_state
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_wan import TINY as WAN_TINY, _state_dict
+
+    rng = np.random.default_rng(21)
+    root = str(tmp_path / "wan-sp-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    cfg_json = dict(WAN_TINY)
+    cfg_json["patch_size"] = [1, 2, 2]
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, WAN_TINY["text_dim"])), jnp.bfloat16)
+
+    kwargs = dict(prompt="waves", negative_prompt="still", height=32, width=32,
+                  num_frames=5, num_inference_steps=2, output_type="latent",
+                  seed=4)
+
+    eng = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True,
+                       verbose=False)
+    eng.text_encoder = _FakeTE()
+    eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
+    ref = eng.generate(**kwargs)
+
+    try:
+        eng_sp = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True,
+                              verbose=False, mesh_shape=(1, 2, 1))
+        assert cp_state.get_cp_mesh() is not None
+        eng_sp.text_encoder = _FakeTE()
+        eng_sp.cfg = __import__("dataclasses").replace(eng_sp.cfg, text_len=8)
+        out = eng_sp.generate(**kwargs)
+    finally:
+        cp_state.set_cp_mesh(None)
+
+    assert out.shape == ref.shape
+    # same math, ring online-softmax reduction order in bf16
+    assert np.abs(out - ref).max() < 0.1
