@@ -208,6 +208,8 @@ def build_app(engine, served_model_name: str, wan_lightning: bool = False):
     model_info = ModelInfo(model_name=served_model_name)
     is_video = engine.architecture == "wan"
 
+    needs_input_image = "i2v" in getattr(engine, "architecture_full", "")
+
     def _check(req):
         if not req.prompt.strip():
             raise HTTPException(400, "prompt must not be empty")
@@ -233,7 +235,7 @@ def build_app(engine, served_model_name: str, wan_lightning: bool = False):
     @app.post("/generate", response_model=GenerateResponse)
     def generate(req: GenerateRequest):
         _check(req)
-        if getattr(engine, "task", "t2i") == "i2v" and not req.input_image:
+        if needs_input_image and not req.input_image:
             raise HTTPException(400, "i2v requires input_image")
         if wan_lightning:
             # distilled 4-step serving defaults (ref: api_server.py:262-264)
@@ -264,9 +266,10 @@ def build_app(engine, served_model_name: str, wan_lightning: bool = False):
 
         logger.info("generate done in %.2fs", dt)
         if is_video:
+            frames = out[0] if getattr(out, "ndim", 4) == 5 else out  # drop batch
             return GenerateResponse(
-                success=True, type="video", video=video_to_base64_mp4(out, req.fps),
-                format="mp4", fps=req.fps, frames=len(out), generation_time=dt,
+                success=True, type="video", video=video_to_base64_mp4(frames, req.fps),
+                format="mp4", fps=req.fps, frames=len(frames), generation_time=dt,
                 model_used=req.model,
             )
         img = out[0] if getattr(out, "ndim", 3) == 4 else out

@@ -58,8 +58,8 @@ def main():
         images = engine.generate(
             prompt=prompt, task="i2i",
             image=srcs if len(srcs) > 1 else srcs[0],
-            num_inference_steps=int(steps), true_cfg_scale=float(guidance),
-            seed=int(seed),
+            num_inference_steps=int(steps), guidance_scale=float(guidance),
+            true_cfg_scale=float(guidance), seed=int(seed),
         )
         return [img for img in images]
 

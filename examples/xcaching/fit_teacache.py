@@ -117,13 +117,17 @@ def fit_flux(args):
         xs_a, ys_a = np.asarray(xs), np.asarray(ys)
         print("threshold sweep (delta_y -> skips, mean residual-change when skipping):")
         best = None
+        target = 0.5  # aim for the reference's typical ~50% skip rate
         for th in np.quantile(xs_a, [0.2, 0.35, 0.5, 0.65, 0.8]):
             mask = xs_a < th
             err = float(ys_a[mask].mean()) if mask.any() else 0.0
+            ratio = mask.mean()
             print(f"  threshold={th:.4f}: skips {int(mask.sum())}/{len(xs_a)} "
                   f"mean_err={err:.4f}")
-            if best is None or (mask.sum() and err < best[1]):
-                best = (float(th), err)
+            # pick the threshold whose skip rate lands closest to the target;
+            # the printed sweep shows the skip/error trade-off for hand-tuning
+            if best is None or abs(ratio - target) < best[1]:
+                best = (float(th), abs(ratio - target))
         out = {
             "cache_algorithm": "dicache",
             "enable_caching": True,

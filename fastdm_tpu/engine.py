@@ -60,6 +60,23 @@ def _read_json(path):
         return json.load(f)
 
 
+def _resize_to_multiple(img: np.ndarray, m: int) -> np.ndarray:
+    """Resize an HWC uint8 image down to side lengths divisible by m (the
+    VAE/patchify granularity) — diffusers' edit pipelines do the same
+    normalization before encoding."""
+    h, w = img.shape[0], img.shape[1]
+    nh, nw = max(m, h // m * m), max(m, w // m * m)
+    if (nh, nw) == (h, w):
+        return img
+    try:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(img).resize((nw, nh), Image.LANCZOS))
+    except ImportError:  # center-crop fallback
+        top, left = (h - nh) // 2, (w - nw) // 2
+        return img[top:top + nh, left:left + nw]
+
+
 class FastDMEngine:
     def __init__(
         self,
@@ -157,12 +174,12 @@ class FastDMEngine:
             devs = np.asarray(jax.devices()[:n]).reshape(mesh_shape)
             self.mesh = Mesh(devs, AXES)
             if self.mesh.shape.get("sp", 1) > 1:
-                # long-sequence scale-out: dense attention becomes a ring
-                # over the sp axis (the Wan 81f/720p design case,
-                # BENCH_NOTES.md scaling analysis)
-                from fastdm_tpu.parallel import cp_state
+                # long-sequence scale-out: dense attention becomes a ring over
+                # the sp axis (the Wan 81f/720p design case, BENCH_NOTES.md).
+                # Routing is scoped per generate() call (see generate()) so a
+                # second, unsharded engine in the same process is unaffected.
+                from fastdm_tpu.parallel import context_parallel  # noqa: F401
 
-                cp_state.set_cp_mesh(self.mesh)
                 if self.sparse_attn is not None:
                     # the block-sparse pallas kernel is single-chip; under sp
                     # the ring already scales attention ~1/sp — combining the
@@ -457,7 +474,20 @@ class FastDMEngine:
         if kw.get("image") is not None and task == "t2i":
             task = "i2v" if self.architecture == "wan" else "i2i"
         fn = getattr(self, f"_generate_{self.architecture}")
-        return fn(prompt, task=task, **kw)
+        # sequence-parallel attention routing is active only while THIS
+        # engine generates (process-global registry state saved/restored)
+        mesh = getattr(self, "mesh", None)
+        sp_mesh = mesh if mesh is not None and mesh.shape.get("sp", 1) > 1 else None
+        if sp_mesh is None:
+            return fn(prompt, task=task, **kw)
+        from fastdm_tpu.parallel import cp_state
+
+        prev = cp_state.get_cp_mesh()
+        cp_state.set_cp_mesh(sp_mesh)
+        try:
+            return fn(prompt, task=task, **kw)
+        finally:
+            cp_state.set_cp_mesh(prev)
 
     def _latents(self, shape, seed):
         return jax.random.normal(jax.random.key(seed), shape, jnp.float32)
@@ -755,6 +785,7 @@ class FastDMEngine:
             # model_entry.py:764-766 → diffusers QwenImageEdit[Plus]Pipeline;
             # a list of images is the api_server blend_mode="list" input)
             images = list(image) if isinstance(image, (list, tuple)) else [image]
+            images = [_resize_to_multiple(im, 16) for im in images]
             height, width = images[0].shape[0], images[0].shape[1]
             pos = self.text_encoder.encode_with_image(
                 prompt, images, num_images_per_prompt
@@ -896,8 +927,8 @@ class FastDMEngine:
         cos, sin = wan_rope_cos_sin(self.cfg, lf, lh, lw)
         use_cache = self.cache is not None
         dual = self.params_2 is not None
-        key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale, dense_steps,
-               use_cache, dual)
+        key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale,
+               guidance_scale_2, dense_steps, use_cache, dual)
         if key not in self._denoisers:
             sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=5.0)
             if use_cache and dual:

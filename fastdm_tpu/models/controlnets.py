@@ -86,6 +86,11 @@ def sdxl_controlnet_forward(
 
     ce = params.get("class_embedding")
     if ce is not None:
+        if class_labels is None:
+            raise ValueError(
+                "this ControlNet checkpoint has a class_embedding — pass "
+                "class_labels to sdxl_controlnet_forward (ref :646)"
+            )
         if "weight" in ce:  # nn.Embedding lookup table
             class_emb = ce["weight"][class_labels]
         else:  # TimestepEmbedding MLP ("timestep" kind first converts labels
@@ -106,6 +111,11 @@ def sdxl_controlnet_forward(
                 ae, encoder_hidden_states.astype(dt), cfg.addition_embed_num_heads
             )
         elif "text_proj" in ae:  # "text_image"
+            if image_embeds is None:
+                raise ValueError(
+                    "addition_embed_type 'text_image' needs image_embeds "
+                    "(added_cond_kwargs['image_embeds'], ref :655-658)"
+                )
             emb = emb + text_image_time_embedding_apply(
                 ae, encoder_hidden_states.astype(dt), image_embeds.astype(dt)
             )
@@ -123,6 +133,11 @@ def sdxl_controlnet_forward(
     ehp = params.get("encoder_hid_proj")
     if ehp is not None:
         if "image_embeds" in ehp:  # "text_image_proj" (Kandinsky 2.1)
+            if image_embeds is None:
+                raise ValueError(
+                    "encoder_hid_dim_type 'text_image_proj' needs "
+                    "image_embeds (ref :146-154)"
+                )
             ctx = text_image_projection_apply(ehp, ctx, image_embeds.astype(dt))
         else:  # "text_proj"
             ctx = qlinear_apply(ehp, ctx)

@@ -926,15 +926,14 @@ def test_wan_engine_sp_mesh_matches_single(tmp_path):
     eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
     ref = eng.generate(**kwargs)
 
-    try:
-        eng_sp = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True,
-                              verbose=False, mesh_shape=(1, 2, 1))
-        assert cp_state.get_cp_mesh() is not None
-        eng_sp.text_encoder = _FakeTE()
-        eng_sp.cfg = __import__("dataclasses").replace(eng_sp.cfg, text_len=8)
-        out = eng_sp.generate(**kwargs)
-    finally:
-        cp_state.set_cp_mesh(None)
+    eng_sp = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True,
+                          verbose=False, mesh_shape=(1, 2, 1))
+    # routing is scoped to generate(): inactive between calls
+    assert cp_state.get_cp_mesh() is None
+    eng_sp.text_encoder = _FakeTE()
+    eng_sp.cfg = __import__("dataclasses").replace(eng_sp.cfg, text_len=8)
+    out = eng_sp.generate(**kwargs)
+    assert cp_state.get_cp_mesh() is None  # restored after the call
 
     assert out.shape == ref.shape
     # same math, ring online-softmax reduction order in bf16
