@@ -490,7 +490,18 @@ class FastDMEngine:
             cp_state.set_cp_mesh(prev)
 
     def _latents(self, shape, seed):
-        return jax.random.normal(jax.random.key(seed), shape, jnp.float32)
+        lat = jax.random.normal(jax.random.key(seed), shape, jnp.float32)
+        mesh = getattr(self, "mesh", None)
+        if (mesh is not None and mesh.shape.get("dp", 1) > 1
+                and shape[0] % mesh.shape["dp"] == 0):
+            # data parallel: batch (num_images_per_prompt / CFG pairs) shards
+            # over dp — the throughput axis the reference gets from one
+            # process per GPU (SURVEY.md §2.7)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(*(("dp",) + (None,) * (lat.ndim - 1)))
+            lat = jax.device_put(lat, NamedSharding(mesh, spec))
+        return lat
 
     def _note_skips(self, skips) -> None:
         """Record/log the on-device cache skip counter of the last run."""

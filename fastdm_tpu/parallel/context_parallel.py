@@ -70,9 +70,13 @@ def ring_attention(
 
     # initial accumulators must carry the same varying-axis type as q/k/v
     # under shard_map's per-axis typing (jax >= 0.9)
-    acc0 = jax.lax.pvary(jnp.zeros((b * h, s, d), jnp.float32), (axis_name,))
-    m0 = jax.lax.pvary(jnp.full((b * h, s, 1), -1e30, jnp.float32), (axis_name,))
-    l0 = jax.lax.pvary(jnp.zeros((b * h, s, 1), jnp.float32), (axis_name,))
+    if hasattr(jax.lax, "pcast"):
+        _vary = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
+    else:  # older jax spelling
+        _vary = lambda x: jax.lax.pvary(x, (axis_name,))
+    acc0 = _vary(jnp.zeros((b * h, s, d), jnp.float32))
+    m0 = _vary(jnp.full((b * h, s, 1), -1e30, jnp.float32))
+    l0 = _vary(jnp.zeros((b * h, s, 1), jnp.float32))
     (k, v, acc, m_run, l_run), _ = jax.lax.scan(
         step, (k, v, acc0, m0, l0), None, length=n
     )
