@@ -545,32 +545,45 @@ class FastDMEngine:
             )
         b = prompt_embeds.shape[0]
         if task == "i2i" and image is not None:
-            height, width = image.shape[0], image.shape[1]
+            first = image[0] if isinstance(image, (list, tuple)) else image
+            first = _resize_to_multiple(first, 16)
+            height, width = first.shape[0], first.shape[1]
+            if not isinstance(image, (list, tuple)):
+                image = first
         ht, wt = height // 16, width // 16
         cos, sin = flux_rope_cache(self.cfg, prompt_embeds.shape[1], ht, wt)
 
         kontext = task == "i2i" and image is not None and \
             self.architecture_full == "flux-kontext"
+        if (task == "i2i" and isinstance(image, (list, tuple)) and not kontext):
+            image = _resize_to_multiple(image[0], 16)  # SDEdit takes one source
         start_step = 0
         if task == "i2i" and image is not None and not kontext:
             start_step = min(
                 int(num_inference_steps * (1 - strength)), num_inference_steps - 1
             )
         if kontext:
-            # reference tokens appended to the sequence with id-plane 1
+            # reference tokens appended to the sequence, one id-plane per
+            # reference image (multi-image "nano-banana" editing:
+            # ref serve/readme.md; list input = gradio/api multi-upload)
             from fastdm_tpu.pipeline.denoise import (
                 flux_pack_latents, make_flux_kontext_denoiser,
             )
 
-            rh, rw = image.shape[0] // 16, image.shape[1] // 16
+            refs = list(image) if isinstance(image, (list, tuple)) else [image]
+            refs = [_resize_to_multiple(im, 16) for im in refs]
+            shapes = tuple((im.shape[0] // 16, im.shape[1] // 16) for im in refs)
             cos, sin = flux_rope_cache(
-                self.cfg, prompt_embeds.shape[1], ht, wt, ref_tokens_hw=(rh, rw)
+                self.cfg, prompt_embeds.shape[1], ht, wt, ref_tokens_hw=shapes
             )
-            img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
-            z = self._encode(self.vae_params, img[None])
-            ref_tokens = flux_pack_latents(z)
+            parts = []
+            for im in refs:
+                img = jnp.asarray(im, jnp.float32) / 127.5 - 1.0
+                parts.append(flux_pack_latents(self._encode(self.vae_params, img[None])))
+            ref_tokens = jnp.concatenate(parts, axis=1)
             ref_tokens = jnp.broadcast_to(ref_tokens, (b, *ref_tokens.shape[1:]))
-            key = ("flux-kontext", ht, wt, rh, rw, num_inference_steps, guidance_scale)
+            key = ("flux-kontext", ht, wt, shapes, num_inference_steps,
+                   guidance_scale)
             if key not in self._denoisers:
                 mu = flow_match_shift_mu(ht * wt)
                 sched = FlowMatchEulerScheduler.create(

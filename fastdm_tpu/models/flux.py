@@ -496,14 +496,20 @@ def flux_rope_cache(
     cfg: FluxConfig, txt_len: int, height_tokens: int, width_tokens: int,
     ref_tokens_hw: Optional[Tuple[int, int]] = None,
 ) -> Tuple[Array, Array]:
-    """Host-side (cos, sin) for the joint [txt, img(, ref)] sequence
-    (ref: flux.py:425-428 — txt ids are all zeros). ref_tokens_hw adds a
-    Kontext reference-image id block with axis0 = 1."""
+    """Host-side (cos, sin) for the joint [txt, img(, refs)] sequence
+    (ref: flux.py:425-428 — txt ids are all zeros). ref_tokens_hw adds
+    Kontext reference-image id block(s): one (h, w) pair or a sequence of
+    them; reference i lives on id-plane i+1 (the multi-reference Kontext
+    convention)."""
     txt_ids = np.zeros((txt_len, 3), np.float64)
     blocks = [txt_ids, flux_img_ids(height_tokens, width_tokens)]
     if ref_tokens_hw is not None:
-        ref_ids = flux_img_ids(*ref_tokens_hw)
-        ref_ids[:, 0] = 1.0  # kontext: reference tokens live on id-plane 1
-        blocks.append(ref_ids)
+        refs = ref_tokens_hw
+        if refs and not isinstance(refs[0], (tuple, list)):
+            refs = (refs,)  # single (h, w) pair
+        for i, (rh, rw) in enumerate(refs):
+            ref_ids = flux_img_ids(rh, rw)
+            ref_ids[:, 0] = float(i + 1)
+            blocks.append(ref_ids)
     ids = np.concatenate(blocks, axis=0)
     return flux_rope_cos_sin(ids, cfg.axes_dims_rope)

@@ -326,6 +326,15 @@ def test_flux_engine_i2i_and_kontext(tmp_path, monkeypatch):
                        task="i2i", image=src, num_inference_steps=2, seed=7)
     assert img.dtype == np.uint8 and img.shape[0] == 1
 
+    # Kontext multi-reference: two differently-sized sources, each on its
+    # own rope id-plane
+    src2 = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+    multi = eng.generate(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
+                         task="i2i", image=[src, src2],
+                         num_inference_steps=2, seed=7)
+    assert multi.shape == img.shape  # output sized from image[0]
+    assert np.abs(multi.astype(int) - img.astype(int)).max() > 0
+
     # SDEdit i2i on the plain flux alias (same checkpoint)
     eng.architecture_full = "flux-dev"
     img2 = eng.generate(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
