@@ -36,10 +36,17 @@ Array = jax.Array
 
 _NEG_INF = -1e30
 _LANES = 128
+_LOG2E = 1.4426950408889634
 
 
-def _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk=False):
+def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False):
     """One online-softmax update for a (bq, D) query block against (bk, D) k/v.
+
+    The softmax runs in base 2: the wrapper pre-folds `scale * log2(e)` into q
+    (one (S, D) pass) so the kernel never multiplies the (bq, bk) logits tile
+    by a scale, and `exp2` skips exp's internal base conversion. (Measured
+    perf-neutral on v5e — Mosaic was already hiding both ops — kept for the
+    smaller per-tile op count; see BENCH_NOTES.md.)
 
     int8_qk: SageAttention-style quantized QK^T (ref: the reference's default
     dense sdpa on >=Ampere, fastdm/kernel/cuda/attention.py:19-23) — per-row
@@ -56,19 +63,19 @@ def _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk=False):
         acc = jax.lax.dot_general(
             qi, ki, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )
-        s = acc.astype(jnp.float32) * (sq * sk.reshape(1, -1)) * jnp.float32(scale)
+        s = acc.astype(jnp.float32) * (sq * sk.reshape(1, -1))
     else:
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
+        )
     if kv_mask is not None:
         s = jnp.where(kv_mask, s, _NEG_INF)
     m_prev = m_scr[...]
     l_prev = l_scr[...]
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    alpha = jnp.exp(m_prev - m_next)  # (bq, LANES)
-    p = jnp.exp(s - m_next[:, :1])  # (bq, bk) f32
+    alpha = jnp.exp2(m_prev - m_next)  # (bq, LANES)
+    p = jnp.exp2(s - m_next[:, :1])  # (bq, bk) f32
     l_scr[...] = alpha * l_prev + jnp.broadcast_to(
         jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
     )
@@ -79,7 +86,7 @@ def _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk=False):
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, scale, kv_len, block_q, block_k, causal, int8_qk=False, block_k_inner=None,
+    *, kv_len, block_q, block_k, causal, int8_qk=False, block_k_inner=None,
 ):
     i, j = pl.program_id(2), pl.program_id(3)
     nj = pl.num_programs(3)
@@ -100,23 +107,46 @@ def _flash_kernel(
     # structure of jax.experimental's flash_attention block_k_major/block_k)
     bki = block_k_inner or block_k
 
+    def _mask_for(start, masked):
+        kv_mask = None
+        col = None
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 1)
+            kv_mask = col + j * block_k + start < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 0)
+            if col is None:
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 1)
+            cmask = col + j * block_k + start <= row + i * block_q
+            kv_mask = cmask if kv_mask is None else (kv_mask & cmask)
+        return kv_mask
+
     def body(masked):
         q = q_ref[0, 0]
-        for start in range(0, block_k, bki):
-            k = k_ref[0, 0, pl.dslice(start, bki), :]
-            v = v_ref[0, 0, pl.dslice(start, bki), :]
-            kv_mask = None
-            col = None
-            if masked:
-                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 1)
-                kv_mask = col + j * block_k + start < kv_len
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 0)
-                if col is None:
-                    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 1)
-                cmask = col + j * block_k + start <= row + i * block_q
-                kv_mask = cmask if kv_mask is None else (kv_mask & cmask)
-            _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr, int8_qk)
+        if int8_qk or bki == block_k:
+            for start in range(0, block_k, bki):
+                k = k_ref[0, 0, pl.dslice(start, bki), :]
+                v = v_ref[0, 0, pl.dslice(start, bki), :]
+                _attn_body(q, k, v, _mask_for(start, masked), m_scr, l_scr,
+                           acc_scr, int8_qk)
+        else:
+            # hoisted sub-block dots: issue ALL QK^T matmuls before any
+            # softmax update, so dot t+1 (MXU) retires under softmax t (VPU)
+            # — per-tile QK->softmax->PV is otherwise a serial MXU+VPU sum
+            s_tiles = []
+            for start in range(0, block_k, bki):
+                k = k_ref[0, 0, pl.dslice(start, bki), :]
+                s_tiles.append(jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+            for t, start in enumerate(range(0, block_k, bki)):
+                v = v_ref[0, 0, pl.dslice(start, bki), :]
+                s = s_tiles[t]
+                kv_mask = _mask_for(start, masked)
+                if kv_mask is not None:
+                    s = jnp.where(kv_mask, s, _NEG_INF)
+                _softmax_update(s, v, m_scr, l_scr, acc_scr)
 
     if has_pad:
         # only the LAST kv block contains padding; keep the hot path mask-free
@@ -139,9 +169,26 @@ def _flash_kernel(
         o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _softmax_update(s, v, m_scr, l_scr, acc_scr):
+    """Online-softmax update + PV for an already-computed (bq, bk) logits tile
+    (base-2 logits, see _attn_body)."""
+    m_prev = m_scr[...]
+    l_prev = l_scr[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next[:, :1])
+    l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+    m_scr[...] = m_next
+    pv = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    acc_scr[...] = alpha[:, :1] * acc_scr[...] + pv
+
+
 def _sparse_flash_kernel(
     mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, scale, kv_len, block_q, block_k,
+    *, kv_len, block_q, block_k,
 ):
     j = pl.program_id(3)
     nj = pl.num_programs(3)
@@ -161,7 +208,7 @@ def _sparse_flash_kernel(
         if kv_len % block_k != 0:
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             kv_mask = col + j * block_k < kv_len
-        _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr)
+        _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr)
 
     @pl.when(j == nj - 1)
     def _():
@@ -215,7 +262,11 @@ def _flash_attention(
     bk = min(block_k, _round_up(skv, 128))
     bki = block_k_inner if (block_k_inner and block_k_inner < bk) else None
 
-    q = _pad_seq(query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3), bq)
+    q = query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3)
+    # base-2 softmax: fold scale*log2(e) into q here (one (S, D) pass) so the
+    # kernel's per-logits-tile work drops by two VPU passes (see _attn_body)
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(query.dtype)
+    q = _pad_seq(q, bq)
     k = key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
     if int8_qk:
         # SageAttention K smoothing: subtracting the per-head K mean shifts
@@ -257,7 +308,7 @@ def _flash_attention(
             (1, 1, 1, 1), lambda b_, h, i, j: (b_, h, i, j), memory_space=pltpu.SMEM
         )
         kernel = functools.partial(
-            _sparse_flash_kernel, scale=scale, kv_len=skv, block_q=bq, block_k=bk
+            _sparse_flash_kernel, kv_len=skv, block_q=bq, block_k=bk
         )
         out = pl.pallas_call(
             kernel,
@@ -275,7 +326,7 @@ def _flash_attention(
     else:
         kernel = functools.partial(
             _flash_kernel,
-            scale=scale, kv_len=skv, block_q=bq, block_k=bk, causal=is_causal,
+            kv_len=skv, block_q=bq, block_k=bk, causal=is_causal,
             int8_qk=int8_qk, block_k_inner=bki,
         )
         out = pl.pallas_call(
@@ -311,13 +362,16 @@ def sdpa_pallas(
     # FASTDM_SDPA_INT8=1 enables SageAttention-style quantized QK^T (the
     # reference's default dense attention on >=Ampere GPUs)
     int8_qk = os.environ.get("FASTDM_SDPA_INT8", "0") == "1"
-    # measured on v5e: single-level bq512/bk1024 (72 TFLOPS @ FLUX 8704) beats
-    # every block_k_major/inner split tried (69-71) — sub-blocking stays an
-    # opt-in knob (kv_blocking + block_k_inner), not the default
+    # measured on v5e (FLUX 8704x24x128, same-session A/B): bq1024/bk1024
+    # 12.8-13.1 ms beats bq512/bk1024 13.4-13.5 ms (~3%); bq2048 (14.9),
+    # bk512 (25.8), and every hoisted/sub-blocked variant (13.2-18.3) lose.
+    # ~70-74 TFLOPS is the practical ceiling on this chip — the per-tile
+    # QK->softmax->PV chain is VPU/VMEM-bound, and neither base-2 softmax
+    # prescaling nor MXU/VPU overlap scheduling moved it (see BENCH_NOTES.md)
     return _flash_attention(
         query, key, value, None,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
-        is_causal=is_causal, scale=scale, block_q=512, block_k=1024, has_mask=False,
+        is_causal=is_causal, scale=scale, block_q=1024, block_k=1024, has_mask=False,
         int8_qk=int8_qk,
     )
 
@@ -325,7 +379,7 @@ def sdpa_pallas(
 def _gather_sparse_kernel(
     idx_ref, cnt_ref,  # scalar-prefetch: (ni, max_nb) int32, (ni, 1) int32
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, scale, kv_len, block_q, block_k,
+    *, kv_len, block_q, block_k,
 ):
     """Gather-style block-sparse flash attention: the grid's inner axis walks
     the COMPACTED active-KV-block list per q block, so masked blocks cost
@@ -350,7 +404,7 @@ def _gather_sparse_kernel(
             # the gathered block may be the (padded) last one
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             kv_mask = col + idx_ref[i, j] * block_k < kv_len
-        _attn_body(q, k, v, kv_mask, scale, m_scr, l_scr, acc_scr)
+        _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr)
 
     @pl.when(j == nj - 1)
     def _():
@@ -376,7 +430,8 @@ def _gather_sparse_attention(
     scale = head_dim**-0.5 if scale is None else scale
     bq, bk = block_q, block_k
 
-    q = _pad_seq(query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3), bq)
+    q = query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3)
+    q = _pad_seq((q.astype(jnp.float32) * (scale * _LOG2E)).astype(query.dtype), bq)
     k = _pad_seq(key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
     v = _pad_seq(value.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
     ni = q.shape[2] // bq
@@ -407,7 +462,7 @@ def _gather_sparse_attention(
         ],
     )
     kernel = functools.partial(
-        _gather_sparse_kernel, scale=scale, kv_len=skv, block_q=bq, block_k=bk
+        _gather_sparse_kernel, kv_len=skv, block_q=bq, block_k=bk
     )
     out = pl.pallas_call(
         kernel,
