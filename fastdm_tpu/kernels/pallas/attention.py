@@ -37,6 +37,14 @@ Array = jax.Array
 _NEG_INF = -1e30
 _LANES = 128
 _LOG2E = 1.4426950408889634
+# bf16 logits: halves the (bq, bk) tile's VMEM traffic in the softmax passes
+# (see _softmax_update); strictly more accurate than the reference's int8-QK
+# SageAttention default. f32 remains the accuracy-test oracle setting.
+_S_DTYPE = (
+    jnp.bfloat16
+    if os.environ.get("FASTDM_SDPA_BF16_LOGITS", "0") == "1"
+    else jnp.float32
+)
 
 
 def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False):
@@ -67,21 +75,11 @@ def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False):
     else:
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        ).astype(_S_DTYPE)  # Mosaic requires 32-bit matmul acc; the downcast
+        # happens at the accumulator store, before any VMEM round-trip
     if kv_mask is not None:
         s = jnp.where(kv_mask, s, _NEG_INF)
-    m_prev = m_scr[...]
-    l_prev = l_scr[...]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    alpha = jnp.exp2(m_prev - m_next)  # (bq, LANES)
-    p = jnp.exp2(s - m_next[:, :1])  # (bq, bk) f32
-    l_scr[...] = alpha * l_prev + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
-    )
-    m_scr[...] = m_next
-    pv = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    acc_scr[...] = alpha[:, :1] * acc_scr[...] + pv
+    _softmax_update(s, v, m_scr, l_scr, acc_scr)
 
 
 def _flash_kernel(
@@ -139,7 +137,7 @@ def _flash_kernel(
                 s_tiles.append(jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ))
+                ).astype(_S_DTYPE))
             for t, start in enumerate(range(0, block_k, bki)):
                 v = v_ref[0, 0, pl.dslice(start, bki), :]
                 s = s_tiles[t]
@@ -171,15 +169,23 @@ def _flash_kernel(
 
 def _softmax_update(s, v, m_scr, l_scr, acc_scr):
     """Online-softmax update + PV for an already-computed (bq, bk) logits tile
-    (base-2 logits, see _attn_body)."""
+    (base-2 logits, see _attn_body).
+
+    Works at s's own dtype: with FASTDM_SDPA_BF16_LOGITS the logits tile is
+    bf16, halving its VMEM traffic for every pass (max/sub/exp2/sum) and
+    making the PV astype a no-op. The running m/l/acc state stays f32; the
+    sub uses m rounded to s's dtype, which shifts p and sum(p) by the same
+    factor — softmax-consistent. bf16 logits are strictly more accurate than
+    the reference's default int8-QK SageAttention logits."""
     m_prev = m_scr[...]
     l_prev = l_scr[...]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur.astype(jnp.float32),
+                                                  m_prev.shape))
     alpha = jnp.exp2(m_prev - m_next)
-    p = jnp.exp2(s - m_next[:, :1])
+    p = jnp.exp2(s - m_next[:, :1].astype(s.dtype))
     l_scr[...] = alpha * l_prev + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32), l_prev.shape
     )
     m_scr[...] = m_next
     pv = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
