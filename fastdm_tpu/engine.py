@@ -939,13 +939,18 @@ class FastDMEngine:
 
             if kernel_registry.backend_for("sdpa_sparse") == "pallas":
                 # gather form: masked KV blocks cost neither DMA nor compute;
-                # coarsening factors derive from the model's gather tile size
+                # block_lists takes the gather tile sizes in TOKENS and
+                # derives coarsening from the mask's own block_size
                 bq, bk = self.cfg.sparse_gather_blocks
-                idx, cnt = self.sparse_attn.block_lists(bq // 128, bk // 128)
+                idx, cnt = self.sparse_attn.block_lists(bq, bk)
                 sparse_mask = (jnp.asarray(idx), jnp.asarray(cnt))
             else:
+                # the masked-kernel path tiles at 128 (wan self-attn call);
+                # retile the mask from its native block_size granularity
                 sparse_mask = jnp.asarray(
-                    self.sparse_attn.block_mask(1, self.cfg.num_attention_heads)
+                    self.sparse_attn.block_mask(
+                        1, self.cfg.num_attention_heads, block_tokens=128
+                    )
                 )
             dense_steps = self.sparse_attn.config.dense_steps
         cos, sin = wan_rope_cos_sin(self.cfg, lf, lh, lw)

@@ -158,21 +158,64 @@ class RadialAttn(SparseAttn):
             )
         return self._mask_cache[key]
 
-    def block_mask(self, batch: int = 1, heads: int = 1) -> np.ndarray:
-        """(B, H, nb, nb) int32 mask for the masked Pallas kernel."""
-        m = self._mask2d().astype(np.int32)
+    def block_mask(
+        self, batch: int = 1, heads: int = 1, block_tokens: Optional[int] = None
+    ) -> np.ndarray:
+        """(B, H, nb, nb) int32 mask for the masked Pallas kernel.
+
+        block_tokens: granularity the CONSUMER tiles at (the kernel's
+        block_q/block_k). The native mask is at `config.block_size` (64 in
+        the reference radial config); coarser requests OR blocks together (a
+        safe superset — never drops attention), finer requests repeat them.
+        This is the TPU analog of the reference's 128<->64 mask layout
+        conversion (sparge_mask_convert, ref xsparse.py:230-250). Default
+        None = native granularity."""
+        m = self._mask2d()
+        bs = self.config.block_size
+        bt = block_tokens or bs
+        if bt != bs:
+            if bt % bs == 0:
+                f = bt // bs
+                nq, nk = m.shape
+                pq, pk = (-nq) % f, (-nk) % f
+                mp = np.pad(m, ((0, pq), (0, pk)))
+                m = mp.reshape(mp.shape[0] // f, f, mp.shape[1] // f, f).any(
+                    axis=(1, 3)
+                )
+            elif bs % bt == 0:
+                f = bs // bt
+                m = np.repeat(np.repeat(m, f, axis=0), f, axis=1)
+            else:
+                raise ValueError(
+                    f"block_tokens {bt} incompatible with mask block_size {bs}"
+                )
+        m = m.astype(np.int32)
         return np.broadcast_to(m[None, None], (batch, heads, *m.shape)).copy()
 
-    def block_lists(self, q_factor: int = 4, k_factor: int = 8):
+    def block_lists(self, q_tokens: int = 512, k_tokens: int = 1024):
         """Compacted per-q-block active KV lists for the gather kernel:
         (indices (nq, max_nb) i32, counts (nq, 1) i32). DMA-skips masked
         blocks — the radial mask is batch/head-independent so one table
         serves every (b, h).
 
-        Coarsening (OR over q_factor x k_factor 128-blocks) trades sparsity
-        for per-step efficiency; (4, 8) -> 512x1024 tiles measured 1.55x over
-        dense at the A14B 75k-token shape (128-tiles were SLOWER than dense)."""
+        q_tokens/k_tokens are the gather kernel's TILE SIZES IN TOKENS
+        (WanConfig.sparse_gather_blocks); the coarsening factors are derived
+        from the mask's own `block_size` (64 in the reference's radial
+        config) so the emitted indices address k_tokens-sized tiles. A
+        factor mismatch here is an out-of-bounds DMA on hardware (caught on
+        v5e 2026-08-17; the mask granularity is config-dependent, never
+        assume 128). Coarsening ORs mask blocks together, trading sparsity
+        for per-tile efficiency; 512x1024 tiles measured 1.55x over dense at
+        the A14B 75k-token shape (128-tiles were SLOWER than dense)."""
         from fastdm_tpu.kernels.pallas.attention import mask_to_block_lists
 
-        idx, cnt, _ = mask_to_block_lists(self._mask2d(), q_factor, k_factor)
+        bs = self.config.block_size
+        if q_tokens % bs or k_tokens % bs:
+            raise ValueError(
+                f"gather tile sizes ({q_tokens}, {k_tokens}) must be "
+                f"multiples of the radial mask block_size {bs}"
+            )
+        idx, cnt, _ = mask_to_block_lists(
+            self._mask2d(), q_tokens // bs, k_tokens // bs
+        )
         return idx, cnt

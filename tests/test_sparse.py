@@ -73,3 +73,49 @@ def test_sparse_config_json_roundtrip(tmp_path):
     assert isinstance(attn, RadialAttn)
     assert attn.config.block_size == 64
     assert attn.config.dense_steps == 11
+
+
+def test_block_lists_indices_respect_mask_granularity():
+    """Regression (v5e OOB DMA, 2026-08-17): with the reference's block_size
+    64 radial config, gather indices must address k_tokens-sized tiles —
+    i.e. stay below ceil(padded_tokens / k_tokens) — not block_size tiles."""
+    cfg = RadialAttnConfig(block_size=64, decay_factor=0.3, model_type="wan")
+    attn = RadialAttn(cfg)
+    tokens, frames = 31 * 576, 31  # wan-5B 768^2 x121f latent shape
+    attn.post_init(video_token_num=tokens, num_frame=frames)
+    q_tokens, k_tokens = 512, 1024
+    idx, cnt = attn.block_lists(q_tokens, k_tokens)
+    n_fine = attn._mask2d().shape[0]
+    nq = -(-n_fine * 64 // q_tokens)
+    nk = -(-n_fine * 64 // k_tokens)
+    assert idx.shape[0] == nq and cnt.shape == (nq, 1)
+    assert idx.max() < nk, (idx.max(), nk)
+    assert (cnt[:, 0] <= nk).all()
+    # incompatible tile sizes are rejected, not silently mis-scaled
+    import pytest
+
+    with pytest.raises(ValueError):
+        attn.block_lists(96, 1024)
+
+
+def test_block_mask_retiles_to_consumer_granularity():
+    """block_mask(block_tokens=) retiles the native block_size-64 mask to the
+    kernel's 128-token tiles (coarsen = OR, a safe superset) — the analog of
+    the reference's sparge_mask_convert 128<->64 (ref xsparse.py:230-250)."""
+    cfg = RadialAttnConfig(block_size=64, decay_factor=0.3, model_type="wan")
+    attn = RadialAttn(cfg)
+    tokens, frames = 8 * 256, 8
+    attn.post_init(video_token_num=tokens, num_frame=frames)
+    fine = attn.block_mask(1, 1)  # native 64 granularity
+    coarse = attn.block_mask(1, 1, block_tokens=128)
+    n64 = fine.shape[2]
+    assert coarse.shape[2] == -(-n64 // 2)
+    # superset: wherever any covered fine block is active, coarse is active
+    for i in range(coarse.shape[2]):
+        for j in range(coarse.shape[3]):
+            f = fine[0, 0, 2 * i:2 * i + 2, 2 * j:2 * j + 2]
+            assert coarse[0, 0, i, j] == int(f.any())
+    # refine = repeat
+    finer = attn.block_mask(1, 1, block_tokens=32)
+    assert finer.shape[2] == 2 * n64
+    assert (finer[0, 0, ::2, ::2] == fine[0, 0]).all()
