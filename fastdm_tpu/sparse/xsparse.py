@@ -205,8 +205,9 @@ class RadialAttn(SparseAttn):
         factor mismatch here is an out-of-bounds DMA on hardware (caught on
         v5e 2026-08-17; the mask granularity is config-dependent, never
         assume 128). Coarsening ORs mask blocks together, trading sparsity
-        for per-tile efficiency; 512x1024 tiles measured 1.55x over dense at
-        the A14B 75k-token shape (128-tiles were SLOWER than dense)."""
+        for per-tile efficiency; 512x1024 tiles measured 1.33x over dense at
+        the A14B 75k-token shape, coarse density 0.603 (128-tiles were
+        SLOWER than dense)."""
         from fastdm_tpu.kernels.pallas.attention import mask_to_block_lists
 
         bs = self.config.block_size
