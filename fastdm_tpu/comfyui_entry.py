@@ -97,10 +97,12 @@ class ComfyUISDXLForwardWrapper:
         t = jnp.asarray(np.asarray(timesteps.detach().cpu().float()), jnp.float32)
         ctx = _to_jax(context)
         y_np = np.asarray(y.detach().cpu().float())
-        pooled = jnp.asarray(y_np[:, :1280], jnp.bfloat16)
-        # ComfyUI packs pooled(1280) + 6 sinusoid-encoded time ids; recover ids
-        # is lossy, so pass the raw add_embeds path via time_ids zeros and
-        # fold y's extra dims into text_embeds when shapes allow.
+        # ComfyUI packs pooled text embeds + 6 sinusoid-encoded time ids into
+        # y; the pooled width comes from the config (1280 for stock SDXL) —
+        # recovering the ids from their sinusoids is lossy, so time_ids ride
+        # as zeros and y's leading block is the pooled text embedding.
+        pooled_dim = self.cfg.add_embedding_in_dim - 6 * self.cfg.addition_time_embed_dim
+        pooled = jnp.asarray(y_np[:, :pooled_dim], jnp.bfloat16)
         time_ids = jnp.zeros((y_np.shape[0], 6), jnp.float32)
         out = self._fwd(self.params, self.cfg, sample, t, ctx, pooled, time_ids)
         return _to_torch(out, x)
@@ -192,7 +194,8 @@ class ComfyUISDXLControlnetForwardWrapper:
         t = jnp.asarray(np.asarray(timesteps.detach().cpu().float()), jnp.float32)
         ctx = _to_jax(context)
         y_np = np.asarray(y.detach().cpu().float())
-        pooled = jnp.asarray(y_np[:, :1280], jnp.bfloat16)
+        pooled_dim = self.cfg.add_embedding_in_dim - 6 * self.cfg.addition_time_embed_dim
+        pooled = jnp.asarray(y_np[:, :pooled_dim], jnp.bfloat16)
         time_ids = jnp.zeros((y_np.shape[0], 6), jnp.float32)
         # ComfyUI hint is (B, 3, H, W) in [0, 1]; our encoder wants NHWC
         cn_cond = jnp.asarray(

@@ -235,20 +235,6 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def kv_blocking(skv: int, block_k: int) -> tuple:
-    """Pick (block_k_major, block_k_inner) for a KV length: the largest
-    128-multiple major block in [1.5k, 4k] that divides the padded length
-    exactly (zero extra padding, half the grid steps, double the DMA size),
-    with an even inner compute split. Falls back to single-level blocking."""
-    skv_p = _round_up(skv, 128)
-    best = (block_k, None)
-    for major in range(1536, 4097, 128):
-        inner = major // 2
-        if skv_p % major == 0 and inner % 16 == 0:
-            best = (major, inner)
-    return best
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -1,0 +1,142 @@
+"""ComfyUI forward-wrapper smoke tests (ref surface: fastdm/comfyui_entry.py).
+
+Drives every wrapper with torch CPU tensors through the ComfyUI calling
+conventions (x/timestep/context/y/hint, NCHW, odd sizes for patch padding)
+on tiny random-init cores, asserting torch-tensor outputs of the right
+shape come back — the torch<->jax bridge, rope caches, y-unpacking and
+residual-dict layouts are the code under test.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _t(shape, seed=0, scale=1.0):
+    r = np.random.default_rng(seed)
+    return torch.from_numpy(r.standard_normal(shape).astype(np.float32) * scale)
+
+
+def test_flux_wrapper_pads_and_returns_torch():
+    from fastdm_tpu.comfyui_entry import ComfyUIFluxForwardWrapper
+    from fastdm_tpu.models.flux import FluxConfig, flux_init_random
+
+    cfg = FluxConfig(num_layers=1, num_single_layers=1, attention_head_dim=32,
+                     num_attention_heads=2, joint_attention_dim=24,
+                     pooled_projection_dim=16, in_channels=8, out_channels=8,
+                     axes_dims_rope=(8, 12, 12), guidance_embeds=False,
+                     quant=None)
+    params = flux_init_random(jax.random.key(0), cfg)
+    w = ComfyUIFluxForwardWrapper(params, cfg)
+    # odd H exercises pad_to_patch_size; latent C = in_channels / 4 = 2
+    x = _t((1, 2, 7, 8), 1)
+    out = w(x, timestep=_t((1,), 2, 0.1).abs(), context=_t((1, 5, 24), 3),
+            y=_t((1, 16), 4))
+    assert isinstance(out, torch.Tensor)
+    assert out.shape == (1, 2, 7, 8)
+    assert torch.isfinite(out).all()
+    # rope cache reused on second call (same spatial key)
+    assert len(w._rope_cache) == 1
+    w(x, timestep=_t((1,), 5, 0.1).abs(), context=_t((1, 5, 24), 6), y=_t((1, 16), 7))
+    assert len(w._rope_cache) == 1
+
+
+def test_sdxl_wrapper_unpacks_pooled_from_config():
+    from fastdm_tpu.comfyui_entry import ComfyUISDXLForwardWrapper
+    from fastdm_tpu.models.sdxl import SDXLConfig, sdxl_init_random
+
+    cfg = SDXLConfig(block_channels=(8, 16, 32), cross_attention_dim=16,
+                     attn_layers=(0, 1, 2), head_dim=8,
+                     addition_time_embed_dim=4, time_embed_dim=16,
+                     add_embedding_in_dim=8 + 6 * 4, norm_groups=4, quant=None)
+    params = sdxl_init_random(jax.random.key(0), cfg)
+    w = ComfyUISDXLForwardWrapper(params, cfg)
+    # y = pooled(8) + 6 encoded time ids (4 each) — the wrapper must slice the
+    # pooled width from the CONFIG (regression: it was hardcoded to 1280)
+    y = _t((1, 8 + 24), 4)
+    out = w(_t((1, 4, 16, 16), 1), timesteps=torch.tensor([500.0]),
+            context=_t((1, 6, 16), 3), y=y)
+    assert out.shape == (1, 4, 16, 16)
+    assert torch.isfinite(out).all()
+
+
+def test_sd3_wrapper_scales_sigma_to_timestep():
+    from fastdm_tpu.comfyui_entry import ComfyUISD3ForwardWrapper
+    from fastdm_tpu.models.sd35 import SD3Config, sd3_init_random
+
+    cfg = SD3Config(sample_size=16, patch_size=2, in_channels=4, out_channels=4,
+                    num_layers=4, attention_head_dim=16, num_attention_heads=4,
+                    joint_attention_dim=32, caption_projection_dim=64,
+                    pooled_projection_dim=24, pos_embed_max_size=24,
+                    num_dual_layers=2, quant=None)
+    params = sd3_init_random(jax.random.key(0), cfg)
+    w = ComfyUISD3ForwardWrapper(params, cfg)
+    out = w(_t((1, 4, 16, 16), 1), timestep=torch.tensor([0.5]),
+            context=_t((1, 6, 32), 2), y=_t((1, 24), 3))
+    assert out.shape == (1, 4, 16, 16)
+    assert torch.isfinite(out).all()
+    assert len(w._pos_cache) == 1
+
+
+def test_qwen_wrapper_roundtrip():
+    from fastdm_tpu.comfyui_entry import ComfyUIQwenForwardWrapper
+    from fastdm_tpu.models.qwenimage import QwenImageConfig, qwen_init_random
+
+    cfg = QwenImageConfig(num_layers=2, attention_head_dim=32,
+                          num_attention_heads=2, joint_attention_dim=24,
+                          in_channels=8, out_channels=2,
+                          axes_dims_rope=(8, 12, 12), quant=None)
+    params = qwen_init_random(jax.random.key(0), cfg)
+    w = ComfyUIQwenForwardWrapper(params, cfg)
+    x = _t((1, 2, 6, 7), 1)  # odd W exercises padding
+    out = w(x, timestep=torch.tensor([0.7]), context=_t((1, 5, 24), 2))
+    assert out.shape == (1, 2, 6, 7)
+    assert torch.isfinite(out).all()
+
+
+def test_sdxl_controlnet_wrapper_residual_dict():
+    from fastdm_tpu.comfyui_entry import ComfyUISDXLControlnetForwardWrapper
+    from fastdm_tpu.models.controlnets import sdxl_controlnet_init_random
+    from fastdm_tpu.models.sdxl import SDXLConfig
+
+    cfg = SDXLConfig(block_channels=(8, 16, 32), cross_attention_dim=16,
+                     attn_layers=(0, 1, 2), head_dim=8,
+                     addition_time_embed_dim=4, time_embed_dim=16,
+                     add_embedding_in_dim=8 + 6 * 4, norm_groups=4, quant=None)
+    params = sdxl_controlnet_init_random(jax.random.key(0), cfg,
+                                         cond_channels=(4, 8, 8, 8))
+    w = ComfyUISDXLControlnetForwardWrapper(params, cfg)
+    h = wd = 16
+    out = w(_t((1, 4, h, wd), 1), hint=torch.rand(1, 3, 8 * h, 8 * wd),
+            timesteps=torch.tensor([400.0]), context=_t((1, 6, 16), 3),
+            y=_t((1, 32), 4))
+    assert set(out) == {"middle", "output"}
+    assert len(out["middle"]) == 1
+    assert all(isinstance(o, torch.Tensor) for o in out["output"])
+    # residuals are NCHW like ComfyUI applies them
+    assert out["middle"][0].shape[1] == cfg.block_channels[-1]
+
+
+def test_flux_controlnet_wrapper_residual_dict():
+    from fastdm_tpu.comfyui_entry import ComfyUIFluxControlnetForwardWrapper
+    from fastdm_tpu.models.controlnets import (
+        FluxControlNetConfig,
+        flux_controlnet_init_random,
+    )
+
+    cfg = FluxControlNetConfig(num_layers=2, num_single_layers=0,
+                               attention_head_dim=32, num_attention_heads=2,
+                               joint_attention_dim=24, pooled_projection_dim=16,
+                               in_channels=8, out_channels=8,
+                               axes_dims_rope=(8, 12, 12), quant=None)
+    params = flux_controlnet_init_random(jax.random.key(0), cfg)
+    w = ComfyUIFluxControlnetForwardWrapper(params, cfg)
+    x = _t((1, 2, 8, 8), 1)
+    out = w(x, hint=_t((1, 2, 8, 8), 2), timesteps=torch.tensor([0.4]),
+            context=_t((1, 5, 24), 3), y=_t((1, 16), 4))
+    assert "input" in out and len(out["input"]) == cfg.num_layers
+    assert all(isinstance(o, torch.Tensor) for o in out["input"])
