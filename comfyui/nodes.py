@@ -37,6 +37,7 @@ class FastdmTpuFluxLoader:
     def load_model(self, ckpt_name, quant):
         import comfy.model_patcher
         import comfy.model_base
+        import comfy.supported_models
         import folder_paths
         import torch
 
@@ -74,6 +75,7 @@ class FastdmTpuSDXLLoader:
     def load_model(self, ckpt_name, quant):
         import comfy.model_patcher
         import comfy.model_base
+        import comfy.supported_models
         import folder_paths
         import torch
 
@@ -111,6 +113,7 @@ class FastdmTpuSD35Loader:
     def load_model(self, ckpt_name, quant):
         import comfy.model_base
         import comfy.model_patcher
+        import comfy.supported_models
         import folder_paths
         import torch
 
@@ -148,6 +151,7 @@ class FastdmTpuQwenImageLoader:
     def load_model(self, ckpt_name, quant):
         import comfy.model_base
         import comfy.model_patcher
+        import comfy.supported_models
         import folder_paths
         import torch
 
