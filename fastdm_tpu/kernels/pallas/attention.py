@@ -37,17 +37,10 @@ Array = jax.Array
 _NEG_INF = -1e30
 _LANES = 128
 _LOG2E = 1.4426950408889634
-# bf16 logits: halves the (bq, bk) tile's VMEM traffic in the softmax passes
-# (see _softmax_update); strictly more accurate than the reference's int8-QK
-# SageAttention default. f32 remains the accuracy-test oracle setting.
-_S_DTYPE = (
-    jnp.bfloat16
-    if os.environ.get("FASTDM_SDPA_BF16_LOGITS", "0") == "1"
-    else jnp.float32
-)
 
 
-def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False):
+def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False,
+               s_dtype=jnp.float32):
     """One online-softmax update for a (bq, D) query block against (bk, D) k/v.
 
     The softmax runs in base 2: the wrapper pre-folds `scale * log2(e)` into q
@@ -75,8 +68,8 @@ def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False):
     else:
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(_S_DTYPE)  # Mosaic requires 32-bit matmul acc; the downcast
-        # happens at the accumulator store, before any VMEM round-trip
+        ).astype(s_dtype)  # Mosaic requires 32-bit matmul acc; the downcast
+        # happens at the accumulator store, before a VMEM round-trip
     if kv_mask is not None:
         s = jnp.where(kv_mask, s, _NEG_INF)
     _softmax_update(s, v, m_scr, l_scr, acc_scr)
@@ -84,7 +77,7 @@ def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False):
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, kv_len, block_q, block_k, causal, int8_qk=False, block_k_inner=None,
+    *, kv_len, block_q, block_k, causal, int8_qk=False, s_dtype=jnp.float32,
 ):
     i, j = pl.program_id(2), pl.program_id(3)
     nj = pl.num_programs(3)
@@ -100,51 +93,27 @@ def _flash_kernel(
         run = j * block_k <= (i + 1) * block_q - 1
 
     has_pad = kv_len % block_k != 0
-    # sub-block split: the (block_k, D) KV tile arrives as ONE DMA but the
-    # MXU works on (bki, D) slices — bigger DMAs, same compute tiling (the
-    # structure of jax.experimental's flash_attention block_k_major/block_k)
-    bki = block_k_inner or block_k
+    # (sub-block splits of the KV tile — both serial and dots-hoisted-
+    # before-softmax forms — were tried and measured neutral-to-worse on
+    # v5e; see BENCH_NOTES.md. One _attn_body per (bq, bk) tile is the form)
 
-    def _mask_for(start, masked):
+    def _mask_for(masked):
         kv_mask = None
         col = None
         if masked:
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 1)
-            kv_mask = col + j * block_k + start < kv_len
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            kv_mask = col + j * block_k < kv_len
         if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             if col is None:
-                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bki), 1)
-            cmask = col + j * block_k + start <= row + i * block_q
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            cmask = col + j * block_k <= row + i * block_q
             kv_mask = cmask if kv_mask is None else (kv_mask & cmask)
         return kv_mask
 
     def body(masked):
-        q = q_ref[0, 0]
-        if int8_qk or bki == block_k:
-            for start in range(0, block_k, bki):
-                k = k_ref[0, 0, pl.dslice(start, bki), :]
-                v = v_ref[0, 0, pl.dslice(start, bki), :]
-                _attn_body(q, k, v, _mask_for(start, masked), m_scr, l_scr,
-                           acc_scr, int8_qk)
-        else:
-            # hoisted sub-block dots: issue ALL QK^T matmuls before any
-            # softmax update, so dot t+1 (MXU) retires under softmax t (VPU)
-            # — per-tile QK->softmax->PV is otherwise a serial MXU+VPU sum
-            s_tiles = []
-            for start in range(0, block_k, bki):
-                k = k_ref[0, 0, pl.dslice(start, bki), :]
-                s_tiles.append(jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(_S_DTYPE))
-            for t, start in enumerate(range(0, block_k, bki)):
-                v = v_ref[0, 0, pl.dslice(start, bki), :]
-                s = s_tiles[t]
-                kv_mask = _mask_for(start, masked)
-                if kv_mask is not None:
-                    s = jnp.where(kv_mask, s, _NEG_INF)
-                _softmax_update(s, v, m_scr, l_scr, acc_scr)
+        _attn_body(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], _mask_for(masked),
+                   m_scr, l_scr, acc_scr, int8_qk, s_dtype)
 
     if has_pad:
         # only the LAST kv block contains padding; keep the hot path mask-free
@@ -239,20 +208,19 @@ def _round_up(x: int, mult: int) -> int:
     jax.jit,
     static_argnames=(
         "num_q_heads", "num_kv_heads", "head_dim", "is_causal", "scale",
-        "block_q", "block_k", "has_mask", "int8_qk", "block_k_inner",
+        "block_q", "block_k", "has_mask", "int8_qk", "bf16_logits",
     ),
 )
 def _flash_attention(
     query, key, value, sparse_mask,
     *, num_q_heads, num_kv_heads, head_dim, is_causal, scale, block_q, block_k,
-    has_mask, int8_qk=False, block_k_inner=None,
+    has_mask, int8_qk=False, bf16_logits=False,
 ):
     b, sq, _ = query.shape
     skv = key.shape[1]
     scale = head_dim**-0.5 if scale is None else scale
     bq = min(block_q, _round_up(sq, 128))
     bk = min(block_k, _round_up(skv, 128))
-    bki = block_k_inner if (block_k_inner and block_k_inner < bk) else None
 
     q = query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3)
     # base-2 softmax: fold scale*log2(e) into q here (one (S, D) pass) so the
@@ -319,7 +287,8 @@ def _flash_attention(
         kernel = functools.partial(
             _flash_kernel,
             kv_len=skv, block_q=bq, block_k=bk, causal=is_causal,
-            int8_qk=int8_qk, block_k_inner=bki,
+            int8_qk=int8_qk,
+            s_dtype=jnp.bfloat16 if bf16_logits else jnp.float32,
         )
         out = pl.pallas_call(
             kernel,
@@ -352,8 +321,13 @@ def sdpa_pallas(
     scale: Optional[float] = None,
 ) -> Array:
     # FASTDM_SDPA_INT8=1 enables SageAttention-style quantized QK^T (the
-    # reference's default dense attention on >=Ampere GPUs)
+    # reference's default dense attention on >=Ampere GPUs);
+    # FASTDM_SDPA_BF16_LOGITS=1 runs the softmax over a bf16 logits tile
+    # (equal speed on v5e, looser numerics — see _softmax_update). Both env
+    # vars are read per call and passed as static args, so flipping them
+    # after import takes effect.
     int8_qk = os.environ.get("FASTDM_SDPA_INT8", "0") == "1"
+    bf16_logits = os.environ.get("FASTDM_SDPA_BF16_LOGITS", "0") == "1"
     # measured on v5e (FLUX 8704x24x128, same-session A/B): bq1024/bk1024
     # 12.8-13.1 ms beats bq512/bk1024 13.4-13.5 ms (~3%); bq2048 (14.9),
     # bk512 (25.8), and every hoisted/sub-blocked variant (13.2-18.3) lose.
@@ -364,7 +338,7 @@ def sdpa_pallas(
         query, key, value, None,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
         is_causal=is_causal, scale=scale, block_q=1024, block_k=1024, has_mask=False,
-        int8_qk=int8_qk,
+        int8_qk=int8_qk, bf16_logits=bf16_logits,
     )
 
 
@@ -465,6 +439,25 @@ def _gather_sparse_attention(
     return out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, num_q_heads * head_dim)
 
 
+def coarsen_block_mask(mask_2d, q_factor: int = 1, k_factor: int = 1):
+    """Host-side OR-coarsening of a 2D block mask: rows grouped by q_factor,
+    cols by k_factor (zero-padded up to a multiple first, so padding rows/
+    cols never turn a tile on). OR makes the coarse mask a SUPERSET of the
+    fine one — attention is never dropped, only extra tiles computed. The
+    single shared implementation for both the gather block lists and
+    SparseAttn.block_mask's consumer-granularity retile."""
+    import numpy as np
+
+    m = np.asarray(mask_2d, bool)
+    if q_factor > 1 or k_factor > 1:
+        nq, nk = m.shape
+        pq, pk = (-nq) % q_factor, (-nk) % k_factor
+        m = np.pad(m, ((0, pq), (0, pk)))
+        m = m.reshape(m.shape[0] // q_factor, q_factor,
+                      m.shape[1] // k_factor, k_factor).any(axis=(1, 3))
+    return m
+
+
 def mask_to_block_lists(mask_2d, q_factor: int = 1, k_factor: int = 1) -> tuple:
     """Host-side: (nq, nk) bool mask -> (indices (nq', max_nb) i32, counts
     (nq', 1) i32). Padded entries repeat index 0 (fetched but compute-skipped).
@@ -475,13 +468,7 @@ def mask_to_block_lists(mask_2d, q_factor: int = 1, k_factor: int = 1) -> tuple:
     little sparsity for dense-kernel per-step efficiency."""
     import numpy as np
 
-    m = np.asarray(mask_2d, bool)
-    if q_factor > 1 or k_factor > 1:
-        nq, nk = m.shape
-        pq, pk = (-nq) % q_factor, (-nk) % k_factor
-        m = np.pad(m, ((0, pq), (0, pk)))
-        m = m.reshape(m.shape[0] // q_factor, q_factor,
-                      m.shape[1] // k_factor, k_factor).any(axis=(1, 3))
+    m = coarsen_block_mask(mask_2d, q_factor, k_factor)
     nq = m.shape[0]
     counts = m.sum(1).astype(np.int32)
     max_nb = max(1, int(counts.max()))

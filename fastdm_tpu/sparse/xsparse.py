@@ -172,16 +172,15 @@ class RadialAttn(SparseAttn):
         None = native granularity."""
         m = self._mask2d()
         bs = self.config.block_size
-        bt = block_tokens or bs
+        bt = bs if block_tokens is None else block_tokens
+        if bt < 1:
+            raise ValueError(f"block_tokens must be >= 1, got {bt}")
         if bt != bs:
             if bt % bs == 0:
+                from fastdm_tpu.kernels.pallas.attention import coarsen_block_mask
+
                 f = bt // bs
-                nq, nk = m.shape
-                pq, pk = (-nq) % f, (-nk) % f
-                mp = np.pad(m, ((0, pq), (0, pk)))
-                m = mp.reshape(mp.shape[0] // f, f, mp.shape[1] // f, f).any(
-                    axis=(1, 3)
-                )
+                m = coarsen_block_mask(m, f, f)
             elif bs % bt == 0:
                 f = bs // bt
                 m = np.repeat(np.repeat(m, f, axis=0), f, axis=1)
