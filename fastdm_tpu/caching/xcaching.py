@@ -16,6 +16,17 @@ Algorithms (bit-for-bit decision logic vs the reference):
     `delta_minus` error; `ret_ratio * total_steps` warmup; on skip, 2-point
     residual extrapolation with gamma clipped to [1, 1.5].
 
+Reference-verified semantics (easy to mistake for bugs — checked against
+/root/reference/fastdm/caching/xcaching.py on 2026-08-17):
+  * FBCache skip DISCARDS the freshly computed block-0 output and replays
+    residual (= out - pre-block-0 input) on the raw input (ref :370-372).
+  * DiCache skip replays residual (= out - PRE-probe input) on top of the
+    probe OUTPUT (ref :503-512) — the probe delta is intentionally counted
+    in both terms.
+  * Warmup comparisons are `step <= warmup` (ref :352, :476): warmup+1
+    forced computes.
+  * No forced compute on the final step (ref forces step 0 only, :209).
+
 Integration contract (used by model forwards):
     probe_fn(hidden, encoder) -> (probe_tensor, (h', e'))   # always runs
     rest_fn(h', e')           -> out_hidden                 # inside lax.cond
@@ -69,9 +80,11 @@ def cache_init_state(
     return st
 
 
-def _decide(cfg: CacheConfig, state: State, probe: Array, step: Array, total_steps: int):
-    """Returns (should_calc bool, new_accum, distance-metadata)."""
-    rel = _rel_l1(probe, state["prev_probe"])
+def _decide(cfg: CacheConfig, state: State, probe: Array, step: Array,
+            total_steps: int, error: Array = None):
+    """Returns (should_calc bool, new_accum). `error` overrides the default
+    probe-vs-previous rel-L1 distance (DiCache's delta_minus)."""
+    rel = _rel_l1(probe, state["prev_probe"]) if error is None else error
     if isinstance(cfg, TeaCacheConfig):
         coeffs = jnp.asarray(cfg.coefficients or (1.0, 0.0), jnp.float32)
         accum_cand = state["accum"] + jnp.polyval(coeffs, rel)
@@ -109,11 +122,10 @@ def cached_run(
         # input drift, delta_y the probe-output drift.
         delta_x = _rel_l1(hidden, state["prev_input"])
         delta_y = _rel_l1(probe, state["prev_probe"])
-        err = jnp.abs(delta_y - delta_x)
-        accum_cand = state["accum"] + err
-        forced = step <= jnp.int32(cfg.ret_ratio * total_steps)
-        should = forced | (accum_cand >= cfg.threshold)
-        new_accum = jnp.where(should, 0.0, accum_cand)
+        should, new_accum = _decide(
+            cfg, state, probe, step, total_steps,
+            error=jnp.abs(delta_y - delta_x),
+        )
     else:
         should, new_accum = _decide(cfg, state, probe, step, total_steps)
 
@@ -162,6 +174,20 @@ def cached_run(
         )
         new_state["prev_input"] = hidden.astype(state["prev_input"].dtype)
     return out, new_state
+
+
+def negative_stream_config(cfg: CacheConfig) -> CacheConfig:
+    """Config for the NEGATIVE CFG stream. The reference's TeaCache selects
+    the polynomial per stream — coefficients for "positive", 
+    negtive_coefficients for "negative" (ref TeaCache.__init__ + 
+    coefficients[cache_key], xcaching.py:160-163,213) — so a fitted negative
+    polynomial must rescale that stream's distances. Other algorithms (and
+    TeaCache without a fitted negative set) share the positive config."""
+    import dataclasses
+
+    if isinstance(cfg, TeaCacheConfig) and cfg.negtive_coefficients:
+        return dataclasses.replace(cfg, coefficients=cfg.negtive_coefficients)
+    return cfg
 
 
 class AutoCache:

@@ -33,8 +33,8 @@ def _block_attn(q, k, v, scale):
 
 
 def ring_attention(
-    query: Array,  # (B, S_local, H, D) — sequence sharded over "sp"
-    key: Array,
+    query: Array,  # (B, S_local, H_q, D) — sequence sharded over "sp"
+    key: Array,    # (B, S_local, H_kv, D) — H_kv may divide H_q (GQA)
     value: Array,
     axis_name: str = "sp",
     scale: Optional[float] = None,
@@ -44,25 +44,42 @@ def ring_attention(
     Must run inside shard_map over a mesh with `axis_name`. Per ring step the
     local K/V shard moves to the next device (lax.ppermute) while each device
     accumulates its queries' online softmax against the shard it holds.
+
+    Only n-1 rotations run (the last shard's result is never needed past its
+    own compute), and for GQA only the kv heads cross ICI — the repeat to
+    query-head count happens locally after each transfer.
     """
     n = jax.lax.psum(1, axis_name)
     scale = (query.shape[-1] ** -0.5) if scale is None else scale
     b, s, h, d = query.shape
+    h_kv = key.shape[2]
+    rep = h // h_kv
 
     q = jnp.transpose(query, (0, 2, 1, 3)).reshape(b * h, s, d)
-    k = jnp.transpose(key, (0, 2, 1, 3)).reshape(b * h, s, d)
-    v = jnp.transpose(value, (0, 2, 1, 3)).reshape(b * h, s, d)
+    # K/V stay at kv-head width in the ring carry: (B, H_kv, S, D)
+    k = jnp.transpose(key, (0, 2, 1, 3))
+    v = jnp.transpose(value, (0, 2, 1, 3))
 
-    def step(carry, _):
-        k_cur, v_cur, acc, m_run, l_run = carry
+    def accumulate(k_cur, v_cur, acc, m_run, l_run):
+        if rep > 1:
+            k_use = jnp.repeat(k_cur, rep, axis=1).reshape(b * h, s, d)
+            v_use = jnp.repeat(v_cur, rep, axis=1).reshape(b * h, s, d)
+        else:
+            k_use = k_cur.reshape(b * h, s, d)
+            v_use = v_cur.reshape(b * h, s, d)
         pv, m_blk, l_blk = jax.vmap(lambda qq, kk, vv: _block_attn(qq, kk, vv, scale))(
-            q, k_cur, v_cur
+            q, k_use, v_use
         )
         m_new = jnp.maximum(m_run, m_blk)
         alpha_run = jnp.exp(m_run - m_new)
         alpha_blk = jnp.exp(m_blk - m_new)
         acc = acc * alpha_run + pv * alpha_blk
         l_run = l_run * alpha_run + l_blk * alpha_blk
+        return acc, m_new, l_run
+
+    def step(carry, _):
+        k_cur, v_cur, acc, m_run, l_run = carry
+        acc, m_new, l_run = accumulate(k_cur, v_cur, acc, m_run, l_run)
         perm = [(i, (i + 1) % n) for i in range(n)]
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
@@ -78,8 +95,10 @@ def ring_attention(
     m0 = _vary(jnp.full((b * h, s, 1), -1e30, jnp.float32))
     l0 = _vary(jnp.zeros((b * h, s, 1), jnp.float32))
     (k, v, acc, m_run, l_run), _ = jax.lax.scan(
-        step, (k, v, acc0, m0, l0), None, length=n
+        step, (k, v, acc0, m0, l0), None, length=n - 1
     )
+    # final shard: compute only — its rotated-out copy is never consumed
+    acc, m_run, l_run = accumulate(k, v, acc, m_run, l_run)
     out = acc / jnp.maximum(l_run, 1e-20)
     out = out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
     return out.astype(query.dtype)
@@ -120,11 +139,12 @@ def sdpa_ring(
     b, sq, _ = query.shape
     skv = key.shape[1]
     q = query.reshape(b, sq, num_q_heads, head_dim)
+    # K/V stay at kv-head width: the ring rotates (and the cross path
+    # replicates) only the kv heads; GQA expansion happens locally after
+    # the transfer so ICI never carries the repeated bytes
     k = key.reshape(b, skv, num_kv_heads, head_dim)
     v = value.reshape(b, skv, num_kv_heads, head_dim)
-    if num_kv_heads != num_q_heads:
-        k = _repeat_kv(k, num_q_heads // num_kv_heads)
-        v = _repeat_kv(v, num_q_heads // num_kv_heads)
+    reps = num_q_heads // num_kv_heads
 
     sp = mesh.shape[axis]
     sm = (head_dim ** -0.5) if scale is None else scale
@@ -158,6 +178,8 @@ def sdpa_ring(
             out_specs=P(None, axis, None, None),
         )
         def attn(q, k, v):
+            k = _repeat_kv(k, reps)
+            v = _repeat_kv(v, reps)
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             ) * sm

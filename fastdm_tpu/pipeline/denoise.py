@@ -60,8 +60,14 @@ def make_flux_denoiser(
             def body(carry, step):
                 lat, st = carry
                 t = jnp.broadcast_to(sigmas[step], (b,))
+                # the cache counts steps RELATIVE to the loop start: the
+                # reference reads scheduler.step_index, which restarts at 0
+                # for img2img's truncated timestep list — with the absolute
+                # step, TeaCache's step-0 forced compute would never fire
+                # when start_step > 0 and the first rel-L1 (vs a zeroed
+                # prev_probe) would poison the accumulator
                 out, st = flux_forward_cached(
-                    params, cfg, cache_cfg, st, step, num_steps,
+                    params, cfg, cache_cfg, st, step - start_step, num_steps,
                     lat.astype(jnp.bfloat16), encoder, pooled, t, cos, sin,
                     guidance=guidance,
                 )

@@ -217,8 +217,13 @@ def make_qwen_denoiser(
         b = latents.shape[0]
 
         if use_cache:
-            from fastdm_tpu.caching.xcaching import cache_init_state
+            from fastdm_tpu.caching.xcaching import (
+                cache_init_state,
+                negative_stream_config,
+            )
             from fastdm_tpu.models.qwenimage import qwen_forward_cached
+
+            neg_cfg = negative_stream_config(cache_cfg)
 
             img_hidden = (b, latents.shape[1], cfg.inner_dim)
             probe_shape = (
@@ -239,7 +244,7 @@ def make_qwen_denoiser(
                 pos = pos.astype(jnp.float32)
                 if do_cfg:
                     neg, st_neg = qwen_forward_cached(
-                        params, cfg, cache_cfg, st_neg, step, num_steps,
+                        params, cfg, neg_cfg, st_neg, step, num_steps,
                         lat.astype(jnp.bfloat16), neg_embeds, t, cos, sin,
                     )
                     out = neg.astype(jnp.float32) + true_cfg_scale * (pos - neg.astype(jnp.float32))
@@ -419,9 +424,13 @@ def make_wan_cached_denoiser(
     streams (ref: xcaching negtive_cache for wan). cond carries the i2v
     conditioning channels (mask + encoded first frame), concatenated each
     step like the uncached loop."""
-    from fastdm_tpu.caching.xcaching import cache_init_state
+    from fastdm_tpu.caching.xcaching import (
+        cache_init_state,
+        negative_stream_config,
+    )
     from fastdm_tpu.models.wan import wan_forward_cached
 
+    neg_cfg = negative_stream_config(cache_cfg)
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
     do_cfg = guidance_scale > 1.0
 
@@ -448,7 +457,7 @@ def make_wan_cached_denoiser(
             pos = pos.astype(jnp.float32)
             if do_cfg:
                 neg, sn = wan_forward_cached(
-                    params, cfg, cache_cfg, sn, step, num_steps,
+                    params, cfg, neg_cfg, sn, step, num_steps,
                     inp.astype(jnp.bfloat16), t, neg_text,
                     rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=sparse_mask,
                 )
@@ -485,9 +494,13 @@ def make_wan_dual_cached_denoiser(
 
     run(params, params_2, latents, pos_text, neg_text, cos, sin, sparse_mask,
     cond=None) -> (latents, skips)."""
-    from fastdm_tpu.caching.xcaching import cache_init_state
+    from fastdm_tpu.caching.xcaching import (
+        cache_init_state,
+        negative_stream_config,
+    )
     from fastdm_tpu.models.wan import wan_forward_cached
 
+    neg_cfg = negative_stream_config(cache_cfg)
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
     do_cfg = guidance_scale > 1.0
     g2 = guidance_scale_2 if guidance_scale_2 is not None else guidance_scale
@@ -511,7 +524,7 @@ def make_wan_dual_cached_denoiser(
             pos = pos.astype(jnp.float32)
             if do_cfg:
                 neg, sn = wan_forward_cached(
-                    p, cfg, cache_cfg, sn, step, num_steps,
+                    p, cfg, neg_cfg, sn, step, num_steps,
                     inp.astype(jnp.bfloat16), t, neg_text,
                     rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
                 )

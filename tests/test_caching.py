@@ -124,3 +124,26 @@ def test_cached_run_is_scannable():
 
     (final, _), means = jax.lax.scan(body, (hidden, state), jnp.arange(8))
     assert jnp.isfinite(final).all() and means.shape == (8,)
+
+
+def test_negative_stream_config_selects_negtive_coefficients():
+    """The reference's TeaCache rescales each CFG stream with its own
+    polynomial (coefficients[cache_key], ref xcaching.py:160-163,213);
+    negative_stream_config builds the negative-stream view of the config."""
+    from fastdm_tpu.caching.config import FBCacheConfig, TeaCacheConfig
+    from fastdm_tpu.caching.xcaching import negative_stream_config
+
+    cfg = TeaCacheConfig(cache_algorithm="teacache", enable_caching=True,
+                         threshold=0.2, coefficients=(1.0, 0.0),
+                         negtive_coefficients=(2.0, 3.0))
+    neg = negative_stream_config(cfg)
+    assert neg.coefficients == (2.0, 3.0)
+    assert cfg.coefficients == (1.0, 0.0)  # original untouched (frozen)
+
+    # without a fitted negative polynomial the positive one is shared
+    cfg2 = TeaCacheConfig(cache_algorithm="teacache", enable_caching=True,
+                          coefficients=(1.0, 0.0))
+    assert negative_stream_config(cfg2) is cfg2
+    # non-TeaCache algorithms never split
+    fb = FBCacheConfig(cache_algorithm="fbcache", enable_caching=True)
+    assert negative_stream_config(fb) is fb

@@ -282,3 +282,38 @@ def test_wan_cached_denoiser_with_i2v_cond():
     out, _ = run(params, lat, pos, neg, cos, sin, None, cond)
     assert out.shape == lat.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flux_i2i_cache_steps_are_loop_relative():
+    """Regression: with start_step > 0 (img2img) the cache must count steps
+    from the loop start — the reference reads scheduler.step_index, which
+    restarts at 0 for the truncated schedule. With absolute steps, TeaCache's
+    forced first compute never fires and a negative-leading polynomial sends
+    the accumulator to -inf (every step skips a zeroed residual)."""
+    from fastdm_tpu.caching.config import TeaCacheConfig
+    from fastdm_tpu.models.flux import FluxConfig, flux_init_random, flux_rope_cache
+    from fastdm_tpu.pipeline.denoise import make_flux_denoiser
+
+    cfg = FluxConfig(num_layers=1, num_single_layers=1, attention_head_dim=32,
+                     num_attention_heads=2, joint_attention_dim=32,
+                     pooled_projection_dim=16, in_channels=8, out_channels=8,
+                     axes_dims_rope=(8, 12, 12), quant="int8")
+    params = flux_init_random(jax.random.key(0), cfg)
+    # negative leading coefficient (the published Wan polynomial's shape):
+    # rel-L1 vs the zeroed prev_probe would accumulate hugely negative
+    cache = TeaCacheConfig(cache_algorithm="teacache", enable_caching=True,
+                           threshold=0.05, coefficients=(-100.0, 0.0))
+    steps = 4
+    sched = FlowMatchEulerScheduler.create(steps, shift=1.0)
+    run = make_flux_denoiser(cfg, sched, steps, cache, guidance_scale=3.5,
+                             start_step=1)
+    ht = wt = 4
+    cos, sin = flux_rope_cache(cfg, 8, ht, wt)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, ht * wt, cfg.in_channels), jnp.float32)
+    enc = jax.random.normal(k, (1, 8, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(k, (1, cfg.pooled_projection_dim), jnp.bfloat16)
+    out, skips = run(params, lat, enc, pooled, cos, sin)
+    # loop runs steps 1..3 = 3 iterations; the FIRST must be a forced compute
+    assert int(skips) <= 2, f"no forced compute in the i2i loop (skips={int(skips)})"
+    assert np.isfinite(np.asarray(out)).all()
