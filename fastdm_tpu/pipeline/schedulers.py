@@ -100,13 +100,22 @@ class EulerDiscreteScheduler:
 
     @classmethod
     def create(cls, num_steps: int, num_train_timesteps: int = 1000,
-               interpolation: str = "linear") -> "EulerDiscreteScheduler":
+               interpolation: str = "linear",
+               steps_offset: int = 1) -> "EulerDiscreteScheduler":
+        if interpolation != "linear":
+            raise NotImplementedError(
+                f"interpolation {interpolation!r}; only 'linear' (the SDXL "
+                "config value) is implemented"
+            )
         betas = _betas_scaled_linear(num_train_timesteps)
         alphas_cumprod = np.cumprod(1.0 - betas)
         full_sigmas = np.sqrt((1 - alphas_cumprod) / alphas_cumprod)
-        # leading spacing: steps at floor(i * T/N), reversed
+        # leading spacing: steps at floor(i * T/N) + steps_offset, reversed —
+        # diffusers' SDXL EulerDiscrete config uses steps_offset=1, so the
+        # ladder never evaluates the model at t=0
         step_ratio = num_train_timesteps // num_steps
-        ts = (np.arange(num_steps) * step_ratio).round()[::-1].astype(np.float64)
+        ts = ((np.arange(num_steps) * step_ratio).round()[::-1]
+              + steps_offset).astype(np.float64)
         sigmas = np.interp(ts, np.arange(num_train_timesteps), full_sigmas)
         sigmas = np.append(sigmas, 0.0).astype(np.float32)
         return cls(
@@ -138,11 +147,14 @@ class DDIMScheduler:
     final_alpha_cumprod: float
 
     @classmethod
-    def create(cls, num_steps: int, num_train_timesteps: int = 1000) -> "DDIMScheduler":
+    def create(cls, num_steps: int, num_train_timesteps: int = 1000,
+               steps_offset: int = 1) -> "DDIMScheduler":
         betas = _betas_scaled_linear(num_train_timesteps)
         ac = np.cumprod(1.0 - betas).astype(np.float32)
+        # leading spacing + steps_offset=1 (the diffusers SD DDIM config)
         step_ratio = num_train_timesteps // num_steps
-        ts = (np.arange(num_steps) * step_ratio).round()[::-1].astype(np.int64)
+        ts = ((np.arange(num_steps) * step_ratio).round()[::-1]
+              + steps_offset).astype(np.int64)
         # set_alpha_to_one=True (diffusers SD default): the final step denoises
         # all the way to the clean sample
         return cls(timesteps=ts, alphas_cumprod=ac, final_alpha_cumprod=1.0)

@@ -33,7 +33,6 @@ class VAEConfig:
     norm_num_groups: int = 32
     scaling_factor: float = 0.3611       # FLUX; SDXL 0.13025; SD3.5 1.5305
     shift_factor: float = 0.1159         # FLUX; 0 elsewhere
-    use_quant_conv: bool = True          # False for FLUX-style "AutoencoderKL" w/o quant convs? kept loadable either way
     mid_block_add_attention: bool = True
 
 
@@ -160,14 +159,17 @@ def vae_decode_tiled(
     """Tiled decode (diffusers AutoencoderKL.tiled_decode parity).
 
     latents: (B, C_lat, H, W). Each (tile_latent_size)^2 latent tile decodes
-    independently (shape-stable -> one XLA compile per distinct tile shape,
-    at most 4: interior/right/bottom/corner), overlaps cross-fade linearly.
+    independently — one XLA compile per distinct tile shape (4 for sizes
+    aligned to the tile stride: interior/right/bottom/corner; unaligned
+    sizes add one truncated shape per edge), overlaps cross-fade linearly.
     """
     z = latents.astype(jnp.float32) / cfg.scaling_factor + cfg.shift_factor
     x = jnp.transpose(z, (0, 2, 3, 1)).astype(jnp.bfloat16)  # NHWC
     h, w = x.shape[1], x.shape[2]
     if h <= tile_latent_size and w <= tile_latent_size:
-        return _decoder_core(params, cfg, x)
+        # small inputs take the same jitted core as the tiles — the eager
+        # op-by-op decoder is only for tracing
+        return _decoder_core_jit(params, cfg, x)
 
     sf = 2 ** (len(cfg.block_out_channels) - 1)                  # px per latent
     overlap = int(tile_latent_size * (1 - overlap_factor))       # latent step
@@ -208,7 +210,7 @@ def vae_encode_tiled(
     """
     h, w = image.shape[1], image.shape[2]
     if h <= tile_sample_size and w <= tile_sample_size:
-        return vae_encode(params, cfg, image)
+        return _vae_encode_jit(params, cfg, image)
 
     sf = 2 ** (len(cfg.block_out_channels) - 1)                  # px per latent
     overlap = int(tile_sample_size * (1 - overlap_factor))       # px step
@@ -294,10 +296,11 @@ def _take_conv(src: TensorSource, prefix: str) -> Dict[str, Array]:
     w = np.asarray(src.tensor(f"{prefix}.weight", jnp.float32))  # (out,in,kh,kw)
     b = src.tensor(f"{prefix}.bias", jnp.float32)
     if w.ndim == 4:
-        w = jnp.asarray(np.transpose(w, (2, 3, 1, 0)), jnp.bfloat16)  # HWIO
-    else:  # attention projections stored as (out,in) linear
-        w = jnp.asarray(w.T, jnp.bfloat16)
-    return {"w": w, "b": b}
+        from fastdm_tpu.layers.conv2d import conv_from_torch
+
+        return conv_from_torch(w, np.asarray(b, np.float32))
+    # attention projections stored as (out,in) linear
+    return {"w": jnp.asarray(w.T, jnp.bfloat16), "b": b}
 
 
 def _take_norm(src: TensorSource, prefix: str) -> Dict[str, Array]:
@@ -421,7 +424,7 @@ def vae_decoder_random(key, cfg: VAEConfig) -> Dict:
             "resnet0": _rand_resnet(ks.pop(), top, top),
             "attn": {
                 "norm": _rand_norm(top),
-                "q": _rand_conv(ks.pop(), 1, 1, top, top) | {"w": jax.random.normal(ks.pop(), (top, top), jnp.bfloat16) * 0.02},
+                "q": {"w": jax.random.normal(ks.pop(), (top, top), jnp.bfloat16) * 0.02, "b": jnp.zeros((top,), jnp.float32)},
                 "k": {"w": jax.random.normal(ks.pop(), (top, top), jnp.bfloat16) * 0.02, "b": jnp.zeros((top,), jnp.float32)},
                 "v": {"w": jax.random.normal(ks.pop(), (top, top), jnp.bfloat16) * 0.02, "b": jnp.zeros((top,), jnp.float32)},
                 "out": {"w": jax.random.normal(ks.pop(), (top, top), jnp.bfloat16) * 0.02, "b": jnp.zeros((top,), jnp.float32)},
@@ -432,10 +435,6 @@ def vae_decoder_random(key, cfg: VAEConfig) -> Dict:
         "conv_out": _rand_conv(ks.pop(), 3, 3, chans[-1], cfg.out_channels),
         "post_quant_conv": _rand_conv(ks.pop(), 1, 1, cfg.latent_channels, cfg.latent_channels),
         "up": [],
-    }
-    params["mid"]["attn"]["q"] = {
-        "w": jax.random.normal(ks.pop(), (top, top), jnp.bfloat16) * 0.02,
-        "b": jnp.zeros((top,), jnp.float32),
     }
     prev = top
     for i in range(len(chans)):
