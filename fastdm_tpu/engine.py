@@ -72,7 +72,11 @@ def _resize_to_multiple(img: np.ndarray, m: int) -> np.ndarray:
         from PIL import Image
 
         return np.asarray(Image.fromarray(img).resize((nw, nh), Image.LANCZOS))
-    except ImportError:  # center-crop fallback
+    except ImportError:  # no-PIL fallback: center-crop, edge-pad if smaller
+        if nh > h or nw > w:
+            img = np.pad(img, ((0, max(0, nh - h)), (0, max(0, nw - w)), (0, 0)),
+                         mode="edge")
+            h, w = img.shape[0], img.shape[1]
         top, left = (h - nh) // 2, (w - nw) // 2
         return img[top:top + nh, left:left + nw]
 
@@ -194,6 +198,7 @@ class FastDMEngine:
                 self.cn_params = shard_params_by_name(self.cn_params, self.mesh)
 
         self._denoisers: Dict[tuple, Any] = {}
+        self._denoiser_sigmas_by_key: Dict[tuple, Any] = {}
         self.verbose = verbose
         # on-device cache skip count of the most recent generate() (parity
         # with the reference's per-step cache-skip prints, SURVEY.md 5.5)
@@ -242,11 +247,53 @@ class FastDMEngine:
             )
 
     def _load_vae(self, kind: str):
+        if kind == "qwen":
+            # real Qwen-Image ships AutoencoderKLQwenImage — a Wan-derived 3D
+            # causal VAE (base_dim/temperal_downsample/latents_mean in its
+            # config.json), NOT a 2D AutoencoderKL. Detect and route; 2D
+            # stays for AutoencoderKL-style checkpoints (and synthetic tests)
+            cfg_path = os.path.join(self.model_path, "vae", "config.json")
+            if os.path.exists(cfg_path) and "base_dim" in _read_json(cfg_path):
+                self._load_vae_wan_style()
+                return
         self.vae_cfg = VAE_CONFIGS[kind]
         self.vae_params = vae_load(
             TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
         )
         self._bind_vae_fns()
+
+    def _load_vae_wan_style(self):
+        """Qwen's 3D VAE: wan_vae_* with a singleton frame axis around the
+        2D image contract (decode (B,C,h,w)->(B,H,W,3); encode the reverse).
+        The wan codecs apply latents_mean/std internally."""
+        from fastdm_tpu.pipeline.wan_vae import (
+            WanVAEConfig, wan_vae_decode, wan_vae_encode, wan_vae_load,
+        )
+
+        vae_kw = self._cfg_overrides(
+            "vae", ("base_dim", "z_dim", "num_res_blocks"),
+            {
+                "latents_mean": lambda v: {"latents_mean": tuple(v)},
+                "latents_std": lambda v: {"latents_std": tuple(v)},
+                "dim_mult": lambda v: {"dim_mult": tuple(v)},
+                "temperal_downsample": lambda v: {
+                    "temporal_downsample": tuple(v)},
+            },
+        )
+        self.vae_cfg = WanVAEConfig(**vae_kw)
+        self.vae_params = wan_vae_load(
+            TensorSource.from_path(os.path.join(self.model_path, "vae")),
+            self.vae_cfg,
+        )
+        if self.vae_tiling or self.vae_slicing:
+            print("warning: vae tiling/slicing not supported on the 3D "
+                  "(qwen/wan) VAE path; running full-frame")
+        self._decode = jax.jit(
+            lambda p, z: wan_vae_decode(p, self.vae_cfg, z[:, :, None])[:, 0]
+        )
+        self._encode = jax.jit(
+            lambda p, x: wan_vae_encode(p, self.vae_cfg, x[:, None])[:, :, 0]
+        )
 
     def _bind_vae_fns(self):
         """Pick the decode/encode strategy from the tiling/slicing flags
@@ -473,6 +520,13 @@ class FastDMEngine:
         # the reference engages i2i/i2v from src_image presence; mirror that
         if kw.get("image") is not None and task == "t2i":
             task = "i2v" if self.architecture == "wan" else "i2i"
+        if task == "i2i" and self.architecture in ("sd35", "sdxl"):
+            # fail loudly — those generators would otherwise silently run
+            # plain t2i and discard the image
+            raise NotImplementedError(
+                f"img2img is not implemented for {self.architecture}; "
+                "supported: flux (SDEdit/Kontext), qwen-image-edit"
+            )
         fn = getattr(self, f"_generate_{self.architecture}")
         # sequence-parallel attention routing is active only while THIS
         # engine generates (process-global registry state saved/restored)
@@ -648,7 +702,10 @@ class FastDMEngine:
                 self.cfg, sched, num_inference_steps, cache_cfg, guidance_scale,
                 start_step,
             )
-            self._denoiser_sigmas = sched.sigmas
+            # sigmas are per-denoiser (mu depends on token count, count on
+            # steps) — keyed storage, NOT a shared attribute a later compile
+            # would overwrite (cache-hit i2i calls read them again)
+            self._denoiser_sigmas_by_key[key] = sched.sigmas
 
         if task == "i2i" and image is not None:
             # SDEdit img2img: encode, pack, noise to sigmas[start_step]
@@ -657,7 +714,7 @@ class FastDMEngine:
             packed = flux_pack_latents(z).astype(jnp.float32)
             packed = jnp.broadcast_to(packed, (b, *packed.shape[1:]))
             noise = self._latents(packed.shape, seed)
-            sig = float(self._denoiser_sigmas[start_step])
+            sig = float(self._denoiser_sigmas_by_key[key][start_step])
             latents = (1.0 - sig) * packed + sig * noise
         else:
             latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
@@ -747,8 +804,9 @@ class FastDMEngine:
                 self._denoisers[key] = make_sdxl_denoiser(
                     self.cfg, sched, num_inference_steps, guidance_scale
                 )
-            self._sdxl_init_sigma = sched.init_noise_sigma
-        latents = self._latents((b, 4, lh, lw), seed) * self._sdxl_init_sigma
+            self._denoiser_sigmas_by_key[key] = sched.init_noise_sigma
+        latents = (self._latents((b, 4, lh, lw), seed)
+                   * self._denoiser_sigmas_by_key[key])
         if use_cn:
             # hint image stays in [0, 1] pixel space, NHWC (diffusers convention)
             cn_cond = jnp.asarray(control_image, jnp.float32)[None] / 255.0
@@ -782,8 +840,14 @@ class FastDMEngine:
                         {k: self.ip_proj[k] for k in ("proj", "norm")}, img_emb,
                         self.ip_proj["num_tokens"],
                     )
-                # CFG batch: zero image tokens for the uncond half (diffusers)
-                ip_embeds = jnp.concatenate([jnp.zeros_like(tokens), tokens])
+                # CFG batch: zero image tokens for the uncond half
+                # (diffusers); no-CFG runs keep the single batch — the
+                # denoiser only doubles latents when guidance_scale > 1
+                if guidance_scale > 1.0:
+                    ip_embeds = jnp.concatenate(
+                        [jnp.zeros_like(tokens), tokens])
+                else:
+                    ip_embeds = tokens
             latents, skips = self._denoisers[key](
                 self.params, latents, embeds, pooled_all, time_ids, ip_embeds
             )
@@ -857,8 +921,9 @@ class FastDMEngine:
                 sched = FlowMatchEulerScheduler.create(
                     num_inference_steps, use_dynamic_shifting=True, mu=mu
                 )
+                cache_cfg = self.cache.config if self.cache is not None else None
                 self._denoisers[key] = make_qwen_edit_denoiser(
-                    self.cfg, sched, num_inference_steps, scale
+                    self.cfg, sched, num_inference_steps, scale, cache_cfg
                 )
             latents = self._latents((b, ht * wt, self.cfg.in_channels), seed)
             latents, skips = self._denoisers[key](
@@ -926,6 +991,9 @@ class FastDMEngine:
 
         pos = self.text_encoder.encode(prompt)
         neg = self.text_encoder.encode(negative_prompt or "")
+        # normalize to 4k+1 frames (the wan VAE's temporal stride contract;
+        # diffusers does the same) — other counts break the i2v mask packing
+        num_frames = max(1, 4 * ((num_frames - 1) // 4) + 1)
         lf = (num_frames - 1) // 4 + 1  # wan VAE temporal stride 4
         lh, lw = height // 8, width // 8
         # sparse attention block-size rounding (ref: model_entry.py:771-773)
@@ -956,9 +1024,11 @@ class FastDMEngine:
         cos, sin = wan_rope_cos_sin(self.cfg, lf, lh, lw)
         use_cache = self.cache is not None
         dual = self.params_2 is not None
+        ti2v_path = (self.architecture_full == "wan2.2-ti2v" and image is not None
+                     and task in ("i2v", "ti2v"))
         key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale,
                guidance_scale_2, dense_steps, use_cache, dual)
-        if key not in self._denoisers:
+        if not ti2v_path and key not in self._denoisers:
             sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=5.0)
             if use_cache and dual:
                 # A14B + cache: one cache state per expert per CFG branch
@@ -978,20 +1048,31 @@ class FastDMEngine:
 
                 self._denoisers[key] = make_wan_cached_denoiser(
                     self.cfg, sched, num_inference_steps, self.cache.config,
-                    guidance_scale,
+                    guidance_scale, dense_steps,
                 )
             else:
                 self._denoisers[key] = make_wan_denoiser(
                     self.cfg, sched, num_inference_steps, guidance_scale,
-                    guidance_scale_2, self.boundary_ratio, dense_steps,
+                    guidance_scale_2,
+                    # default boundary when transformer_2 exists but
+                    # model_index.json lacks one — matches the cached path
+                    # (and diffusers' A14B default), else expert 2 is loaded
+                    # yet never runs
+                    (self.boundary_ratio if self.boundary_ratio is not None
+                     else (0.875 if dual else None)),
+                    dense_steps,
                 )
         # ti2v (5B): clean first latent frame + per-token timestep 0, no
         # channel concat (ref: the 5B pipeline's expand_timesteps flow)
-        if (self.architecture_full == "wan2.2-ti2v" and image is not None
-                and task in ("i2v", "ti2v")):
+        if ti2v_path:
             from fastdm_tpu.pipeline.denoise_more import make_wan_ti2v_denoiser
             from fastdm_tpu.pipeline.wan_vae import wan_vae_encode
 
+            if use_cache or sparse_mask is not None:
+                # the ti2v loop has no cache/sparse wiring yet; say so
+                # instead of silently dropping the user's config
+                print("warning: cache/sparse configs are not yet supported "
+                      "on the wan2.2-ti2v image path and are ignored")
             if self.vae_params is None:
                 raise RuntimeError(
                     "wan ti2v needs the Wan VAE to encode the conditioning "

@@ -284,6 +284,7 @@ def make_qwen_edit_denoiser(
     scheduler: FlowMatchEulerScheduler,
     num_steps: int,
     true_cfg_scale: float = 4.0,
+    cache_cfg=None,
 ):
     """Qwen-Image-Edit loop: clean VAE-encoded source-image tokens are
     appended to the noise tokens every step (their rope ids sit on image
@@ -295,6 +296,7 @@ def make_qwen_edit_denoiser(
     neg_embeds, cos, sin) -> latents. cos/sin must cover txt + S + S_src."""
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
     do_cfg = true_cfg_scale > 1.0
+    use_cache = cache_cfg is not None and cache_cfg.enable_caching
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def run(params, latents, src_tokens, pos_embeds, neg_embeds, cos, sin):
@@ -308,6 +310,51 @@ def make_qwen_edit_denoiser(
                 f"extra_shapes for the source image"
             )
         src = src_tokens.astype(jnp.bfloat16)
+
+        if use_cache:
+            from fastdm_tpu.caching.xcaching import (
+                cache_init_state,
+                negative_stream_config,
+            )
+            from fastdm_tpu.models.qwenimage import qwen_forward_cached
+
+            neg_cfg = negative_stream_config(cache_cfg)
+            # the cached stream covers noise + source tokens (the residual
+            # spans whatever the blocks see); probe = txt stream for TeaCache
+            full_hidden = (b, s + src_tokens.shape[1], cfg.inner_dim)
+            probe_shape = (
+                (b, pos_embeds.shape[1], cfg.inner_dim)
+                if type(cache_cfg).__name__ == "TeaCacheConfig"
+                else full_hidden
+            )
+            st_pos0 = cache_init_state(cache_cfg, full_hidden, probe_shape)
+            st_neg0 = cache_init_state(cache_cfg, full_hidden, probe_shape)
+
+            def body(carry, step):
+                lat, st_pos, st_neg = carry
+                t = jnp.broadcast_to(sigmas[step], (b,))
+                inp = jnp.concatenate([lat.astype(jnp.bfloat16), src], axis=1)
+                pos, st_pos = qwen_forward_cached(
+                    params, cfg, cache_cfg, st_pos, step, num_steps,
+                    inp, pos_embeds, t, cos, sin,
+                )
+                pos = pos[:, :s].astype(jnp.float32)
+                if do_cfg:
+                    neg, st_neg = qwen_forward_cached(
+                        params, cfg, neg_cfg, st_neg, step, num_steps,
+                        inp, neg_embeds, t, cos, sin,
+                    )
+                    neg = neg[:, :s].astype(jnp.float32)
+                    out = neg + true_cfg_scale * (pos - neg)
+                else:
+                    out = pos
+                lat = scheduler.step(out, step, lat, sigmas)
+                return (lat, st_pos, st_neg), None
+
+            (latents_out, st_p, st_n), _ = jax.lax.scan(
+                body, (latents, st_pos0, st_neg0), jnp.arange(num_steps)
+            )
+            return latents_out, st_p["skips"] + st_n["skips"]
 
         def body(lat, step):
             t = jnp.broadcast_to(sigmas[step], (b,))
@@ -419,11 +466,14 @@ def make_wan_cached_denoiser(
     num_steps: int,
     cache_cfg,
     guidance_scale: float = 5.0,
+    dense_warmup_steps: int = 0,  # radial sparse: first N steps dense
 ):
     """Single-expert Wan loop with FBCache/DiCache and dual pos/neg cache
     streams (ref: xcaching negtive_cache for wan). cond carries the i2v
     conditioning channels (mask + encoded first frame), concatenated each
-    step like the uncached loop."""
+    step like the uncached loop. The sparse dense-step warmup is the same
+    two-scan split as the uncached/dual loops (cache states thread through
+    both scans)."""
     from fastdm_tpu.caching.xcaching import (
         cache_init_state,
         negative_stream_config,
@@ -444,7 +494,7 @@ def make_wan_cached_denoiser(
         st0 = cache_init_state(cache_cfg, hshape, hshape)
         st1 = cache_init_state(cache_cfg, hshape, hshape)
 
-        def body(carry, step):
+        def step_once(carry, step, mask):
             lat, sp, sn = carry
             t = jnp.broadcast_to(sigmas[step] * 1000.0, (b,))
             inp = lat if cond is None else jnp.concatenate(
@@ -452,24 +502,37 @@ def make_wan_cached_denoiser(
             pos, sp = wan_forward_cached(
                 params, cfg, cache_cfg, sp, step, num_steps,
                 inp.astype(jnp.bfloat16), t, pos_text,
-                rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=sparse_mask,
+                rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
             )
             pos = pos.astype(jnp.float32)
             if do_cfg:
                 neg, sn = wan_forward_cached(
                     params, cfg, neg_cfg, sn, step, num_steps,
                     inp.astype(jnp.bfloat16), t, neg_text,
-                    rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=sparse_mask,
+                    rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
                 )
                 out = neg.astype(jnp.float32) + guidance_scale * (pos - neg.astype(jnp.float32))
             else:
                 out = pos
             lat = scheduler.step(out, step, lat, sigmas)
-            return (lat, sp, sn), None
+            return (lat, sp, sn)
 
-        (latents_out, st_p, st_n), _ = jax.lax.scan(
-            body, (latents, st0, st1), jnp.arange(num_steps)
-        )
+        carry = (latents, st0, st1)
+        if sparse_mask is not None and dense_warmup_steps > 0:
+            carry, _ = jax.lax.scan(
+                lambda c, s: (step_once(c, s, None), None),
+                carry, jnp.arange(dense_warmup_steps),
+            )
+            carry, _ = jax.lax.scan(
+                lambda c, s: (step_once(c, s, sparse_mask), None),
+                carry, jnp.arange(dense_warmup_steps, num_steps),
+            )
+        else:
+            carry, _ = jax.lax.scan(
+                lambda c, s: (step_once(c, s, sparse_mask), None),
+                carry, jnp.arange(num_steps),
+            )
+        latents_out, st_p, st_n = carry
         return latents_out, st_p["skips"] + st_n["skips"]
 
     return run
