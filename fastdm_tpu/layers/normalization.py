@@ -37,8 +37,11 @@ def fp32_layer_norm(
     x: Array, gamma: Optional[Array] = None, beta: Optional[Array] = None,
     eps: float = 1e-5,
 ) -> Array:
-    """FP32 island: compute entirely in f32, cast back (ref: FP32LayerNorm)."""
-    return layer_norm(x, gamma, beta, eps)
+    """FP32 island: compute in f32 and RETURN f32 — the reference's
+    FP32LayerNorm hands `F.layer_norm(x.float())` to the fp32 modulation
+    without a bf16 round-trip (ref normalization.py:130-160; consumers cast
+    after modulating, wan.py:95-112,371)."""
+    return layer_norm(x.astype(jnp.float32), gamma, beta, eps)
 
 
 def rms_norm_affine(x: Array, weight: Optional[Array], eps: float) -> Array:

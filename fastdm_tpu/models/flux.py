@@ -378,7 +378,8 @@ def flux_forward(
         params["time_text_embed"],
         timestep.astype(jnp.float32) * 1000.0,
         pooled_projections,
-        guidance.astype(jnp.float32) * 1000.0 if cfg.guidance_embeds else None,
+        (guidance.astype(jnp.float32) * 1000.0
+         if (cfg.guidance_embeds and guidance is not None) else None),
     )
     encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
 
@@ -423,7 +424,8 @@ def flux_forward_cached(
         params["time_text_embed"],
         timestep.astype(jnp.float32) * 1000.0,
         pooled_projections,
-        guidance.astype(jnp.float32) * 1000.0 if cfg.guidance_embeds else None,
+        (guidance.astype(jnp.float32) * 1000.0
+         if (cfg.guidance_embeds and guidance is not None) else None),
     )
     encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
 

@@ -260,7 +260,10 @@ def _wan_cross_attention(attn, x: Array, encoder: Array, cfg: WanConfig) -> Arra
     tokens are image context when the add_k branch exists."""
     d = cfg.inner_dim
     h, hd = cfg.num_attention_heads, cfg.attention_head_dim
-    if "add_k" in attn:
+    if "add_k" in attn and encoder.shape[1] > cfg.text_len:
+        # first (S_enc - text_len) tokens are image context; an I2V
+        # checkpoint driven with text-only context must NOT take this
+        # branch (a zero-length attention softmax is NaN)
         img_len = encoder.shape[1] - cfg.text_len
         ctx_img, ctx_txt = encoder[:, :img_len], encoder[:, img_len:]
     else:
@@ -299,9 +302,12 @@ def wan_block(block, hidden: Array, encoder: Array, temb6: Array, cos: Array,
     hidden = (hidden.astype(jnp.float32) + attn_out.astype(jnp.float32) * gate_msa).astype(hidden.dtype)
 
     if "norm2" in block:
+        # the reference casts norm2's output back before cross-attention
+        # (`.type_as(hidden_states)`, ref wan.py:101) — unlike norm1/norm3/
+        # norm_out, whose f32 output feeds the f32 modulation directly
         norm_h = fp32_layer_norm(
             hidden, block["norm2"]["gamma"], block["norm2"]["beta"], cfg.eps
-        )
+        ).astype(hidden.dtype)
     else:
         norm_h = hidden
     hidden = hidden + _wan_cross_attention(block["attn2"], norm_h, encoder, cfg)
