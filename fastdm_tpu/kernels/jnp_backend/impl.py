@@ -179,6 +179,37 @@ def sdpa_jnp(
     return out.reshape(b, sq, num_q_heads * head_dim).astype(query.dtype)
 
 
+@kernel_registry.register("sdpa_gather", "jnp")
+def sdpa_gather_jnp(
+    query: Array,
+    key: Array,
+    value: Array,
+    block_indices: Array,
+    block_counts: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+) -> Array:
+    """Oracle: reconstruct the dense block mask from the gather lists and run
+    the masked reference attention at (block_q, block_k) granularity."""
+    nq, max_nb = block_indices.shape
+    nk = -(-key.shape[1] // block_k)
+    valid = jnp.arange(max_nb)[None, :] < block_counts  # (nq, max_nb)
+    rows = jnp.broadcast_to(jnp.arange(nq)[:, None], (nq, max_nb))
+    mask = jnp.zeros((nq, nk), jnp.int32).at[
+        rows.reshape(-1), jnp.clip(block_indices, 0, nk - 1).reshape(-1)
+    ].max(valid.astype(jnp.int32).reshape(-1))
+    mask = jnp.broadcast_to(mask[None, None], (query.shape[0], num_q_heads, nq, nk))
+    return sdpa_sparse_jnp(
+        query, key, value, num_q_heads, num_kv_heads, head_dim,
+        is_causal=False, scale=scale, sparse_mask=mask,
+        block_q=block_q, block_k=block_k,
+    )
+
+
 @kernel_registry.register("sdpa_sparse", "jnp")
 def sdpa_sparse_jnp(
     query: Array,

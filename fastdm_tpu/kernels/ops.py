@@ -173,3 +173,27 @@ def sparse_scaled_dot_product_attention(
     (ref contract: fastdm/kernel/operators_set.py:181-208)
     """
     return NotImplemented
+
+
+@kernel_registry.dispatch("sdpa_gather")
+def gather_sparse_attention(
+    query: Array,
+    key: Array,
+    value: Array,
+    block_indices: Array,   # (nq, max_nb) int32 active kv-block ids per q block
+    block_counts: Array,    # (nq, 1) int32 valid entries per row
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+) -> Array:
+    """Gather-form block-sparse attention: the sparsity pattern arrives as
+    compacted per-q-block active-KV lists (SparseAttn.block_lists) shared
+    across batch/heads, so masked blocks cost neither DMA nor compute on the
+    pallas backend. The jnp backend reconstructs the dense block mask — the
+    accuracy oracle. (TPU-native form of the reference's SpargeAttn path,
+    fastdm/kernel/cuda/attention.py:218-260, which fetches then skips.)
+    """
+    return NotImplemented

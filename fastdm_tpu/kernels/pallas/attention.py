@@ -458,6 +458,28 @@ def coarsen_block_mask(mask_2d, q_factor: int = 1, k_factor: int = 1):
     return m
 
 
+@kernel_registry.register("sdpa_gather", "pallas")
+def sdpa_gather_pallas(
+    query: Array,
+    key: Array,
+    value: Array,
+    block_indices: Array,
+    block_counts: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+) -> Array:
+    return _gather_sparse_attention(
+        query, key, value, block_indices, block_counts,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
+        scale=scale, block_q=block_q, block_k=block_k,
+        max_blocks=int(block_indices.shape[1]),
+    )
+
+
 def mask_to_block_lists(mask_2d, q_factor: int = 1, k_factor: int = 1) -> tuple:
     """Host-side: (nq, nk) bool mask -> (indices (nq', max_nb) i32, counts
     (nq', 1) i32). Padded entries repeat index 0 (fetched but compute-skipped).

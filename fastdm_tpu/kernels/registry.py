@@ -42,7 +42,7 @@ class KernelRegistry:
     # 112 TOPS) and fuses the dequant epilogue itself, while pallas flash
     # attention is 2.4x XLA's unfused attention. "auto" routes accordingly;
     # FASTDM_KERNEL_BACKEND=pallas forces pallas everywhere (for benchmarks).
-    _AUTO_PALLAS_OPS = ("sdpa", "sdpa_sparse")
+    _AUTO_PALLAS_OPS = ("sdpa", "sdpa_sparse", "sdpa_gather")
 
     def backend_for(self, op_name: str, force_backend: str | None = None) -> str:
         choice = force_backend or os.environ.get(_ENV_KEY, "auto")

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastdm_tpu.kernels import (
+    gather_sparse_attention,
     rms_norm,
     rotary_pos_embedding,
     scaled_dot_product_attention,
@@ -235,14 +236,13 @@ def _wan_self_attention(attn, x: Array, cos: Array, sin: Array, cfg: WanConfig,
     if sparse_mask is not None:
         if isinstance(sparse_mask, (tuple, list)):
             # gather form: (block_indices (nq, max_nb), counts (nq, 1)) —
-            # masked KV blocks cost neither DMA nor compute
-            from fastdm_tpu.kernels.pallas.attention import _gather_sparse_attention
-
+            # masked KV blocks cost neither DMA nor compute (pallas); the
+            # jnp backend reconstructs the dense mask as the oracle
             idx, cnt = sparse_mask
             bq, bk = cfg.sparse_gather_blocks
-            out = _gather_sparse_attention(
-                q, k, v, idx, cnt, num_q_heads=h, num_kv_heads=h, head_dim=hd,
-                scale=hd**-0.5, block_q=bq, block_k=bk, max_blocks=idx.shape[1],
+            out = gather_sparse_attention(
+                q, k, v, idx, cnt, h, h, hd,
+                scale=hd**-0.5, block_q=bq, block_k=bk,
             )
         else:
             out = sparse_scaled_dot_product_attention(

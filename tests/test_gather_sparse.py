@@ -49,3 +49,31 @@ def test_mask_to_block_lists():
     np.testing.assert_array_equal(idx[0], [0, 2, 0])
     np.testing.assert_array_equal(idx[1], [2, 0, 0])
     np.testing.assert_array_equal(idx[2], [0, 1, 2])
+
+
+def test_dispatched_gather_op_backends_agree():
+    """sdpa_gather is a dispatched op: the pallas gather kernel and the jnp
+    oracle (dense-mask reconstruction) must agree on the same block lists."""
+    import numpy as np
+
+    from fastdm_tpu.kernels import gather_sparse_attention
+    from fastdm_tpu.kernels.registry import kernel_registry
+
+    rng = np.random.default_rng(11)
+    b, s, h, d = 1, 256, 2, 32
+    bq = bk = 64
+    q = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    mask = rng.random((s // bq, s // bk)) < 0.6
+    mask[:, 0] = True  # no fully-masked rows
+    idx, cnt, _ = mask_to_block_lists(mask)
+    idx, cnt = jnp.asarray(idx), jnp.asarray(cnt)
+
+    outs = {}
+    for backend in ("jnp", "pallas"):
+        fn = kernel_registry.select("sdpa_gather", backend)
+        outs[backend] = np.asarray(
+            fn(q, k, v, idx, cnt, h, h, d, None, bq, bk), np.float32
+        )
+    np.testing.assert_allclose(outs["pallas"], outs["jnp"], atol=2e-2)
