@@ -393,6 +393,42 @@ def wan_condition(params, cfg: WanConfig, timestep: Array, encoder_text: Array,
     return temb, t6, encoder
 
 
+def _wan_embed(params, cfg, hidden_states, timestep, encoder_hidden_states,
+               encoder_hidden_states_image, rope_cos, rope_sin):
+    """Shared forward preamble: rope default, patchify, conditioning, temb
+    reshapes (one implementation for the cached and uncached forwards)."""
+    b, c, f, h, w = hidden_states.shape
+    if rope_cos is None:
+        rope_cos, rope_sin = wan_rope_cos_sin(cfg, f, h, w)
+    hidden = wan_patchify(params, cfg, hidden_states)
+    temb, t6, encoder = wan_condition(
+        params, cfg, timestep, encoder_hidden_states, encoder_hidden_states_image
+    )
+    if cfg.per_token_timestep:
+        t6 = t6.reshape(b, -1, 6, cfg.inner_dim)
+        temb = temb.reshape(b, -1, cfg.inner_dim)
+    else:
+        t6 = t6.reshape(b, 6, cfg.inner_dim)
+    return hidden, temb, t6, encoder, rope_cos, rope_sin, (f, h, w)
+
+
+def _wan_output(params, cfg, hidden, temb, fhw):
+    """Shared output modulation + projection + unpatchify
+    (ref: wan.py:355-378; norm_out stays f32 through the modulation)."""
+    f, h, w = fhw
+    sst = params["scale_shift_table"]
+    if cfg.per_token_timestep:
+        mod = sst[None, None] + temb.astype(jnp.float32)[:, :, None, :]
+        shift, scale = mod[:, :, 0, :], mod[:, :, 1, :]
+    else:
+        mod = sst[None] + temb.astype(jnp.float32)[:, None, :]
+        shift, scale = mod[:, 0, :][:, None], mod[:, 1, :][:, None]
+    h32 = fp32_layer_norm(hidden, eps=cfg.eps).astype(jnp.float32)
+    hidden = (h32 * (1 + scale) + shift).astype(hidden.dtype)
+    out = qlinear_apply(params["proj_out"], hidden)
+    return wan_unpatchify(cfg, out, f, h, w)
+
+
 def wan_forward(
     params,
     cfg: WanConfig,
@@ -405,34 +441,12 @@ def wan_forward(
     sparse_mask: Optional[Array] = None,
 ) -> Array:
     """(ref: WanTransformer3DModelCore.forward, wan.py:283-380)"""
-    b, c, f, h, w = hidden_states.shape
-    if rope_cos is None:
-        rope_cos, rope_sin = wan_rope_cos_sin(cfg, f, h, w)
-
-    hidden = wan_patchify(params, cfg, hidden_states)
-    temb, t6, encoder = wan_condition(
-        params, cfg, timestep, encoder_hidden_states, encoder_hidden_states_image
+    hidden, temb, t6, encoder, rope_cos, rope_sin, fhw = _wan_embed(
+        params, cfg, hidden_states, timestep, encoder_hidden_states,
+        encoder_hidden_states_image, rope_cos, rope_sin,
     )
-    if cfg.per_token_timestep:
-        t6 = t6.reshape(b, -1, 6, cfg.inner_dim)
-        temb = temb.reshape(b, -1, cfg.inner_dim)
-    else:
-        t6 = t6.reshape(b, 6, cfg.inner_dim)
-
     hidden = wan_run_blocks(params, cfg, hidden, encoder, t6, rope_cos, rope_sin, sparse_mask)
-
-    # output modulation (ref: wan.py:355-371)
-    sst = params["scale_shift_table"]
-    if cfg.per_token_timestep:
-        mod = sst[None, None] + temb.astype(jnp.float32)[:, :, None, :]
-        shift, scale = mod[:, :, 0, :], mod[:, :, 1, :]
-    else:
-        mod = sst[None] + temb.astype(jnp.float32)[:, None, :]
-        shift, scale = mod[:, 0, :][:, None], mod[:, 1, :][:, None]
-    h32 = fp32_layer_norm(hidden, eps=cfg.eps).astype(jnp.float32)
-    hidden = (h32 * (1 + scale) + shift).astype(hidden.dtype)
-    out = qlinear_apply(params["proj_out"], hidden)
-    return wan_unpatchify(cfg, out, f, h, w)
+    return _wan_output(params, cfg, hidden, temb, fhw)
 
 
 def wan_forward_cached(
@@ -448,19 +462,10 @@ def wan_forward_cached(
     from fastdm_tpu.caching.config import DiCacheConfig, FBCacheConfig
     from fastdm_tpu.caching.xcaching import cached_run
 
-    b, c, f, h, w = hidden_states.shape
-    if rope_cos is None:
-        rope_cos, rope_sin = wan_rope_cos_sin(cfg, f, h, w)
-    hidden = wan_patchify(params, cfg, hidden_states)
-    temb, t6, encoder = wan_condition(
-        params, cfg, timestep, encoder_hidden_states, encoder_hidden_states_image
+    hidden, temb, t6, encoder, rope_cos, rope_sin, fhw = _wan_embed(
+        params, cfg, hidden_states, timestep, encoder_hidden_states,
+        encoder_hidden_states_image, rope_cos, rope_sin,
     )
-    if cfg.per_token_timestep:
-        t6 = t6.reshape(b, -1, 6, cfg.inner_dim)
-        temb = temb.reshape(b, -1, cfg.inner_dim)
-    else:
-        t6 = t6.reshape(b, 6, cfg.inner_dim)
-
     if not isinstance(cache_cfg, (FBCacheConfig, DiCacheConfig)):
         raise ValueError(f"wan caching supports fbcache/dicache, got {type(cache_cfg)}")
     depth = 1 if isinstance(cache_cfg, FBCacheConfig) else cache_cfg.probe_depth
@@ -481,18 +486,7 @@ def wan_forward_cached(
     hidden, new_state = cached_run(
         cache_cfg, cache_state, step, total_steps, hidden, encoder, probe_fn, rest_fn
     )
-
-    sst = params["scale_shift_table"]
-    if cfg.per_token_timestep:
-        mod = sst[None, None] + temb.astype(jnp.float32)[:, :, None, :]
-        shift, scale = mod[:, :, 0, :], mod[:, :, 1, :]
-    else:
-        mod = sst[None] + temb.astype(jnp.float32)[:, None, :]
-        shift, scale = mod[:, 0, :][:, None], mod[:, 1, :][:, None]
-    h32 = fp32_layer_norm(hidden, eps=cfg.eps).astype(jnp.float32)
-    hidden = (h32 * (1 + scale) + shift).astype(hidden.dtype)
-    out = qlinear_apply(params["proj_out"], hidden)
-    return wan_unpatchify(cfg, out, f, h, w), new_state
+    return _wan_output(params, cfg, hidden, temb, fhw), new_state
 
 
 # ---------------------------------------------------------------- rope

@@ -15,6 +15,16 @@ import numpy as np
 def stub_reference_deps():
     import torch
 
+    # pre-import transformers BEFORE the fake triton lands in sys.modules:
+    # its import-time probe (importlib.util.find_spec("triton")) raises
+    # ValueError on a stub with __spec__=None, and advertising a spec sends
+    # torch._inductor chasing real triton submodules — so let the probe run
+    # against the true environment once, then stub freely
+    try:
+        import transformers  # noqa: F401
+    except Exception:
+        pass
+
     if "triton" not in sys.modules:
         class _Anything:
             def __call__(self, *a, **k):
@@ -51,6 +61,16 @@ def stub_reference_deps():
         triton.language = tl
         sys.modules["triton"] = triton
         sys.modules["triton.language"] = tl
+        # torch._inductor probes has_triton_package() lazily; with the stub
+        # importable it returns True and then chases triton.backends.* —
+        # pin torch's answer to False before inductor modules import it
+        try:
+            import torch.utils._triton as _tu
+
+            _tu.has_triton_package = lambda: False
+            _tu.has_triton = lambda *a, **k: False
+        except Exception:
+            pass
     if "fastdm.cuda_ops" not in sys.modules:
         sys.modules["fastdm.cuda_ops"] = types.ModuleType("fastdm.cuda_ops")
     torch.cuda.get_device_capability = lambda *a, **k: (8, 0)
