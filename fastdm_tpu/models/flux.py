@@ -358,6 +358,22 @@ def flux_run_blocks(
     return joint[:, ctx_len:]
 
 
+def _flux_embed(params, cfg, hidden_states, encoder_hidden_states,
+                pooled_projections, timestep, guidance):
+    """Shared forward preamble: x/context embedders + combined time-text-
+    guidance embedding (one implementation for cached and uncached)."""
+    hidden = qlinear_apply(params["x_embedder"], hidden_states)
+    temb = combined_timestep_text_proj_apply(
+        params["time_text_embed"],
+        timestep.astype(jnp.float32) * 1000.0,
+        pooled_projections,
+        (guidance.astype(jnp.float32) * 1000.0
+         if (cfg.guidance_embeds and guidance is not None) else None),
+    )
+    encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
+    return hidden, temb, encoder
+
+
 def flux_forward(
     params,
     cfg: FluxConfig,
@@ -373,15 +389,10 @@ def flux_forward(
 ) -> Array:
     """Denoiser forward (ref: FluxTransformer2DModelCore.forward, flux.py:334-494).
     Pure function of (params, inputs); jit over it with cfg static."""
-    hidden = qlinear_apply(params["x_embedder"], hidden_states)
-    temb = combined_timestep_text_proj_apply(
-        params["time_text_embed"],
-        timestep.astype(jnp.float32) * 1000.0,
-        pooled_projections,
-        (guidance.astype(jnp.float32) * 1000.0
-         if (cfg.guidance_embeds and guidance is not None) else None),
+    hidden, temb, encoder = _flux_embed(
+        params, cfg, hidden_states, encoder_hidden_states,
+        pooled_projections, timestep, guidance,
     )
-    encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
 
     hidden = flux_run_blocks(
         params, cfg, hidden, encoder, temb, rope_cos, rope_sin,
@@ -419,15 +430,10 @@ def flux_forward_cached(
     from fastdm_tpu.caching.config import DiCacheConfig, FBCacheConfig, TeaCacheConfig
     from fastdm_tpu.caching.xcaching import cached_run
 
-    hidden = qlinear_apply(params["x_embedder"], hidden_states)
-    temb = combined_timestep_text_proj_apply(
-        params["time_text_embed"],
-        timestep.astype(jnp.float32) * 1000.0,
-        pooled_projections,
-        (guidance.astype(jnp.float32) * 1000.0
-         if (cfg.guidance_embeds and guidance is not None) else None),
+    hidden, temb, encoder = _flux_embed(
+        params, cfg, hidden_states, encoder_hidden_states,
+        pooled_projections, timestep, guidance,
     )
-    encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
 
     dual = params["dual_blocks"]
     cn, cns = controlnet_block_samples, controlnet_single_block_samples
