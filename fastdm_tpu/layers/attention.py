@@ -37,13 +37,21 @@ def attention_apply(
     rope_cos: Optional[Array] = None,
     rope_sin: Optional[Array] = None,
     pre_only: bool = False,
-    context_pre_only: Optional[bool] = None,
+    context_pre_only: bool = False,
     eps: float = 1e-6,
 ) -> Array | Tuple[Array, Array]:
     """(ref: Attention.forward, fastdm/layer/transformer.py:232-317)
 
-    Returns attn output; with a context stream, returns (hidden, encoder) pair.
+    Returns attn output; with a context stream, returns (hidden, encoder)
+    pair. context_pre_only=False (the default, matching the reference)
+    projects the context stream through to_add_out; True skips the
+    projection (SD3.5's last block).
     """
+    if encoder_hidden_states is not None and "add_qkv" not in params:
+        raise ValueError(
+            "encoder_hidden_states passed but params has no 'add_qkv' "
+            "context projections — the joint split would be silently wrong"
+        )
     inner_dim = heads * head_dim
     qkv = qlinear_apply(params["qkv"], hidden_states)
     q = qkv[..., :inner_dim]
@@ -74,7 +82,7 @@ def attention_apply(
     if encoder_hidden_states is not None:
         ctx_len = encoder_hidden_states.shape[1]
         ctx_out, img_out = out[:, :ctx_len], out[:, ctx_len:]
-        if context_pre_only is not None and not context_pre_only:
+        if not context_pre_only:
             ctx_out = qlinear_apply(params["to_add_out"], ctx_out)
         if not pre_only:
             img_out = qlinear_apply(params["to_out"], img_out)
@@ -95,37 +103,12 @@ def qwen_attention_apply(
     rope_sin: Array,
     eps: float = 1e-6,
 ) -> Tuple[Array, Array]:
-    """Qwen-Image joint attention: img/txt streams stay separate until the
-    joint concat (ref: Attention.forward_qwen, transformer.py:319-391).
-    Returns (img_attn_out, txt_attn_out)."""
-    inner_dim = heads * head_dim
-    img_qkv = qlinear_apply(params["qkv"], hidden_states)
-    iq, ik, iv = (
-        img_qkv[..., :inner_dim],
-        img_qkv[..., inner_dim : 2 * inner_dim],
-        img_qkv[..., 2 * inner_dim :],
+    """Qwen-Image joint attention (ref: Attention.forward_qwen,
+    transformer.py:319-391). Identical op order to attention_apply's joint
+    branch — text-first concat, per-head q/k norms, joint RoPE, projected
+    split — so it delegates. Returns (img_attn_out, txt_attn_out)."""
+    return attention_apply(
+        params, hidden_states, encoder_hidden_states,
+        heads=heads, head_dim=head_dim, rope_cos=rope_cos, rope_sin=rope_sin,
+        context_pre_only=False, eps=eps,
     )
-    txt_qkv = qlinear_apply(params["add_qkv"], encoder_hidden_states)
-    tq, tk, tv = (
-        txt_qkv[..., :inner_dim],
-        txt_qkv[..., inner_dim : 2 * inner_dim],
-        txt_qkv[..., 2 * inner_dim :],
-    )
-    iq = _qk_headnorm(iq, params.get("norm_q"), heads, eps)
-    ik = _qk_headnorm(ik, params.get("norm_k"), heads, eps)
-    tq = _qk_headnorm(tq, params.get("norm_added_q"), heads, eps)
-    tk = _qk_headnorm(tk, params.get("norm_added_k"), heads, eps)
-
-    # text first in the joint sequence
-    q = jnp.concatenate([tq, iq], axis=1)
-    k = jnp.concatenate([tk, ik], axis=1)
-    v = jnp.concatenate([tv, iv], axis=1)
-
-    q, k = rotary_pos_embedding(q, k, head_dim, rope_cos, rope_sin, is_neox=False)
-    out = scaled_dot_product_attention(q, k, v, heads, heads, head_dim, False, head_dim**-0.5)
-    out = out.astype(hidden_states.dtype)
-
-    seq_txt = encoder_hidden_states.shape[1]
-    txt_out = qlinear_apply(params["to_add_out"], out[:, :seq_txt])
-    img_out = qlinear_apply(params["to_out"], out[:, seq_txt:])
-    return img_out, txt_out

@@ -164,6 +164,11 @@ def sincos_pos_embed_2d(embed_dim: int, grid_h: int, grid_w: int, *, base_size=N
     if base_size is not None:
         gh = gh / (grid_h / base_size) / interpolation_scale
         gw = gw / (grid_w / base_size) / interpolation_scale
+    elif interpolation_scale != 1.0:
+        raise ValueError(
+            "interpolation_scale requires base_size (diffusers applies them "
+            "together); without it the scale would be silently dropped"
+        )
     grid = np.meshgrid(gw, gh)  # w goes first (diffusers convention)
     grid = np.stack(grid, axis=0).reshape(2, 1, grid_h, grid_w)
 
