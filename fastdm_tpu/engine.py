@@ -33,6 +33,7 @@ from fastdm_tpu.models.loader import TensorSource
 from fastdm_tpu.pipeline.schedulers import (
     EulerDiscreteScheduler,
     FlowMatchEulerScheduler,
+    UniPCMultistepScheduler,
     flow_match_shift_mu,
 )
 from fastdm_tpu.pipeline.vae import VAEConfig, vae_decode, vae_encode, vae_load
@@ -100,10 +101,14 @@ class FastDMEngine:
         ip_adapter_scale: float = 0.6,
         vae_tiling: bool = False,   # diffusers enable_vae_tiling parity
         vae_slicing: bool = False,  # diffusers enable_vae_slicing parity
+        scheduler: Optional[str] = None,  # None=per-family default; "unipc"|"euler"
         verbose: bool = True,
     ):
         self.vae_tiling = vae_tiling
         self.vae_slicing = vae_slicing
+        if scheduler not in (None, "unipc", "euler"):
+            raise ValueError(f"scheduler must be 'unipc' or 'euler', got {scheduler!r}")
+        self.scheduler_name = scheduler
         arch = ARCH_ALIASES.get(architecture)
         if arch is None:
             raise ValueError(f"unknown architecture {architecture!r}")
@@ -542,6 +547,18 @@ class FastDMEngine:
             return fn(prompt, task=task, **kw)
         finally:
             cp_state.set_cp_mesh(prev)
+
+    @property
+    def _wan_sched_name(self) -> str:
+        # Wan's default solver is UniPC: the reference rides diffusers'
+        # WanPipeline, whose scheduler is UniPCMultistepScheduler
+        # (ref: fastdm/model_entry.py:605-627); FlowMatch-Euler selectable
+        return self.scheduler_name or "unipc"
+
+    def _wan_scheduler(self, num_steps: int):
+        if self._wan_sched_name == "unipc":
+            return UniPCMultistepScheduler.create(num_steps, shift=5.0)
+        return FlowMatchEulerScheduler.create(num_steps, shift=5.0)
 
     def _latents(self, shape, seed):
         lat = jax.random.normal(jax.random.key(seed), shape, jnp.float32)
@@ -1027,9 +1044,9 @@ class FastDMEngine:
         ti2v_path = (self.architecture_full == "wan2.2-ti2v" and image is not None
                      and task in ("i2v", "ti2v"))
         key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale,
-               guidance_scale_2, dense_steps, use_cache, dual)
+               guidance_scale_2, dense_steps, use_cache, dual, self._wan_sched_name)
         if not ti2v_path and key not in self._denoisers:
-            sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=5.0)
+            sched = self._wan_scheduler(num_inference_steps)
             if use_cache and dual:
                 # A14B + cache: one cache state per expert per CFG branch
                 # (ref: AutoCache x2, model_entry.py:673-690)
@@ -1068,11 +1085,6 @@ class FastDMEngine:
             from fastdm_tpu.pipeline.denoise_more import make_wan_ti2v_denoiser
             from fastdm_tpu.pipeline.wan_vae import wan_vae_encode
 
-            if use_cache or sparse_mask is not None:
-                # the ti2v loop has no cache/sparse wiring yet; say so
-                # instead of silently dropping the user's config
-                print("warning: cache/sparse configs are not yet supported "
-                      "on the wan2.2-ti2v image path and are ignored")
             if self.vae_params is None:
                 raise RuntimeError(
                     "wan ti2v needs the Wan VAE to encode the conditioning "
@@ -1080,15 +1092,17 @@ class FastDMEngine:
                 )
             img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
             cond = wan_vae_encode(self.vae_params, self.vae_cfg, img[None, None])
-            key = ("wan-ti2v", lf, lh, lw, num_inference_steps, guidance_scale)
+            key = ("wan-ti2v", lf, lh, lw, num_inference_steps, guidance_scale,
+                   dense_steps, use_cache, self._wan_sched_name)
             if key not in self._denoisers:
-                sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=5.0)
+                sched = self._wan_scheduler(num_inference_steps)
                 self._denoisers[key] = make_wan_ti2v_denoiser(
-                    self.cfg, sched, num_inference_steps, guidance_scale
+                    self.cfg, sched, num_inference_steps, guidance_scale,
+                    self.cache.config if use_cache else None, dense_steps,
                 )
             latents = self._latents((1, self.cfg.out_channels, lf, lh, lw), seed)
             latents, skips = self._denoisers[key](
-                self.params, latents, cond, pos, neg, cos, sin
+                self.params, latents, cond, pos, neg, cos, sin, sparse_mask
             )
             self._note_skips(skips)
             if output_type == "latent" or self.vae_params is None:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fastdm_tpu.kernels import contracts
 from fastdm_tpu.kernels.registry import kernel_registry
 
 # CPU tests run the kernels through the (fast) Pallas interpreter; on TPU this
@@ -39,8 +40,7 @@ _LANES = 128
 _LOG2E = 1.4426950408889634
 
 
-def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False,
-               s_dtype=jnp.float32):
+def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, s_dtype=jnp.float32):
     """One online-softmax update for a (bq, D) query block against (bk, D) k/v.
 
     The softmax runs in base 2: the wrapper pre-folds `scale * log2(e)` into q
@@ -49,27 +49,18 @@ def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False,
     perf-neutral on v5e — Mosaic was already hiding both ops — kept for the
     smaller per-tile op count; see BENCH_NOTES.md.)
 
-    int8_qk: SageAttention-style quantized QK^T (ref: the reference's default
-    dense sdpa on >=Ampere, fastdm/kernel/cuda/attention.py:19-23) — per-row
-    int8 quantization of q and k inside the kernel, int32 MXU accumulation,
-    dequant folded into the logits scale. K-mean smoothing happens in the
-    wrapper (softmax-invariant row constant)."""
-    if int8_qk:
-        q32 = q.astype(jnp.float32)
-        k32 = k.astype(jnp.float32)
-        sq = jnp.maximum(jnp.max(jnp.abs(q32), axis=-1, keepdims=True), 1e-6) / 127.0
-        sk = jnp.maximum(jnp.max(jnp.abs(k32), axis=-1, keepdims=True), 1e-6) / 127.0
-        qi = jnp.clip(jnp.round(q32 / sq), -127, 127).astype(jnp.int8)
-        ki = jnp.clip(jnp.round(k32 / sk), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            qi, ki, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        )
-        s = acc.astype(jnp.float32) * (sq * sk.reshape(1, -1))
-    else:
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(s_dtype)  # Mosaic requires 32-bit matmul acc; the downcast
-        # happens at the accumulator store, before a VMEM round-trip
+    Retired variants, measured losers on v5e (BENCH_NOTES.md round-2 A/B —
+    do not re-add): (a) SageAttention-style int8-QK (the reference's >=Ampere
+    dense default, fastdm/kernel/cuda/attention.py:19-23) — 16.2 ms vs 12.8
+    bf16 at the FLUX shape; the kernel is softmax-VPU-bound, so the MXU's 2x
+    int8 rate buys nothing even quantizing outside the kernel. (b) polynomial
+    exp2 (round/fma/bitcast-constructed) — 1.5x SLOWER than the native
+    transcendental at both FLUX and A14B shapes; the VPU's exp2 unit is
+    already near 1 elem/cycle/lane."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(s_dtype)  # Mosaic requires 32-bit matmul acc; the downcast
+    # happens at the accumulator store, before a VMEM round-trip
     if kv_mask is not None:
         s = jnp.where(kv_mask, s, _NEG_INF)
     _softmax_update(s, v, m_scr, l_scr, acc_scr)
@@ -77,7 +68,7 @@ def _attn_body(q, k, v, kv_mask, m_scr, l_scr, acc_scr, int8_qk=False,
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, kv_len, block_q, block_k, causal, int8_qk=False, s_dtype=jnp.float32,
+    *, kv_len, block_q, block_k, causal, s_dtype=jnp.float32,
 ):
     i, j = pl.program_id(2), pl.program_id(3)
     nj = pl.num_programs(3)
@@ -113,7 +104,7 @@ def _flash_kernel(
 
     def body(masked):
         _attn_body(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], _mask_for(masked),
-                   m_scr, l_scr, acc_scr, int8_qk, s_dtype)
+                   m_scr, l_scr, acc_scr, s_dtype)
 
     if has_pad:
         # only the LAST kv block contains padding; keep the hot path mask-free
@@ -208,13 +199,13 @@ def _round_up(x: int, mult: int) -> int:
     jax.jit,
     static_argnames=(
         "num_q_heads", "num_kv_heads", "head_dim", "is_causal", "scale",
-        "block_q", "block_k", "has_mask", "int8_qk", "bf16_logits",
+        "block_q", "block_k", "has_mask", "bf16_logits",
     ),
 )
 def _flash_attention(
     query, key, value, sparse_mask,
     *, num_q_heads, num_kv_heads, head_dim, is_causal, scale, block_q, block_k,
-    has_mask, int8_qk=False, bf16_logits=False,
+    has_mask, bf16_logits=False,
 ):
     b, sq, _ = query.shape
     skv = key.shape[1]
@@ -227,14 +218,7 @@ def _flash_attention(
     # kernel's per-logits-tile work drops by two VPU passes (see _attn_body)
     q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(query.dtype)
     q = _pad_seq(q, bq)
-    k = key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
-    if int8_qk:
-        # SageAttention K smoothing: subtracting the per-head K mean shifts
-        # every logit in a row by a constant -> softmax-invariant, but shrinks
-        # the int8 quantization range (ref: SageAttention; gated like the
-        # reference's >=Ampere sage default, cuda/attention.py:19-23)
-        k = k - jnp.mean(k, axis=2, keepdims=True)
-    k = _pad_seq(k, bk)
+    k = _pad_seq(key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
     v = _pad_seq(value.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
     sq_p, skv_p = q.shape[2], k.shape[2]
     ni, nj = sq_p // bq, skv_p // bk
@@ -287,7 +271,6 @@ def _flash_attention(
         kernel = functools.partial(
             _flash_kernel,
             kv_len=skv, block_q=bq, block_k=bk, causal=is_causal,
-            int8_qk=int8_qk,
             s_dtype=jnp.bfloat16 if bf16_logits else jnp.float32,
         )
         out = pl.pallas_call(
@@ -320,25 +303,25 @@ def sdpa_pallas(
     is_causal: bool = False,
     scale: Optional[float] = None,
 ) -> Array:
-    # FASTDM_SDPA_INT8=1 enables SageAttention-style quantized QK^T (the
-    # reference's default dense attention on >=Ampere GPUs);
+    contracts.check_sdpa("sdpa_pallas", query, key, value,
+                         num_q_heads, num_kv_heads, head_dim)
     # FASTDM_SDPA_BF16_LOGITS=1 runs the softmax over a bf16 logits tile
-    # (equal speed on v5e, looser numerics — see _softmax_update). Both env
-    # vars are read per call and passed as static args, so flipping them
-    # after import takes effect.
-    int8_qk = os.environ.get("FASTDM_SDPA_INT8", "0") == "1"
+    # (equal speed on v5e, looser numerics — see _softmax_update). Read per
+    # call and passed as a static arg, so flipping it after import works.
     bf16_logits = os.environ.get("FASTDM_SDPA_BF16_LOGITS", "0") == "1"
-    # measured on v5e (FLUX 8704x24x128, same-session A/B): bq1024/bk1024
-    # 12.8-13.1 ms beats bq512/bk1024 13.4-13.5 ms (~3%); bq2048 (14.9),
-    # bk512 (25.8), and every hoisted/sub-blocked variant (13.2-18.3) lose.
-    # ~70-74 TFLOPS is the practical ceiling on this chip — the per-tile
-    # QK->softmax->PV chain is VPU/VMEM-bound, and neither base-2 softmax
-    # prescaling nor MXU/VPU overlap scheduling moved it (see BENCH_NOTES.md)
+    # measured on v5e (same-session A/Bs, BENCH_NOTES.md): bq1024/bk1024 is
+    # best at FLUX-class shapes (8704 tok: 10.4 ms vs 10.9 bk2048 / 11.4
+    # bq2048); at long video shapes bk2048 wins ~5% (A14B 75.6k tok: 757 ms
+    # vs 795) — KV-tile DMAs amortize better once the KV walk dominates.
+    # Stock jax.experimental flash ties at FLUX (10.1) and LOSES at A14B
+    # (~855 normalized): its sub-block structure buys nothing here, so the
+    # single-level serial tile walk stays.
+    block_k = 2048 if key.shape[1] >= 32768 else 1024
     return _flash_attention(
         query, key, value, None,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
-        is_causal=is_causal, scale=scale, block_q=1024, block_k=1024, has_mask=False,
-        int8_qk=int8_qk, bf16_logits=bf16_logits,
+        is_causal=is_causal, scale=scale, block_q=1024, block_k=block_k,
+        has_mask=False, bf16_logits=bf16_logits,
     )
 
 
@@ -472,6 +455,11 @@ def sdpa_gather_pallas(
     block_q: int = 512,
     block_k: int = 1024,
 ) -> Array:
+    contracts.check_sdpa("sdpa_gather_pallas", query, key, value,
+                         num_q_heads, num_kv_heads, head_dim)
+    contracts.check_gather_lists("sdpa_gather_pallas", block_indices,
+                                 block_counts, query.shape[1], key.shape[1],
+                                 block_q, block_k)
     return _gather_sparse_attention(
         query, key, value, block_indices, block_counts,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
@@ -520,6 +508,15 @@ def sdpa_sparse_pallas(
             query, key, value, num_q_heads, num_kv_heads, head_dim, is_causal, scale
         )
     assert not is_causal, "block-sparse path is non-causal (radial video attention)"
+    contracts.check_sdpa("sdpa_sparse_pallas", query, key, value,
+                         num_q_heads, num_kv_heads, head_dim)
+    # _flash_attention shrinks tiles for short sequences; mirror that before
+    # validating the mask grid against the effective tiling
+    eff_bq = min(block_q, _round_up(query.shape[1], 128))
+    eff_bk = min(block_k, _round_up(key.shape[1], 128))
+    contracts.check_sparse_mask("sdpa_sparse_pallas", sparse_mask,
+                                query.shape[0], num_q_heads,
+                                query.shape[1], key.shape[1], eff_bq, eff_bk)
     return _flash_attention(
         query, key, value, sparse_mask,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,

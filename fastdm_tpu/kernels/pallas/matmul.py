@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fastdm_tpu.kernels import contracts
 from fastdm_tpu.kernels.registry import kernel_registry
 
 # CPU tests run the kernels through the (fast) Pallas interpreter; on TPU this
@@ -164,6 +165,8 @@ def int8_matmul_pallas(
     azp: Optional[Array],
     bias: Optional[Array] = None,
 ) -> Array:
+    contracts.check_scaled_mm("int8_matmul_pallas", a, b, scale_a, scale_b,
+                              azp_adj=azp_adj, azp=azp, bias=bias, int8=True)
     return _w8a8_matmul_pallas(
         a, b, scale_a, scale_b,
         azp if azp is not None else jnp.zeros((a.shape[0], 1), jnp.int32),
@@ -184,6 +187,8 @@ def fp8_matmul_pallas(
     out_dtype,
     bias: Optional[Array] = None,
 ) -> Array:
+    contracts.check_scaled_mm("fp8_matmul_pallas", a, b, scale_a, scale_b,
+                              bias=bias, int8=False)
     return _w8a8_matmul_pallas(
         a, b, scale_a, scale_b,
         None, None,

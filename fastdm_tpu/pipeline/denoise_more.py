@@ -23,7 +23,12 @@ from fastdm_tpu.models.qwenimage import QwenImageConfig, qwen_forward
 from fastdm_tpu.models.sd35 import SD3Config, sd3_forward
 from fastdm_tpu.models.sdxl import SDXLConfig, sdxl_forward
 from fastdm_tpu.models.wan import WanConfig, wan_forward
-from fastdm_tpu.pipeline.schedulers import EulerDiscreteScheduler, FlowMatchEulerScheduler
+from fastdm_tpu.pipeline.schedulers import (
+    EulerDiscreteScheduler,
+    FlowMatchEulerScheduler,
+    scheduler_init_state,
+    scheduler_step,
+)
 
 Array = jax.Array
 
@@ -410,7 +415,8 @@ def make_wan_denoiser(
             sparse_mask, cond=None):
         b = latents.shape[0]
 
-        def step_once(lat, step, mask):
+        def step_once(carry, step, mask):
+            lat, sst = carry
             sigma = sigmas[step]
             t = jnp.broadcast_to(sigma * 1000.0, (b,))
             # i2v: constant conditioning channels (mask + encoded first frame)
@@ -434,28 +440,24 @@ def make_wan_denoiser(
                 )
             else:
                 out = one(params, guidance_scale)
-            return scheduler.step(out, step, lat, sigmas)
+            return scheduler_step(scheduler, out, step, lat, sigmas, sst, num_steps)
 
+        carry = (latents, scheduler_init_state(scheduler, latents.shape))
         if sparse_mask is not None and dense_warmup_steps > 0:
-            def dense_body(lat, step):
-                return step_once(lat, step, None), None
-
-            latents, _ = jax.lax.scan(
-                dense_body, latents, jnp.arange(dense_warmup_steps)
+            carry, _ = jax.lax.scan(
+                lambda c, s: (step_once(c, s, None), None),
+                carry, jnp.arange(dense_warmup_steps),
             )
-
-            def sparse_body(lat, step):
-                return step_once(lat, step, sparse_mask), None
-
-            latents, _ = jax.lax.scan(
-                sparse_body, latents, jnp.arange(dense_warmup_steps, num_steps)
+            carry, _ = jax.lax.scan(
+                lambda c, s: (step_once(c, s, sparse_mask), None),
+                carry, jnp.arange(dense_warmup_steps, num_steps),
             )
         else:
-            def body(lat, step):
-                return step_once(lat, step, sparse_mask), None
-
-            latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
-        return latents, jnp.zeros((), jnp.int32)
+            carry, _ = jax.lax.scan(
+                lambda c, s: (step_once(c, s, sparse_mask), None),
+                carry, jnp.arange(num_steps),
+            )
+        return carry[0], jnp.zeros((), jnp.int32)
 
     return run
 
@@ -495,7 +497,7 @@ def make_wan_cached_denoiser(
         st1 = cache_init_state(cache_cfg, hshape, hshape)
 
         def step_once(carry, step, mask):
-            lat, sp, sn = carry
+            lat, sp, sn, sst = carry
             t = jnp.broadcast_to(sigmas[step] * 1000.0, (b,))
             inp = lat if cond is None else jnp.concatenate(
                 [lat, cond.astype(lat.dtype)], axis=1)
@@ -514,10 +516,10 @@ def make_wan_cached_denoiser(
                 out = neg.astype(jnp.float32) + guidance_scale * (pos - neg.astype(jnp.float32))
             else:
                 out = pos
-            lat = scheduler.step(out, step, lat, sigmas)
-            return (lat, sp, sn)
+            lat, sst = scheduler_step(scheduler, out, step, lat, sigmas, sst, num_steps)
+            return (lat, sp, sn, sst)
 
-        carry = (latents, st0, st1)
+        carry = (latents, st0, st1, scheduler_init_state(scheduler, latents.shape))
         if sparse_mask is not None and dense_warmup_steps > 0:
             carry, _ = jax.lax.scan(
                 lambda c, s: (step_once(c, s, None), None),
@@ -532,7 +534,7 @@ def make_wan_cached_denoiser(
                 lambda c, s: (step_once(c, s, sparse_mask), None),
                 carry, jnp.arange(num_steps),
             )
-        latents_out, st_p, st_n = carry
+        latents_out, st_p, st_n, _ = carry
         return latents_out, st_p["skips"] + st_n["skips"]
 
     return run
@@ -594,7 +596,8 @@ def make_wan_dual_cached_denoiser(
                 return neg.astype(jnp.float32) + g * (pos - neg.astype(jnp.float32)), sp, sn
             return pos, sp, sn
 
-        def step_once(lat, states, step, mask):
+        def step_once(cr, step, mask):
+            lat, states, sst = cr
             sigma = sigmas[step]
             t = jnp.broadcast_to(sigma * 1000.0, (b,))
             inp = lat if cond is None else jnp.concatenate(
@@ -610,33 +613,25 @@ def make_wan_dual_cached_denoiser(
                 return out, (sp1, sn1, sp, sn)
 
             out, states = jax.lax.cond(sigma >= boundary_ratio, expert1, expert2, None)
-            return scheduler.step(out, step, lat, sigmas), states
+            lat, sst = scheduler_step(scheduler, out, step, lat, sigmas, sst, num_steps)
+            return (lat, states, sst)
 
-        carry = (latents, states0)
+        carry = (latents, states0, scheduler_init_state(scheduler, latents.shape))
         if sparse_mask is not None and dense_warmup_steps > 0:
-            def dense_body(cr, step):
-                lat, st = cr
-                lat, st = step_once(lat, st, step, None)
-                return (lat, st), None
-
-            carry, _ = jax.lax.scan(dense_body, carry, jnp.arange(dense_warmup_steps))
-
-            def sparse_body(cr, step):
-                lat, st = cr
-                lat, st = step_once(lat, st, step, sparse_mask)
-                return (lat, st), None
-
             carry, _ = jax.lax.scan(
-                sparse_body, carry, jnp.arange(dense_warmup_steps, num_steps)
+                lambda c, s: (step_once(c, s, None), None),
+                carry, jnp.arange(dense_warmup_steps),
+            )
+            carry, _ = jax.lax.scan(
+                lambda c, s: (step_once(c, s, sparse_mask), None),
+                carry, jnp.arange(dense_warmup_steps, num_steps),
             )
         else:
-            def body(cr, step):
-                lat, st = cr
-                lat, st = step_once(lat, st, step, sparse_mask)
-                return (lat, st), None
-
-            carry, _ = jax.lax.scan(body, carry, jnp.arange(num_steps))
-        latents_out, states = carry
+            carry, _ = jax.lax.scan(
+                lambda c, s: (step_once(c, s, sparse_mask), None),
+                carry, jnp.arange(num_steps),
+            )
+        latents_out, states, _ = carry
         return latents_out, sum(st["skips"] for st in states)
 
     return run
@@ -647,6 +642,8 @@ def make_wan_ti2v_denoiser(
     scheduler: FlowMatchEulerScheduler,
     num_steps: int,
     guidance_scale: float = 5.0,
+    cache_cfg=None,
+    dense_warmup_steps: int = 0,
 ):
     """Wan2.2-ti2v (5B) image-conditioned loop: the clean encoded first latent
     frame is re-pinned into the latents every step and its tokens carry
@@ -654,14 +651,29 @@ def make_wan_ti2v_denoiser(
     (cfg.per_token_timestep; ref: wan.py:76-92 temb ndim-4 handling — the
     diffusers ti2v flow with expand_timesteps).
 
+    Cache/sparse wiring matches the t2v loops (the per-token timestep probe
+    shape is the only structural difference — wan_forward_cached already
+    handles it via _wan_embed; ref: fastdm/model/wan.py:76-92 +
+    fastdm/caching/xcaching.py:91-136): FBCache/DiCache with dual pos/neg
+    streams, and the sparse mask with a dense-warmup two-scan split.
+
     run(params, latents (B,C,F,H,W), cond (B,C,1,H,W), pos_text, neg_text,
-    rope_cos, rope_sin) -> latents with frame 0 = cond."""
+    rope_cos, rope_sin, sparse_mask=None) -> latents with frame 0 = cond."""
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
     do_cfg = guidance_scale > 1.0
     assert cfg.per_token_timestep, "ti2v needs per_token_timestep=True"
+    if cache_cfg is not None:
+        from fastdm_tpu.caching.xcaching import (
+            cache_init_state,
+            negative_stream_config,
+        )
+        from fastdm_tpu.models.wan import wan_forward_cached
+
+        neg_cfg = negative_stream_config(cache_cfg)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def run(params, latents, cond, pos_text, neg_text, rope_cos, rope_sin):
+    def run(params, latents, cond, pos_text, neg_text, rope_cos, rope_sin,
+            sparse_mask=None):
         b, c, f, h, w = latents.shape
         pt, ph, pw = cfg.patch_size
         tokens_per_frame = (h // ph) * (w // pw)
@@ -669,31 +681,78 @@ def make_wan_ti2v_denoiser(
         # frame-0 tokens are conditioned -> timestep 0
         frame_idx = jnp.arange(n_tokens) // tokens_per_frame
         tmask = (frame_idx > 0).astype(jnp.float32)[None]  # (1, S)
+        hshape = (b, n_tokens, cfg.inner_dim)
+        if cache_cfg is not None:
+            cstates = (cache_init_state(cache_cfg, hshape, hshape),
+                       cache_init_state(cache_cfg, hshape, hshape))
+        else:
+            cstates = ()
 
-        def body(lat, step):
+        def step_once(carry, step, mask):
+            lat, cst, sst = carry
             sigma = sigmas[step]
             lat_in = jnp.concatenate([cond.astype(lat.dtype), lat[:, :, pt:]], axis=2)
             t_tok = jnp.broadcast_to(sigma * 1000.0 * tmask, (b, n_tokens))
 
-            def one(text):
-                return wan_forward(
-                    params, cfg, lat_in.astype(jnp.bfloat16), t_tok, text,
-                    rope_cos=rope_cos, rope_sin=rope_sin,
-                ).astype(jnp.float32)
-
-            pos = one(pos_text)
-            if do_cfg:
-                neg = one(neg_text)
-                out = neg + guidance_scale * (pos - neg)
+            if cache_cfg is not None:
+                sp, sn = cst
+                pos, sp = wan_forward_cached(
+                    params, cfg, cache_cfg, sp, step, num_steps,
+                    lat_in.astype(jnp.bfloat16), t_tok, pos_text,
+                    rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+                )
+                pos = pos.astype(jnp.float32)
+                if do_cfg:
+                    neg, sn = wan_forward_cached(
+                        params, cfg, neg_cfg, sn, step, num_steps,
+                        lat_in.astype(jnp.bfloat16), t_tok, neg_text,
+                        rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+                    )
+                    out = neg.astype(jnp.float32) + guidance_scale * (pos - neg.astype(jnp.float32))
+                else:
+                    out = pos
+                cst = (sp, sn)
             else:
-                out = pos
-            return scheduler.step(out, step, lat_in.astype(jnp.float32), sigmas), None
+                def one(text):
+                    return wan_forward(
+                        params, cfg, lat_in.astype(jnp.bfloat16), t_tok, text,
+                        rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+                    ).astype(jnp.float32)
 
-        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+                pos = one(pos_text)
+                if do_cfg:
+                    neg = one(neg_text)
+                    out = neg + guidance_scale * (pos - neg)
+                else:
+                    out = pos
+            lat, sst = scheduler_step(
+                scheduler, out, step, lat_in.astype(jnp.float32), sigmas, sst,
+                num_steps)
+            return (lat, cst, sst)
+
+        carry = (latents, cstates,
+                 scheduler_init_state(scheduler, latents.shape))
+        if sparse_mask is not None and dense_warmup_steps > 0:
+            carry, _ = jax.lax.scan(
+                lambda cr, s: (step_once(cr, s, None), None),
+                carry, jnp.arange(dense_warmup_steps),
+            )
+            carry, _ = jax.lax.scan(
+                lambda cr, s: (step_once(cr, s, sparse_mask), None),
+                carry, jnp.arange(dense_warmup_steps, num_steps),
+            )
+        else:
+            carry, _ = jax.lax.scan(
+                lambda cr, s: (step_once(cr, s, sparse_mask), None),
+                carry, jnp.arange(num_steps),
+            )
+        latents, cst, _ = carry
+        skips = (cst[0]["skips"] + cst[1]["skips"]) if cache_cfg is not None \
+            else jnp.zeros((), jnp.int32)
         # final output keeps the clean conditioning frame
         return (
             jnp.concatenate([cond.astype(latents.dtype), latents[:, :, pt:]], axis=2),
-            jnp.zeros((), jnp.int32),
+            skips,
         )
 
     return run
