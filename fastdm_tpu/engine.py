@@ -102,10 +102,17 @@ class FastDMEngine:
         vae_tiling: bool = False,   # diffusers enable_vae_tiling parity
         vae_slicing: bool = False,  # diffusers enable_vae_slicing parity
         scheduler: Optional[str] = None,  # None=per-family default; "unipc"|"euler"
+        offload_inactive_expert: bool = False,  # A14B: host-resident experts
         verbose: bool = True,
     ):
         self.vae_tiling = vae_tiling
         self.vae_slicing = vae_slicing
+        if offload_inactive_expert and mesh_shape is not None:
+            raise ValueError(
+                "offload_inactive_expert is a single-device residency lever; "
+                "with a mesh, shard both experts instead (tp>=2 fits A14B)"
+            )
+        self.offload_inactive_expert = offload_inactive_expert
         if scheduler not in (None, "unipc", "euler"):
             raise ValueError(f"scheduler must be 'unipc' or 'euler', got {scheduler!r}")
         self.scheduler_name = scheduler
@@ -455,16 +462,36 @@ class FastDMEngine:
             dense_layers=dense_layers,
             quant=quant,
         )
-        self.params = wan_load(
-            TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
-        )
-        self.params_2 = None
-        if os.path.isdir(os.path.join(self.model_path, "transformer_2")):
-            # A14B two-expert (ref: model_entry.py:673-690)
-            self.params_2 = wan_load(
-                TensorSource.from_path(os.path.join(self.model_path, "transformer_2")),
-                self.cfg,
+        dual = os.path.isdir(os.path.join(self.model_path, "transformer_2"))
+        offload = self.offload_inactive_expert and dual
+        if offload:
+            # EP residency (TPU answer to the reference's both-resident H20
+            # load, ref: model_entry.py:673-690): both 14B experts stay in
+            # HOST RAM; each phase jit of the phase-split denoiser
+            # transfers only its own expert, so device peak is ONE expert
+            # + activations (~11 GB int8 vs 21.5 GB both — BENCH_NOTES.md)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                self.params = wan_load(
+                    TensorSource.from_path(
+                        os.path.join(self.model_path, "transformer")), self.cfg
+                )
+                self.params_2 = wan_load(
+                    TensorSource.from_path(
+                        os.path.join(self.model_path, "transformer_2")),
+                    self.cfg,
+                )
+        else:
+            self.params = wan_load(
+                TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
             )
+            self.params_2 = None
+            if dual:
+                # A14B two-expert (ref: model_entry.py:673-690)
+                self.params_2 = wan_load(
+                    TensorSource.from_path(os.path.join(self.model_path, "transformer_2")),
+                    self.cfg,
+                )
         self.boundary_ratio = _read_json(
             os.path.join(self.model_path, "model_index.json")
         ).get("boundary_ratio") if os.path.exists(
@@ -1022,7 +1049,23 @@ class FastDMEngine:
             self.sparse_attn.post_init(video_token_num=tokens, num_frame=lf // pt)
             from fastdm_tpu.kernels import kernel_registry
 
-            if kernel_registry.backend_for("sdpa_sparse") == "pallas":
+            gather_mode = os.environ.get("FASTDM_SPARSE_GATHER", "fine")
+            if kernel_registry.backend_for("sdpa_sparse") != "pallas":
+                gather_mode = "mask"
+            if gather_mode == "fine":
+                # fine-gather form: compute tiles assembled from compacted
+                # ACTIVE fine blocks by manual DMA — MXU work ~= the fine
+                # mask density (sdpa_gather_fine)
+                bq, grp, fine = self.cfg.sparse_gather_fine_blocks
+                bs = self.sparse_attn.config.block_size
+                if fine != bs:
+                    import dataclasses as _dc
+                    self.cfg = _dc.replace(
+                        self.cfg, sparse_gather_fine_blocks=(bq, grp, bs))
+                idx, val, cnt = self.sparse_attn.block_lists_fine(bq, grp)
+                sparse_mask = (jnp.asarray(idx), jnp.asarray(val),
+                               jnp.asarray(cnt))
+            elif gather_mode == "coarse":
                 # gather form: masked KV blocks cost neither DMA nor compute;
                 # block_lists takes the gather tile sizes in TOKENS and
                 # derives coarsening from the mask's own block_size
@@ -1047,15 +1090,20 @@ class FastDMEngine:
                guidance_scale_2, dense_steps, use_cache, dual, self._wan_sched_name)
         if not ti2v_path and key not in self._denoisers:
             sched = self._wan_scheduler(num_inference_steps)
-            if use_cache and dual:
-                # A14B + cache: one cache state per expert per CFG branch
+            if dual:
+                # A14B: PHASE-SPLIT loop — the expert boundary is a static
+                # step index, so each expert gets its own jitted scan (no
+                # per-step lax.cond over both 14B experts) and the inactive
+                # expert may live in host RAM (offload_inactive_expert).
+                # Cache semantics: one state per expert per CFG branch
                 # (ref: AutoCache x2, model_entry.py:673-690)
                 from fastdm_tpu.pipeline.denoise_more import (
-                    make_wan_dual_cached_denoiser,
+                    make_wan_dual_phase_denoiser,
                 )
 
-                self._denoisers[key] = make_wan_dual_cached_denoiser(
-                    self.cfg, sched, num_inference_steps, self.cache.config,
+                self._denoisers[key] = make_wan_dual_phase_denoiser(
+                    self.cfg, sched, num_inference_steps,
+                    self.cache.config if use_cache else None,
                     guidance_scale, guidance_scale_2,
                     self.boundary_ratio if self.boundary_ratio is not None else 0.875,
                     dense_steps,
@@ -1116,7 +1164,7 @@ class FastDMEngine:
         if task == "i2v" and image is not None:
             cond = self._wan_i2v_latents(image, lf, lh, lw, num_frames)
         latents = self._latents((1, self.cfg.out_channels, lf, lh, lw), seed)
-        if use_cache and dual:
+        if dual:
             latents, skips = self._denoisers[key](
                 self.params, self.params_2, latents, pos, neg, cos, sin,
                 sparse_mask, cond,

@@ -23,6 +23,7 @@ from fastdm_tpu.kernels.ops import (  # noqa: F401, E402
     rms_norm,
     rotary_pos_embedding,
     scaled_dot_product_attention,
+    gather_fine_attention,
     gather_sparse_attention,
     sparse_scaled_dot_product_attention,
 )

@@ -52,9 +52,13 @@ def check_sdpa(kernel: str, query, key, value, num_q_heads: int,
 
 
 def check_block_tiles(kernel: str, block_q: int, block_k: int) -> None:
-    if block_q % 128 or block_k % 128:
+    # q/k tile sizes land on the SUBLANE axis of their (tile, head_dim)
+    # blocks — 16 covers both f32 (8) and bf16 (16) packing. The
+    # granularity-mismatch bug class (token-level masks fed as block lists)
+    # is caught by the value-range checks below, not the tile check.
+    if block_q % 16 or block_k % 16:
         _fail(kernel, f"tile sizes ({block_q}, {block_k}) must be multiples of "
-                      "128 (lane width); token-granularity masks must be "
+                      "16 (sublane packing); token-granularity masks must be "
                       "retiled first (SparseAttn.block_mask/block_lists)")
 
 
@@ -94,6 +98,51 @@ def check_gather_lists(kernel: str, block_indices, block_counts,
         if int(c.max()) > block_indices.shape[1] or int(c.min()) < 0:
             _fail(kernel, f"block_counts out of [0, max_nb={block_indices.shape[1]}]: "
                           f"[{int(c.min())}, {int(c.max())}]")
+
+
+def check_gather_fine(kernel: str, block_indices, block_valid, block_counts,
+                      sq: int, skv: int, block_q: int, group: int,
+                      fine: int) -> None:
+    """Fine-gather tables: indices address FINE (fine-token) kv blocks; the
+    kernel assembles group-of-fine compute tiles via manual DMA. Table width
+    must be a multiple of `group` (the kernel reads whole groups)."""
+    if fine % 8 or (group * fine) % 128:
+        _fail(kernel, f"fine={fine} must be a multiple of 8 and group*fine="
+                      f"{group * fine} a multiple of 128 (sublane/lane)")
+    if block_q % 128:
+        _fail(kernel, f"block_q {block_q} must be a multiple of 128")
+    ni = -(-sq // block_q)
+    nfine = -(-skv // fine)
+    if block_indices.ndim != 2 or block_indices.shape[0] != ni:
+        _fail(kernel, f"block_indices must be ({ni}, nslots), got "
+                      f"{block_indices.shape} — q-tile granularity mismatch")
+    if block_indices.shape[1] % group:
+        _fail(kernel, f"table width {block_indices.shape[1]} not a multiple "
+                      f"of group {group}")
+    if block_valid.shape != block_indices.shape:
+        _fail(kernel, f"block_valid {block_valid.shape} != block_indices "
+                      f"{block_indices.shape}")
+    if tuple(block_counts.shape) != (ni, 1):
+        _fail(kernel, f"block_counts must be ({ni}, 1), got {block_counts.shape}")
+    for name, arr in (("block_indices", block_indices),
+                      ("block_valid", block_valid),
+                      ("block_counts", block_counts)):
+        if arr.dtype != jnp.int32:
+            _fail(kernel, f"{name} dtype {arr.dtype} != int32")
+    if _is_concrete(block_indices):
+        a = np.asarray(block_indices)
+        if int(a.max()) >= nfine or int(a.min()) < 0:
+            _fail(kernel, f"fine block index out of range [0, {nfine}) for "
+                          f"skv={skv} at fine={fine} — would OOB-DMA on "
+                          "hardware")
+    if _is_concrete(block_valid):
+        a = np.asarray(block_valid)
+        if int(a.max()) > fine or int(a.min()) < 0:
+            _fail(kernel, f"block_valid out of [0, {fine}]")
+    if _is_concrete(block_counts):
+        c = np.asarray(block_counts)
+        if int(c.max()) > block_indices.shape[1] or int(c.min()) < 0:
+            _fail(kernel, f"block_counts out of [0, {block_indices.shape[1]}]")
 
 
 def check_sparse_mask(kernel: str, sparse_mask, batch: int, heads: int,

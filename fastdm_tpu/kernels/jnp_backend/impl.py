@@ -210,6 +210,60 @@ def sdpa_gather_jnp(
     )
 
 
+@kernel_registry.register("sdpa_gather_fine", "jnp")
+def sdpa_gather_fine_jnp(
+    query: Array,
+    key: Array,
+    value: Array,
+    block_indices: Array,
+    block_valid: Array,
+    block_counts: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    group: int = 8,
+    fine: int = 64,
+) -> Array:
+    """Oracle: reconstruct the TOKEN-level column mask per q tile from the
+    fine gather tables (allowed iff some slot covers the token with
+    valid > offset) and run dense masked attention."""
+    del block_counts, group  # padding slots carry valid=0 — mask handles them
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    nq = block_indices.shape[0]
+    tok = jnp.arange(skv)
+    starts = block_indices * fine  # (nq, nslots)
+    allowed = (
+        (tok[None, None, :] >= starts[..., None])
+        & (tok[None, None, :] < (starts + block_valid)[..., None])
+    ).any(axis=1)  # (nq, skv)
+    rowmask = jnp.repeat(allowed, block_q, axis=0)[:sq]  # (sq, skv)
+
+    q = _split_heads(query, num_q_heads, head_dim)
+    k = _split_heads(key, num_kv_heads, head_dim)
+    v = _split_heads(value, num_kv_heads, head_dim)
+    if num_kv_heads != num_q_heads:
+        rep = num_q_heads // num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if scale is None:
+        scale = head_dim**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    logits = jnp.where(rowmask[None, None], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # rows with no allowed column produce a uniform softmax over the min
+    # logits; zero them to match the kernel's l==0 -> 0 convention
+    probs = jnp.where(rowmask.any(-1)[None, None, :, None], probs, 0.0)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, sq, num_q_heads * head_dim).astype(query.dtype)
+
+
 @kernel_registry.register("sdpa_sparse", "jnp")
 def sdpa_sparse_jnp(
     query: Array,

@@ -197,3 +197,30 @@ def gather_sparse_attention(
     fastdm/kernel/cuda/attention.py:218-260, which fetches then skips.)
     """
     return NotImplemented
+
+
+@kernel_registry.dispatch("sdpa_gather_fine")
+def gather_fine_attention(
+    query: Array,
+    key: Array,
+    value: Array,
+    block_indices: Array,   # (nq, nslots) int32 FINE kv-block ids, compacted
+    block_valid: Array,     # (nq, nslots) int32 valid tokens per fine block
+    block_counts: Array,    # (nq, 1) int32 active fine blocks per row
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    group: int = 8,
+    fine: int = 64,
+) -> Array:
+    """Fine-granularity gather sparse attention: indices address the radial
+    mask's NATIVE fine blocks (`fine` tokens, 64 in the reference config —
+    ref: fastdm/sparse/xsparse.py block_size); the pallas backend assembles
+    (group*fine)-token compute tiles from scattered fine blocks via manual
+    double-buffered HBM->VMEM DMA, so the MXU work ratio vs dense equals the
+    FINE mask density instead of an OR-coarsened one. block_valid is `fine`
+    for interior blocks, the tail remainder for the last block, and 0 for
+    padding slots past block_counts."""
+    return NotImplemented

@@ -422,6 +422,213 @@ def _gather_sparse_attention(
     return out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, num_q_heads * head_dim)
 
 
+def _gather_fine_kernel(
+    idx_ref, cnt_ref,  # scalar-prefetch (SMEM)
+    q_ref, k_hbm, v_hbm, o_ref,
+    k_buf, v_buf, m_scr, l_scr, acc_scr, sem,
+    *, block_q, group, fine, kv_rep, tail_id, tail_valid,
+):
+    """Fine-granularity gather-sparse flash attention.
+
+    The compacted per-q-tile index list addresses FINE (64-token) KV blocks —
+    the radial mask's native granularity (ref: fastdm/sparse/xsparse.py
+    block_size) — and the kernel assembles each (group*fine)-token compute
+    tile by manually DMA-ing `group` scattered fine blocks from HBM into a
+    double-buffered VMEM scratch. Because the list is compacted, the MXU dot
+    runs over fully-ACTIVE columns: the work ratio vs dense is the fine mask
+    density itself (0.234 at the A14B shape) instead of the OR-coarsened
+    density a BlockSpec-gathered 1024-token tile pays (0.603 — the round-1
+    1.33x ceiling). Group g+1's 2*group copies are issued before waiting on
+    group g, so DMA overlaps compute.
+
+    Per-chunk validity is DERIVED (cnt + static tail_id/tail_valid), not
+    table-driven: only padding slots (>= cnt) and the single global tail
+    block can be partial, so the valid table never rides SMEM (halves the
+    scalar-prefetch footprint vs the idx table alone) and fully-active
+    groups skip the column mask entirely.
+    """
+    b_, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    hk = h // kv_rep
+    bk = group * fine
+    cnt = cnt_ref[i, 0]
+    ng = jax.lax.div(cnt + group - 1, group)
+
+    m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def dma(g, slot, u, which):
+        fid = idx_ref[i, g * group + u]
+        src = k_hbm if which == 0 else v_hbm
+        buf = k_buf if which == 0 else v_buf
+        return pltpu.make_async_copy(
+            src.at[b_, hk, pl.ds(fid * fine, fine), :],
+            buf.at[slot, pl.ds(u * fine, fine), :],
+            sem.at[slot, which, u],
+        )
+
+    def start_group(g, slot):
+        for u in range(group):
+            dma(g, slot, u, 0).start()
+            dma(g, slot, u, 1).start()
+
+    def wait_group(g, slot):
+        for u in range(group):
+            dma(g, slot, u, 0).wait()
+            dma(g, slot, u, 1).wait()
+
+    @pl.when(ng > 0)
+    def _():
+        start_group(0, 0)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    chunk = col // fine
+    within = col - chunk * fine
+
+    def loop_body(g, carry):
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g + 1 < ng)
+        def _():
+            start_group(g + 1, jax.lax.rem(g + 1, 2))
+
+        wait_group(g, slot)
+        base = g * group
+        full = base + group <= cnt
+        if tail_valid == fine:
+            clean = full
+        else:
+            any_tail = jnp.bool_(False)
+            for u in range(group):
+                any_tail = jnp.logical_or(
+                    any_tail, idx_ref[i, base + u] == tail_id
+                )
+            clean = jnp.logical_and(full, jnp.logical_not(any_tail))
+
+        @pl.when(clean)
+        def _():
+            _attn_body(q_ref[0, 0], k_buf[slot], v_buf[slot], None,
+                       m_scr, l_scr, acc_scr)
+
+        @pl.when(jnp.logical_not(clean))
+        def _():
+            # per-chunk validity (0 for padding slots >= cnt, tail_valid for
+            # the global tail block) -> (1, bk) column mask vs the logits
+            vfull = jnp.zeros((1, bk), jnp.int32)
+            for u in range(group):
+                p = base + u
+                fid = idx_ref[i, p]
+                vu = jnp.where(fid == tail_id, tail_valid, fine)
+                vu = jnp.where(p < cnt, vu, 0)
+                vfull = jnp.where(chunk == u, vu, vfull)
+            _attn_body(q_ref[0, 0], k_buf[slot], v_buf[slot], within < vfull,
+                       m_scr, l_scr, acc_scr)
+        return carry
+
+    jax.lax.fori_loop(0, ng, loop_body, 0)
+
+    l = l_scr[:, :1]
+    out = acc_scr[...] / jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_q_heads", "num_kv_heads", "head_dim", "scale",
+                     "block_q", "group", "fine"),
+)
+def _gather_fine_attention(
+    query, key, value, block_indices, block_counts,
+    *, num_q_heads, num_kv_heads, head_dim, scale, block_q, group, fine,
+):
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    scale = head_dim**-0.5 if scale is None else scale
+    bq = block_q
+    # static tail constants: the only partial fine block is the global last
+    # one; the kernel derives per-chunk validity from these + cnt, so no
+    # valid table is prefetched into SMEM
+    nfine = -(-skv // fine)
+    tail_id = nfine - 1
+    tail_valid = skv - tail_id * fine
+
+    q = query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3)
+    q = _pad_seq((q.astype(jnp.float32) * (scale * _LOG2E)).astype(query.dtype), bq)
+    k = _pad_seq(key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), fine)
+    v = _pad_seq(value.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), fine)
+    ni = q.shape[2] // bq
+    grid = (b, num_q_heads, ni)
+    kv_rep = num_q_heads // num_kv_heads
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, head_dim),
+                         lambda b_, h, i, *_: (b_, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, head_dim),
+                               lambda b_, h, i, *_: (b_, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, group * fine, head_dim), key.dtype),
+            pltpu.VMEM((2, group * fine, head_dim), value.dtype),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, head_dim), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, group)),
+        ],
+    )
+    kernel = functools.partial(
+        _gather_fine_kernel, block_q=bq, group=group, fine=fine, kv_rep=kv_rep,
+        tail_id=tail_id, tail_valid=tail_valid,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, query.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=_INTERPRET,
+    )(block_indices, block_counts, q, k, v)
+    return out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, num_q_heads * head_dim)
+
+
+@kernel_registry.register("sdpa_gather_fine", "pallas")
+def sdpa_gather_fine_pallas(
+    query: Array,
+    key: Array,
+    value: Array,
+    block_indices: Array,
+    block_valid: Array,
+    block_counts: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    group: int = 8,
+    fine: int = 64,
+) -> Array:
+    contracts.check_sdpa("sdpa_gather_fine_pallas", query, key, value,
+                         num_q_heads, num_kv_heads, head_dim)
+    contracts.check_gather_fine("sdpa_gather_fine_pallas", block_indices,
+                                block_valid, block_counts, query.shape[1],
+                                key.shape[1], block_q, group, fine)
+    # block_valid is consumed by the contract check + jnp oracle only; the
+    # kernel derives validity from cnt + static tail constants (see
+    # _gather_fine_kernel), so it never rides the scalar-prefetch SMEM.
+    return _gather_fine_attention(
+        query, key, value, block_indices, block_counts,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
+        scale=scale, block_q=block_q, group=group, fine=fine,
+    )
+
+
 def coarsen_block_mask(mask_2d, q_factor: int = 1, k_factor: int = 1):
     """Host-side OR-coarsening of a 2D block mask: rows grouped by q_factor,
     cols by k_factor (zero-padded up to a multiple first, so padding rows/

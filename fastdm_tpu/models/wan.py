@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastdm_tpu.kernels import (
+    gather_fine_attention,
     gather_sparse_attention,
     rms_norm,
     rotary_pos_embedding,
@@ -66,6 +67,10 @@ class WanConfig:
     dense_layers: int = 0                   # first N layers always dense
     # gather-sparse tile size (must match SparseAttn.block_lists coarsening)
     sparse_gather_blocks: Tuple[int, int] = (512, 1024)
+    # fine-gather (block_q, group, fine_tokens): compute tiles of group x
+    # mask-native fine blocks assembled by manual DMA (sdpa_gather_fine);
+    # fine_tokens must equal the sparse config's block_size (engine syncs it)
+    sparse_gather_fine_blocks: Tuple[int, int, int] = (512, 32, 64)
     per_token_timestep: bool = False        # wan2.2-ti2v (temb per token)
     quant: Optional[str] = "int8"
 
@@ -234,7 +239,17 @@ def _wan_self_attention(attn, x: Array, cos: Array, sin: Array, cfg: WanConfig,
     q, k = rotary_pos_embedding(q, k, cfg.attention_head_dim, cos, sin, is_neox=False)
     h, hd = cfg.num_attention_heads, cfg.attention_head_dim
     if sparse_mask is not None:
-        if isinstance(sparse_mask, (tuple, list)):
+        if isinstance(sparse_mask, (tuple, list)) and len(sparse_mask) == 3:
+            # fine-gather form: (indices, valid, counts) at the mask's native
+            # fine granularity — compute tiles assembled from compacted
+            # ACTIVE fine blocks, so MXU work ~= fine mask density
+            idx, val, cnt = sparse_mask
+            bq, grp, fine = cfg.sparse_gather_fine_blocks
+            out = gather_fine_attention(
+                q, k, v, idx, val, cnt, h, h, hd,
+                scale=hd**-0.5, block_q=bq, group=grp, fine=fine,
+            )
+        elif isinstance(sparse_mask, (tuple, list)):
             # gather form: (block_indices (nq, max_nb), counts (nq, 1)) —
             # masked KV blocks cost neither DMA nor compute (pallas); the
             # jnp backend reconstructs the dense mask as the oracle

@@ -557,6 +557,11 @@ def make_wan_dual_cached_denoiser(
     each branch threads only its own cache states so a skip decision never
     reads the other expert's residuals.
 
+    The engine ships the phase-split form (make_wan_dual_phase_denoiser),
+    which computes the same function without keeping both experts
+    device-resident; this cond form is retained as its differential oracle
+    (tests/test_denoise.py::test_wan_dual_phase_matches_cond_form).
+
     run(params, params_2, latents, pos_text, neg_text, cos, sin, sparse_mask,
     cond=None) -> (latents, skips)."""
     from fastdm_tpu.caching.xcaching import (
@@ -754,5 +759,157 @@ def make_wan_ti2v_denoiser(
             jnp.concatenate([cond.astype(latents.dtype), latents[:, :, pt:]], axis=2),
             skips,
         )
+
+    return run
+
+
+def make_wan_dual_phase_denoiser(
+    cfg: WanConfig,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    cache_cfg,  # None -> uncached
+    guidance_scale: float,
+    guidance_scale_2: Optional[float],
+    boundary_ratio: float,
+    dense_warmup_steps: int = 0,
+):
+    """Phase-split Wan A14B dual-expert loop (EP residency, TPU answer).
+
+    The expert boundary is a STATIC step index — the sigma ladder is known at
+    trace time — so instead of a per-step `lax.cond` over BOTH experts (the
+    both-resident form the reference uses on a 96 GB H20,
+    ref: fastdm/model_entry.py:673-690), the loop splits into one jitted scan
+    per expert. Each phase program closes over a single expert's params, so:
+      * XLA traces/compiles each expert once, not both per step;
+      * the INACTIVE expert need not be device-resident — the caller may keep
+        both masters in host RAM and device_put only the active expert per
+        phase (FastDMEngine offload_inactive_expert), which is what lets the
+        two 14B experts fit a 16 GB v5e one at a time.
+
+    Cache semantics are bit-identical to make_wan_dual_cached_denoiser: each
+    expert owns (pos, neg) cache states; in the cond form the idle expert's
+    states pass through untouched, so threading them only through their own
+    phase is the same computation. Scheduler state (UniPC history) threads
+    across the phase boundary.
+
+    run(params, params_2, latents, pos_text, neg_text, cos, sin, sparse_mask,
+    cond=None) -> (latents, skips). params/params_2 may live anywhere jax can
+    device_put from (host included)."""
+    import numpy as np
+
+    if cache_cfg is not None:
+        from fastdm_tpu.caching.xcaching import (
+            cache_init_state,
+            negative_stream_config,
+        )
+        from fastdm_tpu.models.wan import wan_forward_cached
+
+        neg_cfg = negative_stream_config(cache_cfg)
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+    g2 = guidance_scale_2 if guidance_scale_2 is not None else guidance_scale
+    # first step where sigma drops below the boundary -> expert 2 (the ladder
+    # is descending; expert 1 runs while sigma >= boundary)
+    b_step = int(np.sum(np.asarray(scheduler.sigmas)[:num_steps]
+                        >= boundary_ratio))
+
+    def _make_phase(lo: int, hi: int, g: float):
+        """Jitted scan over steps [lo, hi) with ONE expert's params."""
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def phase(p, latents, sst, pos_text, neg_text, rope_cos, rope_sin,
+                  sparse_mask, cond):
+            b = latents.shape[0]
+            _, c, f, h, w = latents.shape
+            pt, ph, pw = cfg.patch_size
+            n_tok = (f // pt) * (h // ph) * (w // pw)
+            hshape = (b, n_tok, cfg.inner_dim)
+            if cache_cfg is not None:
+                cstates = (cache_init_state(cache_cfg, hshape, hshape),
+                           cache_init_state(cache_cfg, hshape, hshape))
+            else:
+                cstates = ()
+
+            def step_once(carry, step, mask):
+                lat, cst, s_ = carry
+                t = jnp.broadcast_to(sigmas[step] * 1000.0, (b,))
+                inp = lat if cond is None else jnp.concatenate(
+                    [lat, cond.astype(lat.dtype)], axis=1)
+                if cache_cfg is not None:
+                    sp, sn = cst
+                    pos, sp = wan_forward_cached(
+                        p, cfg, cache_cfg, sp, step, num_steps,
+                        inp.astype(jnp.bfloat16), t, pos_text,
+                        rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+                    )
+                    pos = pos.astype(jnp.float32)
+                    if do_cfg:
+                        neg, sn = wan_forward_cached(
+                            p, cfg, neg_cfg, sn, step, num_steps,
+                            inp.astype(jnp.bfloat16), t, neg_text,
+                            rope_cos=rope_cos, rope_sin=rope_sin,
+                            sparse_mask=mask,
+                        )
+                        out = neg.astype(jnp.float32) + g * (
+                            pos - neg.astype(jnp.float32))
+                    else:
+                        out = pos
+                    cst = (sp, sn)
+                else:
+                    def one(text):
+                        return wan_forward(
+                            p, cfg, inp.astype(jnp.bfloat16), t, text,
+                            rope_cos=rope_cos, rope_sin=rope_sin,
+                            sparse_mask=mask,
+                        ).astype(jnp.float32)
+
+                    pos = one(pos_text)
+                    if do_cfg:
+                        neg = one(neg_text)
+                        out = neg + g * (pos - neg)
+                    else:
+                        out = pos
+                lat, s_ = scheduler_step(scheduler, out, step, lat, sigmas,
+                                         s_, num_steps)
+                return (lat, cst, s_)
+
+            carry = (latents, cstates, sst)
+            cuts = sorted({lo, hi} | (
+                {min(max(dense_warmup_steps, lo), hi)}
+                if sparse_mask is not None else set()))
+            for seg_lo, seg_hi in zip(cuts[:-1], cuts[1:]):
+                if seg_lo == seg_hi:
+                    continue
+                mask = (None if sparse_mask is not None
+                        and seg_lo < dense_warmup_steps else sparse_mask)
+                carry, _ = jax.lax.scan(
+                    lambda cr, s, m=mask: (step_once(cr, s, m), None),
+                    carry, jnp.arange(seg_lo, seg_hi),
+                )
+            lat, cst, s_ = carry
+            skips = (cst[0]["skips"] + cst[1]["skips"]) \
+                if cache_cfg is not None else jnp.zeros((), jnp.int32)
+            return lat, s_, skips
+
+        return phase
+
+    phase1 = _make_phase(0, b_step, guidance_scale) if b_step > 0 else None
+    phase2 = _make_phase(b_step, num_steps, g2) if b_step < num_steps else None
+
+    def run(params, params_2, latents, pos_text, neg_text, rope_cos, rope_sin,
+            sparse_mask, cond=None):
+        sst = scheduler_init_state(scheduler, latents.shape)
+        skips = jnp.zeros((), jnp.int32)
+        if phase1 is not None:
+            latents, sst, s1 = phase1(params, latents, sst, pos_text,
+                                      neg_text, rope_cos, rope_sin,
+                                      sparse_mask, cond)
+            skips = skips + s1
+        if phase2 is not None:
+            latents, sst, s2 = phase2(params_2, latents, sst, pos_text,
+                                      neg_text, rope_cos, rope_sin,
+                                      sparse_mask, cond)
+            skips = skips + s2
+        return latents, skips
 
     return run

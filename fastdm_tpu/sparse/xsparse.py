@@ -219,3 +219,46 @@ class RadialAttn(SparseAttn):
             self._mask2d(), q_tokens // bs, k_tokens // bs
         )
         return idx, cnt
+
+    def block_lists_fine(self, q_tokens: int = 512, group: int = 8):
+        """Fine-granularity gather tables for `sdpa_gather_fine`: per q tile
+        (q_tokens wide, OR-coarsened in q only) the COMPACTED list of active
+        fine KV blocks at the mask's native block_size granularity, plus a
+        per-slot valid-token count (block_size for interior blocks, the tail
+        remainder for the last one, 0 for padding slots) and a per-row active
+        count. Table width is padded to a multiple of `group` (the kernel
+        DMA-gathers whole groups).
+
+        Keeping the K axis at native granularity is the whole point: the
+        compute tiles are assembled from compacted ACTIVE blocks, so the MXU
+        work ratio vs dense equals the fine mask density (0.234 at the A14B
+        shape) instead of the OR-coarsened density the (q_tokens, k_tokens)
+        tiles of block_lists pay (0.603 -> the measured 1.33x ceiling).
+
+        Returns (indices (nq, nslots) i32, valid (nq, nslots) i32,
+        counts (nq, 1) i32)."""
+        from fastdm_tpu.kernels.pallas.attention import coarsen_block_mask
+
+        bs = self.config.block_size
+        if q_tokens % bs:
+            raise ValueError(
+                f"q_tokens {q_tokens} must be a multiple of the radial mask "
+                f"block_size {bs}"
+            )
+        m = coarsen_block_mask(self._mask2d(), q_tokens // bs, 1)
+        nq, nfine = m.shape
+        counts = m.sum(1).astype(np.int32)
+        nslots = -(-max(1, int(counts.max())) // group) * group
+        idx = np.zeros((nq, nslots), np.int32)
+        valid = np.zeros((nq, nslots), np.int32)
+        # the mask covers ceil(S/bs) blocks; the last one may be partial
+        total = self.video_token_num
+        tail_id = nfine - 1
+        tail_valid = total - tail_id * bs if total > tail_id * bs else bs
+        for r in range(nq):
+            active = np.nonzero(m[r])[0]
+            idx[r, : len(active)] = active
+            valid[r, : len(active)] = np.where(
+                active == tail_id, min(tail_valid, bs), bs
+            )
+        return idx, valid, counts.reshape(nq, 1)

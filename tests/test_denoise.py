@@ -317,3 +317,70 @@ def test_flux_i2i_cache_steps_are_loop_relative():
     # loop runs steps 1..3 = 3 iterations; the FIRST must be a forced compute
     assert int(skips) <= 2, f"no forced compute in the i2i loop (skips={int(skips)})"
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wan_dual_phase_matches_cond_form():
+    """Phase-split A14B loop (engine default; one jitted scan per expert, so
+    the inactive expert need not be device-resident) computes the SAME
+    function as the per-step lax.cond dual loop, cached and uncached."""
+    from fastdm_tpu.caching.config import FBCacheConfig
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import (
+        make_wan_denoiser,
+        make_wan_dual_cached_denoiser,
+        make_wan_dual_phase_denoiser,
+    )
+
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=4, quant="int8")
+    p1 = wan_init_random(jax.random.key(0), cfg)
+    p2 = wan_init_random(jax.random.key(7), cfg)
+    sched = FlowMatchEulerScheduler.create(4, shift=5.0)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 2, 16, 16), jnp.float32)
+    pos = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    neg = jax.random.normal(jax.random.key(3), (1, cfg.text_len, cfg.text_dim),
+                            jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, 2, 16, 16)
+
+    # uncached: phase vs the cond-form dual loop
+    run_p = make_wan_dual_phase_denoiser(cfg, sched, 4, None,
+                                         guidance_scale=2.0,
+                                         guidance_scale_2=None,
+                                         boundary_ratio=0.5)
+    out_p, skips = run_p(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    run_u = make_wan_denoiser(cfg, sched, 4, guidance_scale=2.0,
+                              boundary_ratio=0.5)
+    out_u, _ = run_u(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    assert int(np.asarray(skips)) == 0
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                               atol=1e-4, rtol=1e-4)
+
+    # cached with skips firing: phase vs cond form, same skip count
+    always = FBCacheConfig(cache_algorithm="fbcache", enable_caching=True,
+                           threshold=100.0, warmup_steps=1, negtive_cache=True)
+    run_pc = make_wan_dual_phase_denoiser(cfg, sched, 4, always,
+                                          guidance_scale=2.0,
+                                          guidance_scale_2=None,
+                                          boundary_ratio=0.5)
+    out_pc, sk_p = run_pc(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    run_cc = make_wan_dual_cached_denoiser(cfg, sched, 4, always,
+                                           guidance_scale=2.0,
+                                           boundary_ratio=0.5)
+    out_cc, sk_c = run_cc(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    assert int(np.asarray(sk_p)) == int(np.asarray(sk_c)) > 0
+    np.testing.assert_allclose(np.asarray(out_pc), np.asarray(out_cc),
+                               atol=1e-4, rtol=1e-4)
+
+    # one-sided boundary (all steps on expert 1): still runs, matches cond
+    run_p1 = make_wan_dual_phase_denoiser(cfg, sched, 4, None,
+                                          guidance_scale=2.0,
+                                          guidance_scale_2=None,
+                                          boundary_ratio=0.0)
+    out_p1, _ = run_p1(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    run_u1 = make_wan_denoiser(cfg, sched, 4, guidance_scale=2.0,
+                               boundary_ratio=0.0)
+    out_u1, _ = run_u1(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    np.testing.assert_allclose(np.asarray(out_p1), np.asarray(out_u1),
+                               atol=1e-4, rtol=1e-4)

@@ -1,0 +1,159 @@
+"""Fine-granularity gather-sparse attention (sdpa_gather_fine): pallas kernel
+vs the jnp token-mask oracle, table-builder semantics, and contracts.
+
+The kernel assembles (group*fine)-token compute tiles from COMPACTED active
+fine KV blocks via manual double-buffered HBM->VMEM DMA, so its MXU work
+ratio vs dense equals the fine radial-mask density (the TPU answer to the
+reference's SpargeAttn fetch-then-skip, fastdm/kernel/cuda/attention.py:
+218-260; mask semantics per fastdm/sparse/xsparse.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastdm_tpu.kernels.jnp_backend.impl import sdpa_gather_fine_jnp, sdpa_jnp
+from fastdm_tpu.kernels.pallas.attention import sdpa_gather_fine_pallas
+from fastdm_tpu.sparse.config import RadialAttnConfig
+from fastdm_tpu.sparse.xsparse import RadialAttn
+
+
+def _qkv(rng, b, sq, skv, h, d):
+    q = jnp.asarray(rng.standard_normal((b, sq, h * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h * d)), jnp.float32)
+    return q, k, v
+
+
+def _random_tables(rng, nq, nfine, group, fine, skv, density=0.5):
+    """Compacted active-slot tables over a random fine mask; the mask always
+    keeps block 0 (mirrors the radial sink) so no row is empty."""
+    m = rng.random((nq, nfine)) < density
+    m[:, 0] = True
+    counts = m.sum(1).astype(np.int32)
+    nslots = -(-int(counts.max()) // group) * group
+    idx = np.zeros((nq, nslots), np.int32)
+    val = np.zeros((nq, nslots), np.int32)
+    tail_id = nfine - 1
+    tail_valid = skv - tail_id * fine
+    for r in range(nq):
+        act = np.nonzero(m[r])[0]
+        idx[r, : len(act)] = act
+        val[r, : len(act)] = np.where(act == tail_id, tail_valid, fine)
+    return idx, val, counts.reshape(nq, 1)
+
+
+@pytest.mark.parametrize("skv,group", [(448, 2), (512, 2), (441, 4)])
+def test_gather_fine_matches_oracle(skv, group):
+    rng = np.random.default_rng(0)
+    b, sq, h, d, fine, bq = 1, 512, 2, 64, 64, 256
+    q, k, v = _qkv(rng, b, sq, skv, h, d)
+    nq, nfine = sq // bq, -(-skv // fine)
+    idx, val, cnt = _random_tables(rng, nq, nfine, group, fine, skv)
+    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(cnt))
+    out_p = sdpa_gather_fine_pallas(q, k, v, *args, h, h, d,
+                                    block_q=bq, group=group, fine=fine)
+    out_j = sdpa_gather_fine_jnp(q, k, v, *args, h, h, d,
+                                 block_q=bq, group=group, fine=fine)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_j, np.float32), atol=2e-2)
+
+
+def test_gather_fine_full_mask_equals_dense():
+    rng = np.random.default_rng(1)
+    b, sq, skv, h, d, fine, group, bq = 1, 256, 256, 2, 64, 64, 2, 256
+    q, k, v = _qkv(rng, b, sq, skv, h, d)
+    nfine = skv // fine
+    idx = np.broadcast_to(np.arange(nfine, dtype=np.int32), (1, nfine)).copy()
+    val = np.full((1, nfine), fine, np.int32)
+    cnt = np.array([[nfine]], np.int32)
+    out = sdpa_gather_fine_pallas(
+        q, k, v, jnp.asarray(idx), jnp.asarray(val), jnp.asarray(cnt),
+        h, h, d, block_q=bq, group=group, fine=fine)
+    ref = sdpa_jnp(q, k, v, h, h, d)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_gather_fine_gqa():
+    rng = np.random.default_rng(2)
+    b, sq, skv, hq, hkv, d, fine, group, bq = 1, 256, 384, 4, 2, 64, 64, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, hq * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, hkv * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, hkv * d)), jnp.float32)
+    nq, nfine = sq // bq, skv // fine
+    idx, val, cnt = _random_tables(rng, nq, nfine, group, fine, skv)
+    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(cnt))
+    out_p = sdpa_gather_fine_pallas(q, k, v, *args, hq, hkv, d,
+                                    block_q=bq, group=group, fine=fine)
+    out_j = sdpa_gather_fine_jnp(q, k, v, *args, hq, hkv, d,
+                                 block_q=bq, group=group, fine=fine)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_j, np.float32), atol=2e-2)
+
+
+def test_block_lists_fine_semantics():
+    """Fine tables cover exactly the q-coarsened fine mask; valid counts are
+    `fine` except the tail block; width is group-padded with valid=0."""
+    cfg = RadialAttnConfig(block_size=64, decay_factor=0.3, model_type="wan")
+    attn = RadialAttn(cfg)
+    tokens, frames = 13 * 576, 13  # non-multiple of 64: tail block partial
+    attn.post_init(video_token_num=tokens, num_frame=frames)
+    q_tokens, group = 512, 8
+    idx, val, cnt = attn.block_lists_fine(q_tokens, group)
+    fine_mask = attn._mask2d()
+    nfine = fine_mask.shape[0]
+    nq = -(-nfine * 64 // q_tokens)
+    assert idx.shape == val.shape and idx.shape[0] == nq
+    assert idx.shape[1] % group == 0
+    assert cnt.shape == (nq, 1)
+    assert idx.max() < nfine and idx.min() >= 0
+    tail_valid = tokens - (nfine - 1) * 64
+    for r in range(nq):
+        c = int(cnt[r, 0])
+        # active slots reproduce the q-ORed mask row exactly
+        row = fine_mask[r * (q_tokens // 64): (r + 1) * (q_tokens // 64)].any(0)
+        np.testing.assert_array_equal(np.sort(idx[r, :c]), np.nonzero(row)[0])
+        # valid: fine for interior, tail remainder for the last block, 0 pad
+        expect = np.where(idx[r, :c] == nfine - 1, tail_valid, 64)
+        np.testing.assert_array_equal(val[r, :c], expect)
+        assert (val[r, c:] == 0).all()
+
+
+def test_block_lists_fine_through_engine_kernel_path():
+    """End-to-end: radial fine tables through the pallas kernel vs the jnp
+    oracle at a real (small) wan-like shape."""
+    rng = np.random.default_rng(3)
+    cfg = RadialAttnConfig(block_size=64, decay_factor=1.0, model_type="wan")
+    attn = RadialAttn(cfg)
+    tokens, frames = 1024, 4
+    attn.post_init(video_token_num=tokens, num_frame=frames)
+    idx, val, cnt = attn.block_lists_fine(q_tokens=256, group=2)
+    b, h, d = 1, 2, 64
+    q, k, v = _qkv(rng, b, tokens, tokens, h, d)
+    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(cnt))
+    out_p = sdpa_gather_fine_pallas(q, k, v, *args, h, h, d,
+                                    block_q=256, group=2, fine=64)
+    out_j = sdpa_gather_fine_jnp(q, k, v, *args, h, h, d,
+                                 block_q=256, group=2, fine=64)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_j, np.float32), atol=2e-2)
+
+
+def test_gather_fine_contracts():
+    rng = np.random.default_rng(4)
+    q, k, v = _qkv(rng, 1, 256, 256, 2, 64)
+    good_idx = jnp.zeros((1, 2), jnp.int32)
+    good_val = jnp.full((1, 2), 64, jnp.int32)
+    good_cnt = jnp.ones((1, 1), jnp.int32)
+    with pytest.raises(ValueError, match="out of range"):
+        sdpa_gather_fine_pallas(q, k, v, jnp.asarray([[0, 7]], jnp.int32),
+                                good_val, good_cnt, 2, 2, 64,
+                                block_q=256, group=2, fine=64)
+    with pytest.raises(ValueError, match="not a multiple"):
+        sdpa_gather_fine_pallas(q, k, v, jnp.zeros((1, 3), jnp.int32),
+                                jnp.zeros((1, 3), jnp.int32), good_cnt,
+                                2, 2, 64, block_q=256, group=2, fine=64)
+    with pytest.raises(ValueError, match="block_valid out of"):
+        sdpa_gather_fine_pallas(q, k, v, good_idx,
+                                jnp.full((1, 2), 65, jnp.int32), good_cnt,
+                                2, 2, 64, block_q=256, group=2, fine=64)
