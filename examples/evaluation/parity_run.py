@@ -1,0 +1,237 @@
+"""One-command real-checkpoint parity run (ref: examples/evaluation/README.md
+workflow — baseline vs quantized/cached generation, CLIP score + FID-style
+comparison; rebuilt as a single driver so the full fidelity story runs the
+moment real weights are reachable).
+
+For each requested config (bf16 baseline, int8, int8+cache, +sparse for wan)
+it builds a FastDMEngine on the SAME checkpoint, generates the same seeded
+prompts, and reports:
+  * PSNR / max-abs-diff of every config vs the first (the quantization and
+    caching fidelity numbers the reference publishes as CLIP/FID deltas),
+  * CLIP score per config (when a CLIP checkpoint is reachable — falls back
+    to skipped, never fails the run),
+  * optional PSNR vs a directory of reference-generated images
+    (--reference-dir, e.g. the CUDA reference's outputs at the same seeds),
+  * for wan: the decoded video tensor stats + saved latents for offline
+    3D-VAE cross-checks.
+With --refit-teacache it finishes by fitting TeaCache coefficients on the
+real weights (examples/xcaching/fit_teacache.py) instead of shipping the
+reference-published ones.
+
+Runbook (FLUX):
+  python examples/evaluation/parity_run.py \
+      --model-path /models/FLUX.1-dev --architecture flux \
+      --prompts prompts.txt --height 1024 --width 1024 --steps 25 \
+      --configs bf16,int8,int8+cache --refit-teacache --report parity.json
+
+Smoke-tested on synthetic weights in tests/test_parity_run.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+CONFIGS = {
+    "bf16": {},
+    "int8": {"use_int8": True},
+    "int8+cache": {
+        "use_int8": True,
+        "cache_config": {"cache_algorithm": "teacache", "enable_caching": True,
+                         "threshold": 0.25},
+    },
+    "int8+sparse": {
+        "use_int8": True,
+        "sparse_attn_config": {"sparse_algorithm": "radial", "block_size": 64,
+                               "decay_factor": 0.2, "model_type": "wan",
+                               "dense_steps": 2},
+    },
+}
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+def _load_prompts(path: str | None, n: int) -> list:
+    if path is None:
+        return ["a photo of an astronaut riding a horse on mars",
+                "a watercolor painting of a fox in a snowy forest"][:n]
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()][:n]
+
+
+def _generate(engine, architecture: str, prompts, args, engine_kw):
+    """One config's image set: (N, H, W, 3) uint8 (or latents for wan)."""
+    outs, times = [], []
+    for i, prompt in enumerate(prompts):
+        t0 = time.perf_counter()
+        kw = dict(height=args.height, width=args.width,
+                  num_inference_steps=args.steps, seed=args.seed + i)
+        if architecture.startswith("wan"):
+            kw.update(num_frames=args.num_frames, output_type="latent")
+        out = engine.generate(prompt=prompt, **kw)
+        times.append(time.perf_counter() - t0)
+        outs.append(np.asarray(out))
+    # engine outputs carry a leading batch dim already
+    return np.concatenate(outs, axis=0), times
+
+
+def run_parity(args, post_init=None):
+    """Drive every config and assemble the parity report dict. `post_init`
+    (engine) -> None runs after each engine ctor — the synthetic-weights
+    smoke test uses it to install a fake text encoder."""
+    from fastdm_tpu.engine import FastDMEngine
+
+    prompts = _load_prompts(args.prompts, args.num_prompts)
+    config_names = [c.strip() for c in args.configs.split(",") if c.strip()]
+    report = {"model_path": args.model_path, "architecture": args.architecture,
+              "prompts": prompts, "steps": args.steps, "seed": args.seed,
+              "configs": {}}
+    images = {}
+    for name in config_names:
+        if name not in CONFIGS:
+            raise SystemExit(f"unknown config {name!r}; have {list(CONFIGS)}")
+        kw = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in CONFIGS[name].items()}
+        if args.cache_config and "cache_config" in kw:
+            kw["cache_config"] = args.cache_config  # JSON file override
+        engine = FastDMEngine(args.model_path, architecture=args.architecture,
+                              verbose=False, **kw)
+        if post_init is not None:
+            post_init(engine)
+        out, times = _generate(engine, args.architecture, prompts, args, kw)
+        images[name] = out
+        entry = {"seconds_per_image": float(np.mean(times)),
+                 "skips": getattr(engine, "last_cache_skips", 0)}
+        if args.save_dir:
+            cdir = os.path.join(args.save_dir, name.replace("+", "_"))
+            os.makedirs(cdir, exist_ok=True)
+            if out.dtype == np.uint8:
+                try:
+                    from PIL import Image
+
+                    for i in range(out.shape[0]):
+                        Image.fromarray(out[i]).save(
+                            os.path.join(cdir, f"{i}.png"))
+                except ImportError:
+                    np.save(os.path.join(cdir, "images.npy"), out)
+            else:
+                # wan latents: saved for offline 3D-VAE decode cross-checks
+                np.save(os.path.join(cdir, "latents.npy"), out)
+        report["configs"][name] = entry
+        del engine
+
+    # fidelity vs the first config (the baseline)
+    base = config_names[0]
+    for name in config_names[1:]:
+        a, b = images[base], images[name]
+        scale = 255.0 if a.dtype == np.uint8 else float(
+            max(np.abs(a).max(), 1e-6))
+        pair = {
+            "psnr_vs_" + base: psnr(
+                a.astype(np.float64) * (255.0 / scale),
+                b.astype(np.float64) * (255.0 / scale)),
+            "max_abs_diff_vs_" + base: float(
+                np.max(np.abs(a.astype(np.float64) - b.astype(np.float64)))),
+        }
+        report["configs"][name].update(pair)
+
+    # CLIP score per config (best effort: needs a reachable CLIP checkpoint)
+    if not args.skip_clip and images[base].dtype == np.uint8:
+        try:
+            from clip_score import ClipScorer
+
+            scorer = ClipScorer(args.clip_path)
+            for name in config_names:
+                report["configs"][name]["mean_clip_score"] = float(
+                    np.mean(scorer.score(list(images[name]), prompts)))
+        except Exception as e:  # offline image: record why, don't fail
+            report["clip_skipped"] = f"{type(e).__name__}: {e}"
+
+    # PSNR vs reference-generated images (same prompt order, {i}.png)
+    if args.reference_dir:
+        try:
+            from PIL import Image
+
+            refs = np.stack([
+                np.asarray(Image.open(
+                    os.path.join(args.reference_dir, f"{i}.png")).convert("RGB"))
+                for i in range(len(prompts))])
+            for name in config_names:
+                if images[name].shape == refs.shape:
+                    report["configs"][name]["psnr_vs_reference"] = psnr(
+                        images[name], refs)
+        except Exception as e:
+            report["reference_skipped"] = f"{type(e).__name__}: {e}"
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--architecture", default="flux")
+    p.add_argument("--prompts", default=None, help="one prompt per line")
+    p.add_argument("--num-prompts", type=int, default=2)
+    p.add_argument("--configs", default="bf16,int8,int8+cache")
+    p.add_argument("--cache-config", default=None,
+                   help="JSON file overriding the int8+cache cache_config")
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=25)
+    p.add_argument("--num-frames", type=int, default=81)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--reference-dir", default=None,
+                   help="reference-generated {i}.png at the same seeds")
+    p.add_argument("--clip-path", default="openai/clip-vit-large-patch14")
+    p.add_argument("--skip-clip", action="store_true")
+    p.add_argument("--refit-teacache", action="store_true")
+    p.add_argument("--report", default="parity.json")
+    args = p.parse_args(argv)
+
+    report = run_parity(args)
+
+    if args.refit_teacache:
+        # real-weights TeaCache coefficients (replaces the shipped
+        # reference-published fits; see examples/xcaching/fit_teacache.py)
+        import subprocess
+
+        fit = os.path.join(os.path.dirname(__file__), "..", "xcaching",
+                           "fit_teacache.py")
+        arch = {"flux": "flux", "sd35": "sd35", "qwen": "qwen",
+                "qwen-image": "qwen"}.get(args.architecture)
+        if arch is None:
+            report["teacache_refit"] = {
+                "skipped": f"fit_teacache covers flux/sd35/qwen, not "
+                           f"{args.architecture}"}
+        else:
+            coeff_out = os.path.splitext(args.report)[0] + "_teacache.json"
+            cmd = [sys.executable, fit, "--model-path", args.model_path,
+                   "--architecture", arch, "--output", coeff_out]
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            report["teacache_refit"] = {
+                "returncode": r.returncode, "output": coeff_out,
+                "tail": (r.stdout + r.stderr)[-500:]}
+
+    with open(args.report, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report["configs"].items()}, indent=2))
+    print(f"report -> {args.report}")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,12 +52,12 @@ def main():
     attn = RadialAttn(cfg)
     tokens, frames = 8 * 576, 8
     attn.post_init(video_token_num=tokens, num_frame=frames)
-    idx, val, cnt = attn.block_lists_fine(512, 8)
+    idx, val, rows = attn.block_lists_fine(512, 8)
     h, d = 4, 128
     q = jnp.asarray(rng.standard_normal((1, tokens, h * d)) * 0.5, jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((1, tokens, h * d)) * 0.5, jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((1, tokens, h * d)) * 0.5, jnp.bfloat16)
-    args3 = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(cnt))
+    args3 = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows))
     out_hw = sdpa_gather_fine_pallas(q, k, v, *args3, h, h, d,
                                      block_q=512, group=8, fine=64)
     out_or = sdpa_gather_fine_jnp(q, k, v, *args3, h, h, d,
@@ -98,12 +98,18 @@ def main():
     print(f"coarse gather 512x1024: {t*1e3:.1f} ms ({t_dense/t:.2f}x dense)",
           flush=True)
 
-    for bq, grp in [(256, 16), (512, 16), (512, 24), (512, 32), (1024, 32)]:
-        fi, fv, fc = attn2.block_lists_fine(bq, grp)
-        dens = fc.sum() / (fi.shape[0] * (-(-tokens // 64)))
+    # CSR-flat tables: SMEM = active blocks (~380 KB at bq256), so the small
+    # q tiles the 2D table OOMed on are now in play
+    for bq, grp in [(512, 32), (256, 16), (256, 32), (256, 48), (128, 32)]:
+        fi, fv, fr = attn2.block_lists_fine(bq, grp)
+        nq = fr.shape[0]
+        dens = fr[:, 1].sum() / (nq * (-(-tokens // 64)))
+        print(f"  bq{bq}/G{grp}: flat table {fi.shape[0]} entries "
+              f"({fi.shape[0] * 4 / 1024:.0f} KB SMEM), density {dens:.3f}",
+              flush=True)
         try:
             t = bench(lambda q, k, v, a=jnp.asarray(fi), b_=jnp.asarray(fv),
-                      c=jnp.asarray(fc), bq=bq, grp=grp:
+                      c=jnp.asarray(fr), bq=bq, grp=grp:
                       sdpa_gather_fine_pallas(q, k, v, a, b_, c, h, h, d,
                                               block_q=bq, group=grp, fine=64),
                       q, k, v)

@@ -100,12 +100,14 @@ def check_gather_lists(kernel: str, block_indices, block_counts,
                           f"[{int(c.min())}, {int(c.max())}]")
 
 
-def check_gather_fine(kernel: str, block_indices, block_valid, block_counts,
+def check_gather_fine(kernel: str, block_indices, block_valid, block_rows,
                       sq: int, skv: int, block_q: int, group: int,
                       fine: int) -> None:
-    """Fine-gather tables: indices address FINE (fine-token) kv blocks; the
-    kernel assembles group-of-fine compute tiles via manual DMA. Table width
-    must be a multiple of `group` (the kernel reads whole groups)."""
+    """CSR-flat fine-gather tables: block_indices is ONE flat array of
+    group-padded per-row segments addressing FINE (fine-token) kv blocks;
+    block_rows[r] = (start, count). The kernel DMA-gathers whole groups, so
+    each segment (and the flat length) must be group-aligned; a bad start or
+    index would OOB-DMA on hardware, so the concrete checks are strict."""
     if fine % 8 or (group * fine) % 128:
         _fail(kernel, f"fine={fine} must be a multiple of 8 and group*fine="
                       f"{group * fine} a multiple of 128 (sublane/lane)")
@@ -113,36 +115,45 @@ def check_gather_fine(kernel: str, block_indices, block_valid, block_counts,
         _fail(kernel, f"block_q {block_q} must be a multiple of 128")
     ni = -(-sq // block_q)
     nfine = -(-skv // fine)
-    if block_indices.ndim != 2 or block_indices.shape[0] != ni:
-        _fail(kernel, f"block_indices must be ({ni}, nslots), got "
-                      f"{block_indices.shape} — q-tile granularity mismatch")
-    if block_indices.shape[1] % group:
-        _fail(kernel, f"table width {block_indices.shape[1]} not a multiple "
-                      f"of group {group}")
+    if block_indices.ndim != 1:
+        _fail(kernel, f"block_indices must be flat (T,), got "
+                      f"{block_indices.shape}")
+    T = block_indices.shape[0]
+    if T % group:
+        _fail(kernel, f"flat table length {T} not a multiple of group {group}")
     if block_valid.shape != block_indices.shape:
         _fail(kernel, f"block_valid {block_valid.shape} != block_indices "
                       f"{block_indices.shape}")
-    if tuple(block_counts.shape) != (ni, 1):
-        _fail(kernel, f"block_counts must be ({ni}, 1), got {block_counts.shape}")
+    if tuple(block_rows.shape) != (ni, 2):
+        _fail(kernel, f"block_rows must be ({ni}, 2) [start, count], got "
+                      f"{block_rows.shape} — q-tile granularity mismatch")
     for name, arr in (("block_indices", block_indices),
                       ("block_valid", block_valid),
-                      ("block_counts", block_counts)):
+                      ("block_rows", block_rows)):
         if arr.dtype != jnp.int32:
             _fail(kernel, f"{name} dtype {arr.dtype} != int32")
     if _is_concrete(block_indices):
         a = np.asarray(block_indices)
-        if int(a.max()) >= nfine or int(a.min()) < 0:
+        if a.size and (int(a.max()) >= nfine or int(a.min()) < 0):
             _fail(kernel, f"fine block index out of range [0, {nfine}) for "
                           f"skv={skv} at fine={fine} — would OOB-DMA on "
                           "hardware")
     if _is_concrete(block_valid):
         a = np.asarray(block_valid)
-        if int(a.max()) > fine or int(a.min()) < 0:
+        if a.size and (int(a.max()) > fine or int(a.min()) < 0):
             _fail(kernel, f"block_valid out of [0, {fine}]")
-    if _is_concrete(block_counts):
-        c = np.asarray(block_counts)
-        if int(c.max()) > block_indices.shape[1] or int(c.min()) < 0:
-            _fail(kernel, f"block_counts out of [0, {block_indices.shape[1]}]")
+    if _is_concrete(block_rows):
+        r = np.asarray(block_rows)
+        starts, cnts = r[:, 0], r[:, 1]
+        if (starts % group).any():
+            _fail(kernel, f"row starts must be group-aligned (group={group})")
+        if (cnts < 0).any():
+            _fail(kernel, "negative row count")
+        # kernel reads ceil(cnt/group) whole groups from start (0 for cnt=0)
+        ends = starts + -(-cnts // group) * group
+        if (ends > T).any():
+            _fail(kernel, f"row segment exceeds flat table length {T} — "
+                          "would OOB-read SMEM / OOB-DMA on hardware")
 
 
 def check_sparse_mask(kernel: str, sparse_mask, batch: int, heads: int,

@@ -217,7 +217,7 @@ def sdpa_gather_fine_jnp(
     value: Array,
     block_indices: Array,
     block_valid: Array,
-    block_counts: Array,
+    block_rows: Array,
     num_q_heads: int,
     num_kv_heads: int,
     head_dim: int,
@@ -227,18 +227,23 @@ def sdpa_gather_fine_jnp(
     fine: int = 64,
 ) -> Array:
     """Oracle: reconstruct the TOKEN-level column mask per q tile from the
-    fine gather tables (allowed iff some slot covers the token with
-    valid > offset) and run dense masked attention."""
-    del block_counts, group  # padding slots carry valid=0 — mask handles them
+    CSR-flat fine gather tables (allowed iff some slot covers the token with
+    valid > offset) and run dense masked attention. Jittable: flat slots map
+    to rows by searchsorted over the (packed, ascending) row starts; padding
+    slots carry valid=0 so the scatter-max ignores them."""
+    del group
     b, sq, _ = query.shape
     skv = key.shape[1]
-    nq = block_indices.shape[0]
+    nq = block_rows.shape[0]
+    nfine = -(-skv // fine)
+    t_flat = block_indices.shape[0]
+    slot = jnp.arange(t_flat)
+    r_of_slot = jnp.searchsorted(block_rows[:, 0], slot, side="right") - 1
+    valid_grid = jnp.zeros((nq, nfine), jnp.int32).at[
+        r_of_slot, block_indices
+    ].max(block_valid)
     tok = jnp.arange(skv)
-    starts = block_indices * fine  # (nq, nslots)
-    allowed = (
-        (tok[None, None, :] >= starts[..., None])
-        & (tok[None, None, :] < (starts + block_valid)[..., None])
-    ).any(axis=1)  # (nq, skv)
+    allowed = (tok % fine)[None, :] < valid_grid[:, tok // fine]  # (nq, skv)
     rowmask = jnp.repeat(allowed, block_q, axis=0)[:sq]  # (sq, skv)
 
     q = _split_heads(query, num_q_heads, head_dim)

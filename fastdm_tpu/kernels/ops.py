@@ -204,9 +204,9 @@ def gather_fine_attention(
     query: Array,
     key: Array,
     value: Array,
-    block_indices: Array,   # (nq, nslots) int32 FINE kv-block ids, compacted
-    block_valid: Array,     # (nq, nslots) int32 valid tokens per fine block
-    block_counts: Array,    # (nq, 1) int32 active fine blocks per row
+    block_indices: Array,   # (T,) int32 FINE kv-block ids, CSR-flat segments
+    block_valid: Array,     # (T,) int32 valid tokens per fine block
+    block_rows: Array,      # (nq, 2) int32 [segment start, active count]
     num_q_heads: int,
     num_kv_heads: int,
     head_dim: int,
@@ -220,7 +220,9 @@ def gather_fine_attention(
     ref: fastdm/sparse/xsparse.py block_size); the pallas backend assembles
     (group*fine)-token compute tiles from scattered fine blocks via manual
     double-buffered HBM->VMEM DMA, so the MXU work ratio vs dense equals the
-    FINE mask density instead of an OR-coarsened one. block_valid is `fine`
-    for interior blocks, the tail remainder for the last block, and 0 for
-    padding slots past block_counts."""
+    FINE mask density instead of an OR-coarsened one. Tables are CSR-flat
+    (RadialAttn.block_lists_fine): row r's group-padded segment lives at
+    block_indices[start_r : start_r + ceil(cnt_r/group)*group]; block_valid
+    is `fine` for interior blocks, the tail remainder for the global last
+    block, and 0 for padding slots."""
     return NotImplemented

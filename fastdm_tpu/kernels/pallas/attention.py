@@ -423,7 +423,7 @@ def _gather_sparse_attention(
 
 
 def _gather_fine_kernel(
-    idx_ref, cnt_ref,  # scalar-prefetch (SMEM)
+    idx_ref, row_ref,  # scalar-prefetch (SMEM)
     q_ref, k_hbm, v_hbm, o_ref,
     k_buf, v_buf, m_scr, l_scr, acc_scr, sem,
     *, block_q, group, fine, kv_rep, tail_id, tail_valid,
@@ -441,16 +441,22 @@ def _gather_fine_kernel(
     1.33x ceiling). Group g+1's 2*group copies are issued before waiting on
     group g, so DMA overlaps compute.
 
+    The index table is CSR-FLAT: idx_ref is ONE flat array of group-padded
+    row segments and row_ref[i] = (start, count), so SMEM holds ~active
+    blocks total instead of nq * max_row_width — at the A14B shape that is
+    the difference between block_q=256 fitting (~380 KB) and OOMing (1.5 MB
+    as a 2D table).
+
     Per-chunk validity is DERIVED (cnt + static tail_id/tail_valid), not
     table-driven: only padding slots (>= cnt) and the single global tail
-    block can be partial, so the valid table never rides SMEM (halves the
-    scalar-prefetch footprint vs the idx table alone) and fully-active
-    groups skip the column mask entirely.
+    block can be partial, so the valid table never rides SMEM and
+    fully-active groups skip the column mask entirely.
     """
     b_, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     hk = h // kv_rep
     bk = group * fine
-    cnt = cnt_ref[i, 0]
+    row_start = row_ref[i, 0]
+    cnt = row_ref[i, 1]
     ng = jax.lax.div(cnt + group - 1, group)
 
     m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
@@ -458,7 +464,7 @@ def _gather_fine_kernel(
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     def dma(g, slot, u, which):
-        fid = idx_ref[i, g * group + u]
+        fid = idx_ref[row_start + g * group + u]
         src = k_hbm if which == 0 else v_hbm
         buf = k_buf if which == 0 else v_buf
         return pltpu.make_async_copy(
@@ -501,7 +507,7 @@ def _gather_fine_kernel(
             any_tail = jnp.bool_(False)
             for u in range(group):
                 any_tail = jnp.logical_or(
-                    any_tail, idx_ref[i, base + u] == tail_id
+                    any_tail, idx_ref[row_start + base + u] == tail_id
                 )
             clean = jnp.logical_and(full, jnp.logical_not(any_tail))
 
@@ -517,7 +523,7 @@ def _gather_fine_kernel(
             vfull = jnp.zeros((1, bk), jnp.int32)
             for u in range(group):
                 p = base + u
-                fid = idx_ref[i, p]
+                fid = idx_ref[row_start + p]
                 vu = jnp.where(fid == tail_id, tail_valid, fine)
                 vu = jnp.where(p < cnt, vu, 0)
                 vfull = jnp.where(chunk == u, vu, vfull)
@@ -538,7 +544,7 @@ def _gather_fine_kernel(
                      "block_q", "group", "fine"),
 )
 def _gather_fine_attention(
-    query, key, value, block_indices, block_counts,
+    query, key, value, block_indices, block_rows,
     *, num_q_heads, num_kv_heads, head_dim, scale, block_q, group, fine,
 ):
     b, sq, _ = query.shape
@@ -594,7 +600,7 @@ def _gather_fine_attention(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=_INTERPRET,
-    )(block_indices, block_counts, q, k, v)
+    )(block_indices, block_rows, q, k, v)
     return out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, num_q_heads * head_dim)
 
 
@@ -605,7 +611,7 @@ def sdpa_gather_fine_pallas(
     value: Array,
     block_indices: Array,
     block_valid: Array,
-    block_counts: Array,
+    block_rows: Array,
     num_q_heads: int,
     num_kv_heads: int,
     head_dim: int,
@@ -617,13 +623,13 @@ def sdpa_gather_fine_pallas(
     contracts.check_sdpa("sdpa_gather_fine_pallas", query, key, value,
                          num_q_heads, num_kv_heads, head_dim)
     contracts.check_gather_fine("sdpa_gather_fine_pallas", block_indices,
-                                block_valid, block_counts, query.shape[1],
+                                block_valid, block_rows, query.shape[1],
                                 key.shape[1], block_q, group, fine)
     # block_valid is consumed by the contract check + jnp oracle only; the
     # kernel derives validity from cnt + static tail constants (see
     # _gather_fine_kernel), so it never rides the scalar-prefetch SMEM.
     return _gather_fine_attention(
-        query, key, value, block_indices, block_counts,
+        query, key, value, block_indices, block_rows,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
         scale=scale, block_q=block_q, group=group, fine=fine,
     )

@@ -13,8 +13,11 @@ Axes:
        SURVEY.md §5.7).
   tp — tensor parallel over attention heads / MLP hidden (column-parallel
        qkv & ff-in, row-parallel out-proj; XLA all-reduces the partials).
-EP (Wan-A14B's two temporal experts on disjoint submeshes) and PP (DiT block
-stages) are planned on top of the same mesh (see SURVEY.md §7 step 9).
+PP (DiT block stages over a `pp` axis, GPipe microbatch schedule) lives in
+parallel/pipeline.py. EP (Wan-A14B's two temporal experts) is handled
+temporally: the phase-split denoiser keeps only the active expert
+device-resident (pipeline/denoise_more.py make_wan_dual_phase_denoiser +
+FastDMEngine offload_inactive_expert); with a mesh, TP shards both experts.
 """
 
 from __future__ import annotations

@@ -223,11 +223,12 @@ class RadialAttn(SparseAttn):
     def block_lists_fine(self, q_tokens: int = 512, group: int = 8):
         """Fine-granularity gather tables for `sdpa_gather_fine`: per q tile
         (q_tokens wide, OR-coarsened in q only) the COMPACTED list of active
-        fine KV blocks at the mask's native block_size granularity, plus a
-        per-slot valid-token count (block_size for interior blocks, the tail
-        remainder for the last one, 0 for padding slots) and a per-row active
-        count. Table width is padded to a multiple of `group` (the kernel
-        DMA-gathers whole groups).
+        fine KV blocks at the mask's native block_size granularity, in
+        CSR-FLAT form — one flat index array holding every row's group-padded
+        segment back to back, plus a (nq, 2) [start, count] row table. The
+        flat layout makes the scalar-prefetch SMEM footprint the number of
+        ACTIVE blocks (~density * nq * nfine) instead of nq * max_row_width,
+        which is what lets small q tiles (block_q 256) fit the 1 MB SMEM.
 
         Keeping the K axis at native granularity is the whole point: the
         compute tiles are assembled from compacted ACTIVE blocks, so the MXU
@@ -235,8 +236,10 @@ class RadialAttn(SparseAttn):
         shape) instead of the OR-coarsened density the (q_tokens, k_tokens)
         tiles of block_lists pay (0.603 -> the measured 1.33x ceiling).
 
-        Returns (indices (nq, nslots) i32, valid (nq, nslots) i32,
-        counts (nq, 1) i32)."""
+        Returns (indices (T,) i32, valid (T,) i32, rows (nq, 2) i32) where
+        row r's segment is indices[start_r : start_r + ceil(cnt_r/group) *
+        group]; valid is block_size for interior blocks, the tail remainder
+        for the global last block, 0 for padding slots."""
         from fastdm_tpu.kernels.pallas.attention import coarsen_block_mask
 
         bs = self.config.block_size
@@ -247,18 +250,24 @@ class RadialAttn(SparseAttn):
             )
         m = coarsen_block_mask(self._mask2d(), q_tokens // bs, 1)
         nq, nfine = m.shape
-        counts = m.sum(1).astype(np.int32)
-        nslots = -(-max(1, int(counts.max())) // group) * group
-        idx = np.zeros((nq, nslots), np.int32)
-        valid = np.zeros((nq, nslots), np.int32)
         # the mask covers ceil(S/bs) blocks; the last one may be partial
         total = self.video_token_num
         tail_id = nfine - 1
         tail_valid = total - tail_id * bs if total > tail_id * bs else bs
+        idx_segs, val_segs = [], []
+        rows = np.zeros((nq, 2), np.int32)
+        start = 0
         for r in range(nq):
-            active = np.nonzero(m[r])[0]
-            idx[r, : len(active)] = active
-            valid[r, : len(active)] = np.where(
+            active = np.nonzero(m[r])[0].astype(np.int32)
+            padded = -(-max(1, len(active)) // group) * group
+            seg_i = np.zeros(padded, np.int32)
+            seg_v = np.zeros(padded, np.int32)
+            seg_i[: len(active)] = active
+            seg_v[: len(active)] = np.where(
                 active == tail_id, min(tail_valid, bs), bs
             )
-        return idx, valid, counts.reshape(nq, 1)
+            rows[r] = (start, len(active))
+            start += padded
+            idx_segs.append(seg_i)
+            val_segs.append(seg_v)
+        return np.concatenate(idx_segs), np.concatenate(val_segs), rows

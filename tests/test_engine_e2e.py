@@ -1177,3 +1177,57 @@ def test_wan_engine_sparse_fine_gather(tmp_path, monkeypatch):
     # decay 1.0 keeps the mask wide at this tiny shape; fine vs token-mask
     # paths see the same attention pattern, so results agree closely
     np.testing.assert_allclose(outs["fine"], outs["mask"], atol=5e-2)
+
+
+def test_wan_engine_dual_cached_sparse_offload(tmp_path):
+    """The reference's full A14B serving configuration — two temporal experts
+    + step cache + radial sparse (ref: model_entry.py:673-690 + xcaching +
+    xsparse) — through the phase-split HOST-offload path on one device: the
+    inactive 14B expert never occupies HBM, cache states stay per expert per
+    CFG branch, sparse engages after the dense warmup step."""
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_wan import TINY as WAN_TINY, _state_dict
+
+    rng = np.random.default_rng(23)
+    root = str(tmp_path / "wan-a14b-tiny-cs")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    _write_st(os.path.join(root, "transformer_2", "model.safetensors"),
+              _state_dict(np.random.default_rng(24)))
+    cfg_json = dict(WAN_TINY)
+    cfg_json["patch_size"] = [1, 2, 2]
+    for sub in ("transformer", "transformer_2"):
+        with open(os.path.join(root, sub, "config.json"), "w") as f:
+            json.dump(cfg_json, f)
+    with open(os.path.join(root, "model_index.json"), "w") as f:
+        json.dump({"boundary_ratio": 0.5}, f)
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, WAN_TINY["text_dim"])), jnp.bfloat16)
+
+    eng = FastDMEngine(
+        root, architecture="wan2.2-t2v", use_int8=True, verbose=False,
+        offload_inactive_expert=True,
+        cache_config={"cache_algorithm": "fbcache", "enable_caching": True,
+                      "threshold": 100.0, "warmup_steps": 1,
+                      "negtive_cache": True},
+        sparse_attn_config={"sparse_algorithm": "radial", "block_size": 16,
+                            "decay_factor": 1.0, "model_type": "wan",
+                            "dense_steps": 1})
+    eng.text_encoder = _FakeTE()
+    eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
+    lat = eng.generate(
+        prompt="a storm", negative_prompt="calm", height=64, width=64,
+        num_frames=13, num_inference_steps=4, output_type="latent", seed=4)
+    assert np.isfinite(lat).all()
+    # threshold 100 forces skips on every non-warmup step of both experts
+    assert eng.last_cache_skips > 0

@@ -5,7 +5,9 @@ The kernel assembles (group*fine)-token compute tiles from COMPACTED active
 fine KV blocks via manual double-buffered HBM->VMEM DMA, so its MXU work
 ratio vs dense equals the fine radial-mask density (the TPU answer to the
 reference's SpargeAttn fetch-then-skip, fastdm/kernel/cuda/attention.py:
-218-260; mask semantics per fastdm/sparse/xsparse.py)."""
+218-260; mask semantics per fastdm/sparse/xsparse.py). Tables are CSR-flat:
+one flat index array of group-padded row segments + (nq, 2) [start, count]
+rows, so scalar-prefetch SMEM scales with ACTIVE blocks, not row width."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,22 +26,36 @@ def _qkv(rng, b, sq, skv, h, d):
     return q, k, v
 
 
-def _random_tables(rng, nq, nfine, group, fine, skv, density=0.5):
-    """Compacted active-slot tables over a random fine mask; the mask always
-    keeps block 0 (mirrors the radial sink) so no row is empty."""
-    m = rng.random((nq, nfine)) < density
-    m[:, 0] = True
-    counts = m.sum(1).astype(np.int32)
-    nslots = -(-int(counts.max()) // group) * group
-    idx = np.zeros((nq, nslots), np.int32)
-    val = np.zeros((nq, nslots), np.int32)
+def _csr_from_mask(m, group, fine, skv):
+    """Pack a (nq, nfine) bool mask into CSR-flat gather tables (the same
+    layout RadialAttn.block_lists_fine emits)."""
+    nq, nfine = m.shape
     tail_id = nfine - 1
     tail_valid = skv - tail_id * fine
+    idx_segs, val_segs = [], []
+    rows = np.zeros((nq, 2), np.int32)
+    start = 0
     for r in range(nq):
-        act = np.nonzero(m[r])[0]
-        idx[r, : len(act)] = act
-        val[r, : len(act)] = np.where(act == tail_id, tail_valid, fine)
-    return idx, val, counts.reshape(nq, 1)
+        act = np.nonzero(m[r])[0].astype(np.int32)
+        padded = -(-max(1, len(act)) // group) * group
+        seg_i = np.zeros(padded, np.int32)
+        seg_v = np.zeros(padded, np.int32)
+        seg_i[: len(act)] = act
+        seg_v[: len(act)] = np.where(act == tail_id, min(tail_valid, fine),
+                                     fine)
+        rows[r] = (start, len(act))
+        start += padded
+        idx_segs.append(seg_i)
+        val_segs.append(seg_v)
+    return np.concatenate(idx_segs), np.concatenate(val_segs), rows
+
+
+def _random_tables(rng, nq, nfine, group, fine, skv, density=0.5):
+    """CSR tables over a random fine mask; the mask always keeps block 0
+    (mirrors the radial sink) so no row is empty."""
+    m = rng.random((nq, nfine)) < density
+    m[:, 0] = True
+    return _csr_from_mask(m, group, fine, skv)
 
 
 @pytest.mark.parametrize("skv,group", [(448, 2), (512, 2), (441, 4)])
@@ -48,8 +64,30 @@ def test_gather_fine_matches_oracle(skv, group):
     b, sq, h, d, fine, bq = 1, 512, 2, 64, 64, 256
     q, k, v = _qkv(rng, b, sq, skv, h, d)
     nq, nfine = sq // bq, -(-skv // fine)
-    idx, val, cnt = _random_tables(rng, nq, nfine, group, fine, skv)
-    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(cnt))
+    idx, val, rows = _random_tables(rng, nq, nfine, group, fine, skv)
+    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows))
+    out_p = sdpa_gather_fine_pallas(q, k, v, *args, h, h, d,
+                                    block_q=bq, group=group, fine=fine)
+    out_j = sdpa_gather_fine_jnp(q, k, v, *args, h, h, d,
+                                 block_q=bq, group=group, fine=fine)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_j, np.float32), atol=2e-2)
+
+
+def test_gather_fine_ragged_rows():
+    """Rows with very different active counts (the radial sink row is dense,
+    far rows are narrow) — CSR's raison d'etre — stay correct."""
+    rng = np.random.default_rng(5)
+    b, sq, skv, h, d, fine, group, bq = 1, 512, 1024, 2, 64, 64, 4, 128
+    q, k, v = _qkv(rng, b, sq, skv, h, d)
+    nq, nfine = sq // bq, skv // fine
+    m = np.zeros((nq, nfine), bool)
+    m[0] = True                      # dense sink row
+    m[1, [0, 3]] = True              # sparse
+    m[2, 0] = True                   # single block
+    m[3, [0, 7, 15]] = True          # includes the tail block
+    idx, val, rows = _csr_from_mask(m, group, fine, skv)
+    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows))
     out_p = sdpa_gather_fine_pallas(q, k, v, *args, h, h, d,
                                     block_q=bq, group=group, fine=fine)
     out_j = sdpa_gather_fine_jnp(q, k, v, *args, h, h, d,
@@ -63,11 +101,10 @@ def test_gather_fine_full_mask_equals_dense():
     b, sq, skv, h, d, fine, group, bq = 1, 256, 256, 2, 64, 64, 2, 256
     q, k, v = _qkv(rng, b, sq, skv, h, d)
     nfine = skv // fine
-    idx = np.broadcast_to(np.arange(nfine, dtype=np.int32), (1, nfine)).copy()
-    val = np.full((1, nfine), fine, np.int32)
-    cnt = np.array([[nfine]], np.int32)
+    idx, val, rows = _csr_from_mask(np.ones((1, nfine), bool), group, fine,
+                                    skv)
     out = sdpa_gather_fine_pallas(
-        q, k, v, jnp.asarray(idx), jnp.asarray(val), jnp.asarray(cnt),
+        q, k, v, jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows),
         h, h, d, block_q=bq, group=group, fine=fine)
     ref = sdpa_jnp(q, k, v, h, h, d)
     np.testing.assert_allclose(np.asarray(out, np.float32),
@@ -81,8 +118,8 @@ def test_gather_fine_gqa():
     k = jnp.asarray(rng.standard_normal((b, skv, hkv * d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, skv, hkv * d)), jnp.float32)
     nq, nfine = sq // bq, skv // fine
-    idx, val, cnt = _random_tables(rng, nq, nfine, group, fine, skv)
-    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(cnt))
+    idx, val, rows = _random_tables(rng, nq, nfine, group, fine, skv)
+    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows))
     out_p = sdpa_gather_fine_pallas(q, k, v, *args, hq, hkv, d,
                                     block_q=bq, group=group, fine=fine)
     out_j = sdpa_gather_fine_jnp(q, k, v, *args, hq, hkv, d,
@@ -92,31 +129,38 @@ def test_gather_fine_gqa():
 
 
 def test_block_lists_fine_semantics():
-    """Fine tables cover exactly the q-coarsened fine mask; valid counts are
-    `fine` except the tail block; width is group-padded with valid=0."""
+    """CSR fine tables cover exactly the q-coarsened fine mask; valid counts
+    are `fine` except the tail block; segments are group-padded with valid=0
+    and packed back to back."""
     cfg = RadialAttnConfig(block_size=64, decay_factor=0.3, model_type="wan")
     attn = RadialAttn(cfg)
     tokens, frames = 13 * 576, 13  # non-multiple of 64: tail block partial
     attn.post_init(video_token_num=tokens, num_frame=frames)
     q_tokens, group = 512, 8
-    idx, val, cnt = attn.block_lists_fine(q_tokens, group)
+    idx, val, rows = attn.block_lists_fine(q_tokens, group)
     fine_mask = attn._mask2d()
     nfine = fine_mask.shape[0]
     nq = -(-nfine * 64 // q_tokens)
-    assert idx.shape == val.shape and idx.shape[0] == nq
-    assert idx.shape[1] % group == 0
-    assert cnt.shape == (nq, 1)
+    assert idx.shape == val.shape and idx.ndim == 1
+    assert idx.shape[0] % group == 0
+    assert rows.shape == (nq, 2)
     assert idx.max() < nfine and idx.min() >= 0
     tail_valid = tokens - (nfine - 1) * 64
+    pos = 0
     for r in range(nq):
-        c = int(cnt[r, 0])
+        start, c = int(rows[r, 0]), int(rows[r, 1])
+        assert start == pos, "segments must be packed back to back"
+        padded = -(-max(1, c) // group) * group
+        pos += padded
+        seg_i, seg_v = idx[start:start + padded], val[start:start + padded]
         # active slots reproduce the q-ORed mask row exactly
         row = fine_mask[r * (q_tokens // 64): (r + 1) * (q_tokens // 64)].any(0)
-        np.testing.assert_array_equal(np.sort(idx[r, :c]), np.nonzero(row)[0])
+        np.testing.assert_array_equal(np.sort(seg_i[:c]), np.nonzero(row)[0])
         # valid: fine for interior, tail remainder for the last block, 0 pad
-        expect = np.where(idx[r, :c] == nfine - 1, tail_valid, 64)
-        np.testing.assert_array_equal(val[r, :c], expect)
-        assert (val[r, c:] == 0).all()
+        expect = np.where(seg_i[:c] == nfine - 1, tail_valid, 64)
+        np.testing.assert_array_equal(seg_v[:c], expect)
+        assert (seg_v[c:] == 0).all()
+    assert pos == idx.shape[0]
 
 
 def test_block_lists_fine_through_engine_kernel_path():
@@ -127,10 +171,10 @@ def test_block_lists_fine_through_engine_kernel_path():
     attn = RadialAttn(cfg)
     tokens, frames = 1024, 4
     attn.post_init(video_token_num=tokens, num_frame=frames)
-    idx, val, cnt = attn.block_lists_fine(q_tokens=256, group=2)
+    idx, val, rows = attn.block_lists_fine(q_tokens=256, group=2)
     b, h, d = 1, 2, 64
     q, k, v = _qkv(rng, b, tokens, tokens, h, d)
-    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(cnt))
+    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows))
     out_p = sdpa_gather_fine_pallas(q, k, v, *args, h, h, d,
                                     block_q=256, group=2, fine=64)
     out_j = sdpa_gather_fine_jnp(q, k, v, *args, h, h, d,
@@ -142,18 +186,27 @@ def test_block_lists_fine_through_engine_kernel_path():
 def test_gather_fine_contracts():
     rng = np.random.default_rng(4)
     q, k, v = _qkv(rng, 1, 256, 256, 2, 64)
-    good_idx = jnp.zeros((1, 2), jnp.int32)
-    good_val = jnp.full((1, 2), 64, jnp.int32)
-    good_cnt = jnp.ones((1, 1), jnp.int32)
+    good_idx = jnp.zeros((2,), jnp.int32)
+    good_val = jnp.full((2,), 64, jnp.int32)
+    good_rows = jnp.asarray([[0, 1]], jnp.int32)
     with pytest.raises(ValueError, match="out of range"):
-        sdpa_gather_fine_pallas(q, k, v, jnp.asarray([[0, 7]], jnp.int32),
-                                good_val, good_cnt, 2, 2, 64,
+        sdpa_gather_fine_pallas(q, k, v, jnp.asarray([0, 7], jnp.int32),
+                                good_val, good_rows, 2, 2, 64,
                                 block_q=256, group=2, fine=64)
     with pytest.raises(ValueError, match="not a multiple"):
-        sdpa_gather_fine_pallas(q, k, v, jnp.zeros((1, 3), jnp.int32),
-                                jnp.zeros((1, 3), jnp.int32), good_cnt,
+        sdpa_gather_fine_pallas(q, k, v, jnp.zeros((3,), jnp.int32),
+                                jnp.zeros((3,), jnp.int32), good_rows,
                                 2, 2, 64, block_q=256, group=2, fine=64)
     with pytest.raises(ValueError, match="block_valid out of"):
         sdpa_gather_fine_pallas(q, k, v, good_idx,
-                                jnp.full((1, 2), 65, jnp.int32), good_cnt,
+                                jnp.full((2,), 65, jnp.int32), good_rows,
                                 2, 2, 64, block_q=256, group=2, fine=64)
+    with pytest.raises(ValueError, match="exceeds flat table"):
+        sdpa_gather_fine_pallas(q, k, v, good_idx, good_val,
+                                jnp.asarray([[2, 2]], jnp.int32), 2, 2, 64,
+                                block_q=256, group=2, fine=64)
+    with pytest.raises(ValueError, match="group-aligned"):
+        sdpa_gather_fine_pallas(
+            q, k, v, jnp.zeros((4,), jnp.int32), jnp.zeros((4,), jnp.int32),
+            jnp.asarray([[1, 1]], jnp.int32), 2, 2, 64,
+            block_q=256, group=2, fine=64)

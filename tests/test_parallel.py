@@ -16,3 +16,58 @@ def test_factor_mesh():
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_flux_dryrun_8dev():
     flux_dryrun_step(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pp_dryrun_8dev():
+    from fastdm_tpu.parallel.pipeline import pp_dryrun_step
+
+    pp_dryrun_step(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.parametrize("pp,m", [(2, 1), (2, 4), (4, 2), (4, 4)])
+def test_gpipe_matches_sequential(pp, m):
+    """GPipe over the pp axis computes the same function as the sequential
+    layer scan for every (stages, microbatches) shape, including the M < pp
+    bubble-dominated case."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from fastdm_tpu.parallel.pipeline import gpipe_run_blocks, shard_stacked_layers
+
+    layers, dim = 8, 16
+    k = jax.random.key(0)
+    w = jax.random.normal(k, (layers, dim, dim), jnp.float32) * 0.3
+    b = jax.random.normal(jax.random.key(1), (layers, dim), jnp.float32)
+    params = {"w": w, "b": b}
+    xs = jax.random.normal(jax.random.key(2), (m, 2, dim), jnp.float32)
+
+    def block(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    mesh = Mesh(np.asarray(jax.devices()[:pp]), ("pp",))
+    out = gpipe_run_blocks(block, shard_stacked_layers(params, mesh), xs, mesh)
+
+    def seq(x):
+        for i in range(layers):
+            x = block({"w": w[i], "b": b[i]}, x)
+        return x
+
+    ref = jax.vmap(seq)(xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_gpipe_rejects_indivisible_layers():
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from fastdm_tpu.parallel.pipeline import gpipe_run_blocks
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("pp",))
+    params = {"w": jnp.zeros((6, 4, 4))}
+    with pytest.raises(ValueError, match="not divisible"):
+        gpipe_run_blocks(lambda p, x: x, params, jnp.zeros((2, 1, 4)), mesh)
