@@ -107,12 +107,9 @@ class FastDMEngine:
     ):
         self.vae_tiling = vae_tiling
         self.vae_slicing = vae_slicing
-        if offload_inactive_expert and mesh_shape is not None:
-            raise ValueError(
-                "offload_inactive_expert is a single-device residency lever; "
-                "with a mesh, shard both experts instead (tp>=2 fits A14B)"
-            )
         self.offload_inactive_expert = offload_inactive_expert
+        # set by the wan loader in offload mode; upgraded by the mesh block
+        self._place_params = None
         if scheduler not in (None, "unipc", "euler"):
             raise ValueError(f"scheduler must be 'unipc' or 'euler', got {scheduler!r}")
         self.scheduler_name = scheduler
@@ -203,9 +200,17 @@ class FastDMEngine:
                     print("sparse_attn_config ignored with sp > 1 "
                           "(ring attention handles the long sequence)")
                     self.sparse_attn = None
-            self.params = shard_params_by_name(self.params, self.mesh)
-            if getattr(self, "params_2", None) is not None:
-                self.params_2 = shard_params_by_name(self.params_2, self.mesh)
+            if getattr(self, "_place_params", None) is not None:
+                # offload + mesh composition: both experts stay in HOST RAM
+                # and the phase denoiser places the ACTIVE one straight onto
+                # its tp shards (offload + tp=2 is the minimal A14B slice —
+                # BENCH_NOTES residency math)
+                self._place_params = (
+                    lambda p, _m=self.mesh: shard_params_by_name(p, _m))
+            else:
+                self.params = shard_params_by_name(self.params, self.mesh)
+                if getattr(self, "params_2", None) is not None:
+                    self.params_2 = shard_params_by_name(self.params_2, self.mesh)
             if self.cn_params is not None:
                 self.cn_params = shard_params_by_name(self.cn_params, self.mesh)
 
@@ -465,6 +470,11 @@ class FastDMEngine:
         dual = os.path.isdir(os.path.join(self.model_path, "transformer_2"))
         offload = self.offload_inactive_expert and dual
         if offload:
+            # explicit per-phase placer: the phase denoiser transfers the
+            # ACTIVE expert and barriers at the phase boundary so device
+            # peak stays one expert (mesh ctor upgrades this to a tp-shard
+            # placer — offload composes with TP)
+            self._place_params = jax.device_put
             # EP residency (TPU answer to the reference's both-resident H20
             # load, ref: model_entry.py:673-690): both 14B experts stay in
             # HOST RAM; each phase jit of the phase-split denoiser
@@ -1107,6 +1117,7 @@ class FastDMEngine:
                     guidance_scale, guidance_scale_2,
                     self.boundary_ratio if self.boundary_ratio is not None else 0.875,
                     dense_steps,
+                    place_params=self._place_params,
                 )
             elif use_cache:
                 from fastdm_tpu.pipeline.denoise_more import make_wan_cached_denoiser

@@ -772,6 +772,7 @@ def make_wan_dual_phase_denoiser(
     guidance_scale_2: Optional[float],
     boundary_ratio: float,
     dense_warmup_steps: int = 0,
+    place_params=None,
 ):
     """Phase-split Wan A14B dual-expert loop (EP residency, TPU answer).
 
@@ -794,7 +795,13 @@ def make_wan_dual_phase_denoiser(
 
     run(params, params_2, latents, pos_text, neg_text, cos, sin, sparse_mask,
     cond=None) -> (latents, skips). params/params_2 may live anywhere jax can
-    device_put from (host included)."""
+    device_put from (host included). `place_params` (tree -> tree), when
+    given, materializes each expert's weights right before its phase and is
+    the mesh composition point: the engine passes its TP-sharding placer so a
+    host-resident expert lands DIRECTLY on its tp shards (offload + tp=2 is
+    the minimal A14B slice — BENCH_NOTES residency math); the reference to
+    the placed copy is dropped after the phase, so device peak stays one
+    expert."""
     import numpy as np
 
     if cache_cfg is not None:
@@ -901,14 +908,23 @@ def make_wan_dual_phase_denoiser(
         sst = scheduler_init_state(scheduler, latents.shape)
         skips = jnp.zeros((), jnp.int32)
         if phase1 is not None:
-            latents, sst, s1 = phase1(params, latents, sst, pos_text,
+            p = params if place_params is None else place_params(params)
+            latents, sst, s1 = phase1(p, latents, sst, pos_text,
                                       neg_text, rope_cos, rope_sin,
                                       sparse_mask, cond)
+            del p  # free expert 1's device copy before expert 2 transfers
             skips = skips + s1
         if phase2 is not None:
-            latents, sst, s2 = phase2(params_2, latents, sst, pos_text,
+            if place_params is not None and phase1 is not None:
+                # offload mode: make sure phase 1 (and the free of expert 1's
+                # buffers) has completed before expert 2's transfer starts —
+                # otherwise both 14B experts could briefly coexist in HBM
+                latents.block_until_ready()
+            p = params_2 if place_params is None else place_params(params_2)
+            latents, sst, s2 = phase2(p, latents, sst, pos_text,
                                       neg_text, rope_cos, rope_sin,
                                       sparse_mask, cond)
+            del p
             skips = skips + s2
         return latents, skips
 

@@ -1121,12 +1121,60 @@ def test_wan_engine_dual_expert_offload_matches_resident(tmp_path):
     np.testing.assert_array_equal(outs[False], outs[True])
 
 
-def test_engine_rejects_offload_with_mesh():
+def test_wan_engine_offload_composes_with_tp_mesh(tmp_path):
+    """offload + mesh: experts stay in host RAM and the phase denoiser places
+    the ACTIVE expert straight onto its tp shards (offload + tp=2 is the
+    minimal A14B slice per the BENCH_NOTES residency math). Latents must
+    match the single-device offload run."""
+    import jax
+    import jax.numpy as jnp
+
     from fastdm_tpu.engine import FastDMEngine
 
-    with pytest.raises(ValueError, match="offload_inactive_expert"):
-        FastDMEngine("/nonexistent", architecture="wan2.2-t2v",
-                     offload_inactive_expert=True, mesh_shape={"tp": 2})
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_wan import TINY as WAN_TINY, _state_dict
+
+    rng = np.random.default_rng(25)
+    root = str(tmp_path / "wan-a14b-tiny-tp")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    _write_st(os.path.join(root, "transformer_2", "model.safetensors"),
+              _state_dict(np.random.default_rng(26)))
+    cfg_json = dict(WAN_TINY)
+    cfg_json["patch_size"] = [1, 2, 2]
+    for sub in ("transformer", "transformer_2"):
+        with open(os.path.join(root, sub, "config.json"), "w") as f:
+            json.dump(cfg_json, f)
+    with open(os.path.join(root, "model_index.json"), "w") as f:
+        json.dump({"boundary_ratio": 0.5}, f)
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, WAN_TINY["text_dim"])), jnp.bfloat16)
+
+    outs = {}
+    for mesh_shape in (None, (1, 1, 2)):
+        eng = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True,
+                           verbose=False, offload_inactive_expert=True,
+                           mesh_shape=mesh_shape)
+        eng.text_encoder = _FakeTE()
+        eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
+        # masters stay host-resident either way
+        leaves = jax.tree_util.tree_leaves(eng.params_2)
+        assert all(list(l.devices())[0].platform == "cpu" for l in leaves
+                   if hasattr(l, "devices"))
+        if mesh_shape is not None:
+            assert eng._place_params is not jax.device_put  # tp placer took
+        outs[mesh_shape] = eng.generate(
+            prompt="a storm", negative_prompt="calm", height=32, width=32,
+            num_frames=5, num_inference_steps=4, output_type="latent", seed=4)
+    # TP reorders partial-sum reductions; tolerance, not bit equality
+    np.testing.assert_allclose(outs[None], outs[(1, 1, 2)], atol=2e-2,
+                               rtol=2e-2)
 
 
 def test_wan_engine_sparse_fine_gather(tmp_path, monkeypatch):
