@@ -23,30 +23,45 @@ from fastdm_tpu.common_args import add_engine_args, add_generation_args
 
 
 class ClipScorer:
-    """CLIP ViT-L/14 similarity on host CPU (transformers)."""
+    """CLIP similarity on host CPU (transformers). Works with stock ViT-L/14
+    (77-token context) and LongCLIP checkpoints (e.g.
+    zer0int/LongCLIP-GmP-ViT-L-14, 248-token context — the reference's
+    --validate-model-path default): truncation follows the CHECKPOINT's own
+    max position embeddings, so long photoreal prompts are scored in full
+    instead of being cut at 77 tokens."""
 
-    def __init__(self, clip_path: str = "openai/clip-vit-large-patch14"):
+    def __init__(self, clip_path: str = "openai/clip-vit-large-patch14",
+                 batch_size: int = 16):
         import torch
         from transformers import CLIPModel, CLIPProcessor
 
         self.model = CLIPModel.from_pretrained(clip_path, torch_dtype=torch.float32)
         self.processor = CLIPProcessor.from_pretrained(clip_path)
+        self.batch_size = batch_size
+        # LongCLIP ships 248 position embeddings; the tokenizer config may
+        # still say 77 — trust the model weights
+        self.max_length = int(
+            self.model.config.text_config.max_position_embeddings)
 
     def score(self, images, prompts) -> np.ndarray:
         import torch
         from PIL import Image
 
         pil = [Image.fromarray(im) if isinstance(im, np.ndarray) else im for im in images]
+        sims = []
         with torch.no_grad():
-            inputs = self.processor(
-                text=list(prompts), images=pil, return_tensors="pt",
-                padding=True, truncation=True,
-            )
-            out = self.model(**inputs)
-            img = out.image_embeds / out.image_embeds.norm(dim=-1, keepdim=True)
-            txt = out.text_embeds / out.text_embeds.norm(dim=-1, keepdim=True)
-            sims = (img * txt).sum(-1) * 100.0
-        return np.asarray(sims)
+            for i in range(0, len(pil), self.batch_size):
+                inputs = self.processor(
+                    text=list(prompts[i:i + self.batch_size]),
+                    images=pil[i:i + self.batch_size], return_tensors="pt",
+                    padding="max_length", truncation=True,
+                    max_length=self.max_length,
+                )
+                out = self.model(**inputs)
+                img = out.image_embeds / out.image_embeds.norm(dim=-1, keepdim=True)
+                txt = out.text_embeds / out.text_embeds.norm(dim=-1, keepdim=True)
+                sims.append(np.asarray((img * txt).sum(-1) * 100.0))
+        return np.concatenate(sims)
 
 
 def main():
@@ -57,7 +72,10 @@ def main():
                         help="text file, one prompt per line")
     parser.add_argument("--images-dir", type=str, default=None,
                         help="score existing images (named {i}.png) instead of generating")
-    parser.add_argument("--clip-path", type=str, default="openai/clip-vit-large-patch14")
+    parser.add_argument("--clip-path", "--validate-model-path", dest="clip_path",
+                        type=str, default="openai/clip-vit-large-patch14",
+                        help="CLIP or LongCLIP checkpoint (the reference "
+                             "passes zer0int/LongCLIP-GmP-ViT-L-14 here)")
     parser.add_argument("--max-prompts", type=int, default=None)
     parser.add_argument("--report", type=str, default="clip_score.json")
     args = parser.parse_args()

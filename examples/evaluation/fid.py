@@ -74,13 +74,16 @@ class FeatureExtractor:
         return np.concatenate(feats)
 
 
-def frechet_distance(f1: np.ndarray, f2: np.ndarray) -> float:
-    """FID between two feature sets (Gaussian approximation)."""
+def gaussian_stats(feats: np.ndarray):
+    """(mu, sigma) of a feature set — the cacheable half of FID (the
+    reference workflow computes the ImageNet-1k reference statistics once;
+    re-extracting 50k images of features every run is the expensive part)."""
+    return feats.mean(0), np.cov(feats, rowvar=False)
+
+
+def frechet_from_stats(mu1, s1, mu2, s2) -> float:
     from scipy import linalg
 
-    mu1, mu2 = f1.mean(0), f2.mean(0)
-    s1 = np.cov(f1, rowvar=False)
-    s2 = np.cov(f2, rowvar=False)
     diff = mu1 - mu2
     covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
     if np.iscomplexobj(covmean):
@@ -88,19 +91,52 @@ def frechet_distance(f1: np.ndarray, f2: np.ndarray) -> float:
     return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2 * np.trace(covmean))
 
 
+def frechet_distance(f1: np.ndarray, f2: np.ndarray) -> float:
+    """FID between two feature sets (Gaussian approximation)."""
+    return frechet_from_stats(*gaussian_stats(f1), *gaussian_stats(f2))
+
+
 def main():
     parser = argparse.ArgumentParser("fid eval")
     parser.add_argument("--generated-dir", required=True)
-    parser.add_argument("--reference-dir", required=True)
+    parser.add_argument("--reference-dir", default=None,
+                        help="reference image dir (or use --ref-stats)")
+    parser.add_argument("--ref-stats", default=None,
+                        help="npz of cached reference (mu, sigma); skips "
+                             "re-extracting the reference set")
+    parser.add_argument("--save-ref-stats", default=None,
+                        help="write the reference (mu, sigma) npz for reuse")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--report", type=str, default="fid.json")
     args = parser.parse_args()
 
-    gen = _load_images(args.generated_dir, args.max_images)
-    ref = _load_images(args.reference_dir, args.max_images)
     ex = FeatureExtractor()
-    fid = frechet_distance(ex.features(gen), ex.features(ref))
-    report = {"fid": fid, "extractor": ex.kind, "n_gen": len(gen), "n_ref": len(ref)}
+    n_ref = None
+    if args.ref_stats:
+        # cached statistics: the ImageNet-style reference set is extracted
+        # ONCE (ref workflow: 50k images), then every config reuses the npz
+        z = np.load(args.ref_stats)
+        mu_r, s_r = z["mu"], z["sigma"]
+        if str(z.get("extractor")) not in ("None", ex.kind):
+            raise SystemExit(
+                f"cached stats were extracted with {z['extractor']}, this "
+                f"run uses {ex.kind} — FID is only comparable within one "
+                "extractor")
+    elif args.reference_dir:
+        ref = _load_images(args.reference_dir, args.max_images)
+        n_ref = len(ref)
+        mu_r, s_r = gaussian_stats(ex.features(ref))
+        if args.save_ref_stats:
+            np.savez(args.save_ref_stats, mu=mu_r, sigma=s_r,
+                     extractor=ex.kind, n=n_ref)
+    else:
+        raise SystemExit("provide --reference-dir or --ref-stats")
+
+    gen = _load_images(args.generated_dir, args.max_images)
+    mu_g, s_g = gaussian_stats(ex.features(gen))
+    fid = frechet_from_stats(mu_g, s_g, mu_r, s_r)
+    report = {"fid": fid, "extractor": ex.kind, "n_gen": len(gen),
+              "n_ref": n_ref, "ref_stats": args.ref_stats}
     print(json.dumps(report, indent=2))
     with open(args.report, "w") as f:
         json.dump(report, f)
