@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-LORA_TARGETS = ("qkv", "add_qkv", "to_out", "to_add_out", "proj", "out", "proj_mlp")
+LORA_TARGETS = ("qkv", "add_qkv", "to_out", "to_add_out", "proj", "out",
+                "proj_mlp", "qkv_mlp")
 
 
 def init_lora(params, rank, key, scale=1.0):

@@ -39,6 +39,7 @@ def attention_apply(
     pre_only: bool = False,
     context_pre_only: bool = False,
     eps: float = 1e-6,
+    qkv_override: Optional[Array] = None,
 ) -> Array | Tuple[Array, Array]:
     """(ref: Attention.forward, fastdm/layer/transformer.py:232-317)
 
@@ -46,6 +47,10 @@ def attention_apply(
     pair. context_pre_only=False (the default, matching the reference)
     projects the context stream through to_add_out; True skips the
     projection (SD3.5's last block).
+
+    qkv_override: a precomputed (B, S, 3*inner_dim) fused-QKV projection —
+    used by blocks that fold the QKV projection into a wider shared matmul
+    (FLUX single blocks fuse qkv+mlp_in so the input is quantized once).
     """
     if encoder_hidden_states is not None and "add_qkv" not in params:
         raise ValueError(
@@ -53,7 +58,10 @@ def attention_apply(
             "context projections — the joint split would be silently wrong"
         )
     inner_dim = heads * head_dim
-    qkv = qlinear_apply(params["qkv"], hidden_states)
+    if qkv_override is not None:
+        qkv = qkv_override
+    else:
+        qkv = qlinear_apply(params["qkv"], hidden_states)
     q = qkv[..., :inner_dim]
     k = qkv[..., inner_dim : 2 * inner_dim]
     v = qkv[..., 2 * inner_dim :]

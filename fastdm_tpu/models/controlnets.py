@@ -516,12 +516,13 @@ def flux_controlnet_load(src: TensorSource, cfg: FluxControlNetConfig) -> Dict:
         p = f"single_transformer_blocks.{i}"
         single.append({
             "norm": {"linear": src.linear(f"{p}.norm.linear", qm)},
-            "proj_mlp": src.linear(f"{p}.proj_mlp", q),
+            # same fused q|k|v|mlp_in layout as models/flux.py single blocks
+            "qkv_mlp": src.fused_linear(
+                [f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v",
+                 f"{p}.proj_mlp"], q
+            ),
             "proj_out": src.linear(f"{p}.proj_out", q),
             "attn": {
-                "qkv": src.fused_linear(
-                    [f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v"], q
-                ),
                 "norm_q": src.tensor(f"{p}.attn.norm_q.weight"),
                 "norm_k": src.tensor(f"{p}.attn.norm_k.weight"),
             },

@@ -107,10 +107,14 @@ def _single_block_random(key: Array, cfg: FluxConfig) -> Dict:
     ones = jnp.ones((hd,), jnp.bfloat16)
     return {
         "norm": {"linear": qlinear_random(ks[0], d, 3 * d, quant=qm)},
-        "proj_mlp": qlinear_random(ks[1], d, cfg.mlp_hidden_dim, quant=q),
+        # qkv and mlp_in share the SAME normalized input (ref: flux.py:59-61
+        # computes them as two separate GEMMs) — fused into one wider
+        # column-parallel matmul so the activation is quantized once and the
+        # A tile is read once per step (quantize-into-matmul fusion, the TPU
+        # form: share the quantized operand instead of a CUTLASS prologue).
+        "qkv_mlp": qlinear_random(ks[1], d, 3 * d + cfg.mlp_hidden_dim, quant=q),
         "proj_out": qlinear_random(ks[2], d + cfg.mlp_hidden_dim, d, quant=q),
         "attn": {
-            "qkv": qlinear_random(ks[3], d, 3 * d, quant=q),
             "norm_q": ones, "norm_k": ones,
         },
     }
@@ -210,12 +214,13 @@ def flux_load(src: TensorSource, cfg: FluxConfig) -> Dict:
         p = f"single_transformer_blocks.{i}"
         single.append({
             "norm": {"linear": src.linear(f"{p}.norm.linear", qm)},
-            "proj_mlp": src.linear(f"{p}.proj_mlp", q),
+            # q|k|v|mlp_in concatenated along N (see _single_block_random)
+            "qkv_mlp": src.fused_linear(
+                [f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v",
+                 f"{p}.proj_mlp"], q
+            ),
             "proj_out": src.linear(f"{p}.proj_out", q),
             "attn": {
-                "qkv": src.fused_linear(
-                    [f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v"], q
-                ),
                 "norm_q": src.tensor(f"{p}.attn.norm_q.weight"),
                 "norm_k": src.tensor(f"{p}.attn.norm_k.weight"),
             },
@@ -273,11 +278,15 @@ def flux_single_block(
     Note: the MLP gate is exact (erf) GELU, matching the reference (flux.py:61)."""
     residual = hidden
     h_norm, gate = ada_layer_norm_zero_single(block["norm"], hidden, temb)
-    mlp = jax.nn.gelu(qlinear_apply(block["proj_mlp"], h_norm), approximate=False)
+    # One fused matmul for q|k|v|mlp_in: h_norm is quantized once and its
+    # tiles stream through the MXU once for all four projections.
+    fused = qlinear_apply(block["qkv_mlp"], h_norm)
+    qkv = fused[..., : 3 * cfg.inner_dim]
+    mlp = jax.nn.gelu(fused[..., 3 * cfg.inner_dim :], approximate=False)
     attn_out = attention_apply(
         block["attn"], h_norm, None,
         heads=cfg.num_attention_heads, head_dim=cfg.attention_head_dim,
-        rope_cos=cos, rope_sin=sin, pre_only=True,
+        rope_cos=cos, rope_sin=sin, pre_only=True, qkv_override=qkv,
     )
     h = jnp.concatenate([attn_out, mlp], axis=-1)
     return residual + gate[:, None] * qlinear_apply(block["proj_out"], h)
