@@ -74,7 +74,7 @@ def _load_prompts(path: str | None, n: int) -> list:
         return [line.strip() for line in f if line.strip()][:n]
 
 
-def _generate(engine, architecture: str, prompts, args, engine_kw):
+def _generate(engine, architecture: str, prompts, args):
     """One config's image set: (N, H, W, 3) uint8 (or latents for wan)."""
     outs, times = [], []
     for i, prompt in enumerate(prompts):
@@ -113,7 +113,7 @@ def run_parity(args, post_init=None):
                               verbose=False, **kw)
         if post_init is not None:
             post_init(engine)
-        out, times = _generate(engine, args.architecture, prompts, args, kw)
+        out, times = _generate(engine, args.architecture, prompts, args)
         images[name] = out
         entry = {"seconds_per_image": float(np.mean(times)),
                  "skips": getattr(engine, "last_cache_skips", 0)}

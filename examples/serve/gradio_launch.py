@@ -105,8 +105,10 @@ def main():
             if not is_qwen:  # SDEdit strength (flux i2i); qwen-edit has none
                 kw["strength"] = float(strength)
             kw.pop("height", None), kw.pop("width", None)
-        if sampler and sampler != "default":
-            engine.scheduler_name = sampler
+        # "default" must RESET any previously selected sampler (None = the
+        # engine's per-family default), not keep the last non-default choice
+        engine.scheduler_name = (
+            sampler if sampler and sampler != "default" else None)
         images = engine.generate(prompt=prompt, **kw)
         dt = time.perf_counter() - t0
         params = dict(model=args.architecture, prompt=prompt,
@@ -116,8 +118,13 @@ def main():
                       strength=float(strength) if src is not None else None,
                       width=int(width), height=int(height), seed=int(seed),
                       sampler=sampler, seconds=dt)
-        for img in images:
-            history.add(image=img, **params)
+        if args.architecture.startswith("wan"):
+            # video: one history entry (preview frame), not one per frame —
+            # 121 frames would immediately evict the whole session history
+            history.add(image=images[0], **params)
+        else:
+            for img in images:
+                history.add(image=img, **params)
         info = format_gen_info(**params)
         return [img for img in images], info, history.gallery()
 

@@ -98,7 +98,12 @@ def main():
 
     def _refresh(task):
         def fn():
-            fresh, _ = discover_backends(backends, {k: k for k in backends})
+            fresh, fresh_routes = discover_backends(backends, {k: k for k in backends})
+            # adopt the rediscovered served-model names: a backend that was
+            # down at startup had a CLI-name fallback route, which the API
+            # server rejects (api_server model-name check) once it is up
+            routes.update(fresh_routes)
+            by_task.update(fresh)
             choices = fresh[task]
             return gr.Dropdown(choices=choices,
                                value=choices[0] if choices else None)

@@ -116,6 +116,12 @@ class FastDMEngine:
         arch = ARCH_ALIASES.get(architecture)
         if arch is None:
             raise ValueError(f"unknown architecture {architecture!r}")
+        if scheduler is not None and arch != "wan":
+            # only the wan loop reads scheduler_name — reject rather than
+            # silently running the family's fixed scheduler
+            raise ValueError(
+                f"scheduler={scheduler!r} is only supported for wan; "
+                f"{arch} uses its fixed per-family scheduler")
         self.architecture = arch
         self.architecture_full = architecture
         self.model_path = model_path
@@ -1073,6 +1079,14 @@ class FastDMEngine:
                     self.cfg = _dc.replace(
                         self.cfg, sparse_gather_fine_blocks=(bq, grp, bs))
                 idx, val, cnt = self.sparse_attn.block_lists_fine(bq, grp)
+                # run the strict concrete-value contract checks HERE, where
+                # the tables are host-side numpy — inside the jitted denoiser
+                # they are tracers and the wrapper can only clip
+                from fastdm_tpu.kernels import contracts
+                contracts.check_gather_fine(
+                    "engine.wan fine-gather tables", jnp.asarray(idx),
+                    jnp.asarray(val), jnp.asarray(cnt), tokens, tokens,
+                    bq, grp, self.sparse_attn.config.block_size)
                 sparse_mask = (jnp.asarray(idx), jnp.asarray(val),
                                jnp.asarray(cnt))
             elif gather_mode == "coarse":
@@ -1081,6 +1095,10 @@ class FastDMEngine:
                 # derives coarsening from the mask's own block_size
                 bq, bk = self.cfg.sparse_gather_blocks
                 idx, cnt = self.sparse_attn.block_lists(bq, bk)
+                from fastdm_tpu.kernels import contracts
+                contracts.check_gather_lists(
+                    "engine.wan gather tables", jnp.asarray(idx),
+                    jnp.asarray(cnt), tokens, tokens, bq, bk)
                 sparse_mask = (jnp.asarray(idx), jnp.asarray(cnt))
             else:
                 # the masked-kernel path tiles at 128 (wan self-attn call);

@@ -625,6 +625,17 @@ def sdpa_gather_fine_pallas(
     contracts.check_gather_fine("sdpa_gather_fine_pallas", block_indices,
                                 block_valid, block_rows, query.shape[1],
                                 key.shape[1], block_q, group, fine)
+    # In-graph backstop for the value checks above (skipped on tracers — the
+    # engine path jits the denoiser): clamp every dynamic index the kernel's
+    # DMA consumes into its legal range, so a table bug yields wrong output
+    # (caught by tests/goldens) instead of an OOB DMA chip crash.
+    t_len = int(block_indices.shape[0])
+    nfine = -(-key.shape[1] // fine)
+    block_indices = jnp.clip(block_indices, 0, nfine - 1)
+    starts = block_rows[:, 0]
+    starts = jnp.clip(starts - starts % group, 0, max(t_len - group, 0))
+    cnts = jnp.clip(block_rows[:, 1], 0, t_len - starts)
+    block_rows = jnp.stack([starts, cnts], axis=1)
     # block_valid is consumed by the contract check + jnp oracle only; the
     # kernel derives validity from cnt + static tail constants (see
     # _gather_fine_kernel), so it never rides the scalar-prefetch SMEM.
@@ -673,6 +684,11 @@ def sdpa_gather_pallas(
     contracts.check_gather_lists("sdpa_gather_pallas", block_indices,
                                  block_counts, query.shape[1], key.shape[1],
                                  block_q, block_k)
+    # in-graph backstop (value checks above skip tracers): clamp the DMA
+    # indices/counts so a table bug cannot OOB-DMA on hardware
+    nkv = -(-key.shape[1] // block_k)
+    block_indices = jnp.clip(block_indices, 0, nkv - 1)
+    block_counts = jnp.clip(block_counts, 0, block_indices.shape[1])
     return _gather_sparse_attention(
         query, key, value, block_indices, block_counts,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
