@@ -210,3 +210,53 @@ def test_gather_fine_contracts():
             q, k, v, jnp.zeros((4,), jnp.int32), jnp.zeros((4,), jnp.int32),
             jnp.asarray([[1, 1]], jnp.int32), 2, 2, 64,
             block_q=256, group=2, fine=64)
+
+
+def test_gather_fine_oob_tables_clipped_in_graph():
+    """Inside jit the tables are tracers, so the contract value checks are
+    skipped; the wrapper's in-graph clamp must keep a corrupted table from
+    OOB-DMAing (on hardware) — output is finite, not a chip crash."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    b, sq, skv, h, d, fine, bq, group = 1, 512, 512, 2, 64, 64, 256, 2
+    q, k, v = _qkv(rng, b, sq, skv, h, d)
+    nq, nfine = sq // bq, skv // fine
+    idx, val, rows = _random_tables(rng, nq, nfine, group, fine, skv)
+    idx = idx.copy()
+    idx[0] = nfine + 7            # out-of-range fine block id
+    rows = rows.copy()
+    rows[-1, 0] = idx.shape[0]    # start beyond the flat table
+    rows[-1, 1] = 10 ** 6         # absurd count
+
+    @jax.jit
+    def run(i, va, r):
+        return sdpa_gather_fine_pallas(q, k, v, i, va, r, h, h, d,
+                                       block_q=bq, group=group, fine=fine)
+
+    out = run(jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows))
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_gather_coarse_oob_tables_clipped_in_graph():
+    import jax
+
+    from fastdm_tpu.kernels.pallas.attention import sdpa_gather_pallas
+
+    rng = np.random.default_rng(4)
+    b, sq, skv, h, d = 1, 512, 2048, 2, 64
+    bq, bk = 256, 512
+    q, k, v = _qkv(rng, b, sq, skv, h, d)
+    nq, nkv = sq // bq, skv // bk
+    idx = np.tile(np.arange(nkv, dtype=np.int32), (nq, 1))
+    cnt = np.full((nq, 1), nkv, np.int32)
+    idx[0, 0] = nkv + 3           # OOB kv tile id
+    cnt[1, 0] = nkv + 100         # count beyond max_nb
+
+    @jax.jit
+    def run(i, c):
+        return sdpa_gather_pallas(q, k, v, i, c, h, h, d,
+                                  block_q=bq, block_k=bk)
+
+    out = run(jnp.asarray(idx), jnp.asarray(cnt))
+    assert np.isfinite(np.asarray(out, np.float32)).all()
