@@ -7,7 +7,10 @@ path (sdpa_gather_fine, CSR tables) to turn the kernel-level 2.01x into a
 measured end-to-end forward number (BENCH_NOTES "A14B residency" section).
 
 Run: nohup python -u examples/profiling/a14b_sparse_forward.py > /tmp/a14b.log 2>&1 &
-Env: A14B_LAYERS (default 20), A14B_FRAMES (default 21 latent frames).
+Env: A14B_LAYERS (default 20), A14B_FRAMES (default 21 latent frames),
+A14B_LH/A14B_LW (default 90x160 = 720p latents; 64x64 = the Lightning 512^2
+serving shape), A14B_DENSE_ONLY=1 (skip the sparse half — Lightning's 1024
+tokens/frame makes radial sparsity inapplicable, see BENCH_NOTES Wan-5B).
 """
 
 import os
@@ -33,7 +36,8 @@ def main():
 
     layers = int(os.environ.get("A14B_LAYERS", 20))
     lf = int(os.environ.get("A14B_FRAMES", 21))  # 81 px frames -> 21 latent
-    lh, lw = 90, 160  # 720p latent
+    lh = int(os.environ.get("A14B_LH", 90))      # 720p latent default
+    lw = int(os.environ.get("A14B_LW", 160))
     cfg = WanConfig(num_layers=layers, quant="int8")
     params = jax.jit(lambda k: wan_init_random(k, cfg))(jax.random.key(0))
     pt, ph, pw = cfg.patch_size
@@ -61,6 +65,8 @@ def main():
         return dt
 
     t_dense = run(None, "dense")
+    if os.environ.get("A14B_DENSE_ONLY", "0") == "1":
+        return
 
     sp = RadialAttn(RadialAttnConfig(block_size=64, decay_factor=0.2,
                                      model_type="wan"))

@@ -78,8 +78,15 @@ def fuse_and_quantize(
     """
     w = weights[0] if len(weights) == 1 else jnp.concatenate(list(weights), axis=1)
     bias = None
-    if biases and biases[0] is not None:
-        bias = biases[0] if len(biases) == 1 else jnp.concatenate(list(biases), axis=0)
+    if biases and any(b is not None for b in biases):
+        # a mixed set (some projections bias-free) still needs the full-width
+        # concat — zero-fill the missing segments rather than silently
+        # dropping every bias (or crashing) based on biases[0] alone
+        segs = [
+            b if b is not None else jnp.zeros((wi.shape[1],), jnp.float32)
+            for b, wi in zip(biases, weights)
+        ]
+        bias = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
     return quantize_weight(w, quant, bias)
 
 

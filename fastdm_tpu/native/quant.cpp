@@ -12,6 +12,10 @@
 // Per-output-channel symmetric int8 quantization reduces over k, i.e. over
 // each contiguous row: scale[n] = absmax(row)/127, q = round(w/scale),
 // colsum[n] = sum_k q (the azp_adj of doc/introduction.md:38-42).
+//
+// All entry points return 0 on success, 1 if any input value was NaN/Inf —
+// corrupted checkpoints must FAIL the load (the Python wrapper raises), not
+// launder the corruption into plausible in-range weights.
 
 #include <atomic>
 #include <cstdint>
@@ -30,29 +34,23 @@ inline float bf16_to_f32(uint16_t v) {
     return out;
 }
 
-inline uint16_t f32_to_bf16(float f) {
-    uint32_t bits;
-    std::memcpy(&bits, &f, sizeof(bits));
-    // round-to-nearest-even on the truncated mantissa
-    uint32_t lsb = (bits >> 16) & 1u;
-    bits += 0x7fffu + lsb;
-    return static_cast<uint16_t>(bits >> 16);
-}
-
 template <typename Load>
-void quantize_rows(Load load, int64_t n, int64_t k, int8_t* q, float* scale,
-                   int32_t* colsum, int nthreads) {
+int quantize_rows(Load load, int64_t n, int64_t k, int8_t* q, float* scale,
+                  int32_t* colsum, int nthreads) {
     nthreads = std::max(1, nthreads);
     std::vector<std::thread> pool;
-    std::atomic<int64_t>* cursor = new std::atomic<int64_t>(0);
+    std::atomic<int64_t> cursor(0);
+    std::atomic<int> bad(0);
     auto work = [&]() {
         for (;;) {
-            int64_t row = cursor->fetch_add(1);
+            int64_t row = cursor.fetch_add(1);
             if (row >= n) break;
             const int64_t off = row * k;
             float amax = 1e-12f;
             for (int64_t i = 0; i < k; ++i) {
-                amax = std::max(amax, std::fabs(load(off + i)));
+                float v = load(off + i);
+                if (!std::isfinite(v)) { bad.store(1); }
+                amax = std::max(amax, std::fabs(v));
             }
             const float s = amax / 127.0f;
             const float inv = 1.0f / s;
@@ -71,7 +69,42 @@ void quantize_rows(Load load, int64_t n, int64_t k, int8_t* q, float* scale,
     };
     for (int t = 0; t < nthreads; ++t) pool.emplace_back(work);
     for (auto& th : pool) th.join();
-    delete cursor;
+    return bad.load();
+}
+
+// e4m3fn encode with ROUND-TO-NEAREST-EVEN everywhere (normal, subnormal,
+// and the underflow boundary) — bit-matching ml_dtypes' astype(float8_e4m3fn)
+// so the native load path and the jnp fallback produce identical weights.
+// Input must be pre-clamped to [-448, 448] and finite.
+inline uint8_t f32_to_e4m3fn(float v) {
+    uint32_t bits;
+    std::memcpy(&bits, &v, sizeof(bits));
+    uint8_t sign = (bits >> 24) & 0x80u;
+    int32_t exp = static_cast<int32_t>((bits >> 23) & 0xffu) - 127;
+    uint32_t man = bits & 0x7fffffu;
+    if (v == 0.0f || exp < -10) {
+        return sign;  // underflow below half the smallest subnormal ulp
+    }
+    if (exp < -6) {
+        // subnormal e4m3: value = m * 2^-9, m in [0, 7]; RNE on the
+        // shifted-out significand bits (shift can reach 24 at exp = -10,
+        // where only the round bit survives — exact 2^-10 ties to even 0)
+        int sh = 20 + (-6 - exp);  // 21..24
+        uint32_t full = man | 0x800000u;
+        uint32_t m = full >> sh;
+        uint32_t rem = full & ((1u << sh) - 1u);
+        uint32_t half = 1u << (sh - 1);
+        if (rem > half || (rem == half && (m & 1u))) m += 1;
+        if (m >= 8) return sign | 0x08u;  // rounds up into the normal range
+        return sign | static_cast<uint8_t>(m);
+    }
+    uint32_t m = man >> 20;               // top 3 mantissa bits
+    uint32_t rem = man & 0xfffffu;        // dropped 20 bits
+    if (rem > 0x80000u || (rem == 0x80000u && (m & 1u))) m += 1;
+    int32_t e = exp + 7;
+    if (m == 8) { m = 0; e += 1; }
+    if (e >= 16) { e = 15; m = 6; }       // clamp to 448 (e4m3fn max)
+    return sign | static_cast<uint8_t>((e << 3) | (m & 0x7u));
 }
 
 }  // namespace
@@ -79,70 +112,52 @@ void quantize_rows(Load load, int64_t n, int64_t k, int8_t* q, float* scale,
 extern "C" {
 
 // w: (n, k) row-major bf16 (as uint16). Outputs: q (n, k) int8, scale (n,)
-// f32, colsum (n,) int32.
-void quantize_int8_percol_bf16(const uint16_t* w, int64_t n, int64_t k,
-                               int8_t* q, float* scale, int32_t* colsum,
-                               int nthreads) {
-    quantize_rows([w](int64_t i) { return bf16_to_f32(w[i]); }, n, k, q, scale,
-                  colsum, nthreads);
+// f32, colsum (n,) int32. Returns 0 ok / 1 nonfinite input.
+int quantize_int8_percol_bf16(const uint16_t* w, int64_t n, int64_t k,
+                              int8_t* q, float* scale, int32_t* colsum,
+                              int nthreads) {
+    return quantize_rows([w](int64_t i) { return bf16_to_f32(w[i]); }, n, k, q,
+                         scale, colsum, nthreads);
 }
 
-void quantize_int8_percol_f32(const float* w, int64_t n, int64_t k, int8_t* q,
-                              float* scale, int32_t* colsum, int nthreads) {
-    quantize_rows([w](int64_t i) { return w[i]; }, n, k, q, scale, colsum,
-                  nthreads);
+int quantize_int8_percol_f32(const float* w, int64_t n, int64_t k, int8_t* q,
+                             float* scale, int32_t* colsum, int nthreads) {
+    return quantize_rows([w](int64_t i) { return w[i]; }, n, k, q, scale,
+                         colsum, nthreads);
 }
 
 // fp8 e4m3fn per-output-channel quantization; out as raw uint8 bit pattern.
-void quantize_fp8_percol_bf16(const uint16_t* w, int64_t n, int64_t k,
-                              uint8_t* q, float* scale, int nthreads) {
+// Returns 0 ok / 1 nonfinite input.
+int quantize_fp8_percol_bf16(const uint16_t* w, int64_t n, int64_t k,
+                             uint8_t* q, float* scale, int nthreads) {
     nthreads = std::max(1, nthreads);
     std::vector<std::thread> pool;
-    std::atomic<int64_t>* cursor = new std::atomic<int64_t>(0);
+    std::atomic<int64_t> cursor(0);
+    std::atomic<int> bad(0);
     auto work = [&]() {
         for (;;) {
-            int64_t row = cursor->fetch_add(1);
+            int64_t row = cursor.fetch_add(1);
             if (row >= n) break;
             const int64_t off = row * k;
             float amax = 1e-12f;
-            for (int64_t i = 0; i < k; ++i)
-                amax = std::max(amax, std::fabs(bf16_to_f32(w[off + i])));
+            for (int64_t i = 0; i < k; ++i) {
+                float v = bf16_to_f32(w[off + i]);
+                if (!std::isfinite(v)) { bad.store(1); }
+                amax = std::max(amax, std::fabs(v));
+            }
             const float s = amax / 448.0f;
             const float inv = 1.0f / s;
             for (int64_t i = 0; i < k; ++i) {
                 float v = bf16_to_f32(w[off + i]) * inv;
                 v = std::min(448.0f, std::max(-448.0f, v));
-                // e4m3fn encode: sign, exponent bias 7, 3 mantissa bits
-                uint32_t bits;
-                std::memcpy(&bits, &v, sizeof(bits));
-                uint8_t sign = (bits >> 24) & 0x80u;
-                int32_t exp = static_cast<int32_t>((bits >> 23) & 0xffu) - 127;
-                uint32_t man = bits & 0x7fffffu;
-                uint8_t out;
-                if (v == 0.0f || exp < -9) {
-                    out = sign;  // zero / underflow
-                } else if (exp < -6) {
-                    // subnormal e4m3: value = man * 2^-9
-                    int shift = -6 - exp;
-                    uint32_t m = (man | 0x800000u) >> (20 + shift);
-                    out = sign | static_cast<uint8_t>(m & 0x7u);
-                } else {
-                    uint32_t m = man >> 20;           // top 3 bits
-                    uint32_t round = (man >> 19) & 1; // round-to-nearest
-                    m += round;
-                    int32_t e = exp + 7;
-                    if (m == 8) { m = 0; e += 1; }
-                    if (e >= 16) { e = 15; m = 6; }   // clamp to 448 (e4m3fn max)
-                    out = sign | static_cast<uint8_t>((e << 3) | (m & 0x7u));
-                }
-                q[off + i] = out;
+                q[off + i] = f32_to_e4m3fn(v);
             }
             scale[row] = s;
         }
     };
     for (int t = 0; t < nthreads; ++t) pool.emplace_back(work);
     for (auto& th : pool) th.join();
-    delete cursor;
+    return bad.load();
 }
 
 // bf16 -> f32 bulk convert (checkpoint readers)
@@ -152,6 +167,7 @@ void bf16_to_f32_buf(const uint16_t* in, float* out, int64_t count, int nthreads
     int64_t chunk = (count + nthreads - 1) / nthreads;
     for (int t = 0; t < nthreads; ++t) {
         int64_t lo = t * chunk, hi = std::min(count, lo + chunk);
+        if (lo >= hi) break;
         pool.emplace_back([=]() {
             for (int64_t i = lo; i < hi; ++i) out[i] = bf16_to_f32(in[i]);
         });

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Dict, Optional
 
 import numpy as np
@@ -43,21 +42,29 @@ def _dtype_map():
 
 _DTYPES = _dtype_map()
 
-# keep mmaps alive for the lifetime of any returned views
-_OPEN_HANDLES = []
+# mmap handle CACHE keyed by realpath: the returned arrays are zero-copy
+# views into the mapping, so a handle must outlive every view — but
+# re-loading the same checkpoint (model switches in a long-lived server)
+# must REUSE its mapping rather than stack a new one per load. Growth is
+# bounded by the number of distinct checkpoint files; atexit unmaps all.
+_OPEN_HANDLES: Dict[str, int] = {}
+
+
+def _close_all_handles() -> None:  # pragma: no cover - atexit
+    lib = _LIB or None
+    if lib:
+        for h in _OPEN_HANDLES.values():
+            lib.st_close(h)
+    _OPEN_HANDLES.clear()
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is None:
         try:
-            src_mtime = os.path.getmtime(_SRC)
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
-                    check=True, capture_output=True,
-                )
-            lib = ctypes.CDLL(_SO)
+            from fastdm_tpu.native import build_and_load
+
+            lib = build_and_load(_SRC, _SO)
             lib.st_open.restype = ctypes.c_void_p
             lib.st_open.argtypes = [ctypes.c_char_p]
             lib.st_error.restype = ctypes.c_char_p
@@ -80,6 +87,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.st_base.argtypes = [ctypes.c_void_p]
             lib.st_prefetch.argtypes = [ctypes.c_void_p]
             lib.st_close.argtypes = [ctypes.c_void_p]
+            import atexit
+
+            atexit.register(_close_all_handles)
             _LIB = lib
         except Exception:
             _LIB = False
@@ -91,35 +101,51 @@ def read_file_native(path: str) -> Dict[str, np.ndarray]:
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native safetensors reader unavailable")
-    h = lib.st_open(path.encode())
-    if not h:
-        raise OSError(lib.st_error().decode() or f"st_open failed: {path}")
-    _OPEN_HANDLES.append(h)
-    lib.st_prefetch(h)
-    base = lib.st_base(h)
-    out: Dict[str, np.ndarray] = {}
-    shape_buf = (ctypes.c_int64 * 16)()
-    begin = ctypes.c_int64()
-    nbytes = ctypes.c_int64()
-    for i in range(lib.st_count(h)):
-        name = lib.st_name(h, i).decode()
-        tag = lib.st_dtype(h, i).decode()
-        ndim = lib.st_shape(h, i, shape_buf, 16)
-        if ndim < 0 or tag not in _DTYPES:
-            raise ValueError(f"unsupported tensor {name!r} (dtype {tag})")
-        shape = tuple(shape_buf[d] for d in range(ndim))
-        lib.st_offsets(h, i, ctypes.byref(begin), ctypes.byref(nbytes))
-        dt = np.dtype(_DTYPES[tag])
-        count = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        if count * dt.itemsize != nbytes.value:
-            raise ValueError(f"size mismatch for {name!r}")
-        if nbytes.value == 0:
-            arr = np.empty(shape, dt)
-        else:
-            raw = (ctypes.c_ubyte * nbytes.value).from_address(base + begin.value)
-            arr = np.frombuffer(raw, dtype=dt, count=count).reshape(shape)
-            arr.flags.writeable = False
-        out[name] = arr
+    st = os.stat(path)
+    # keyed by (file identity, mtime, size): a re-downloaded checkpoint at
+    # the same path gets a fresh mapping; the old one stays alive for any
+    # views still referencing it
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    h = _OPEN_HANDLES.get(key)
+    if h is None:
+        h = lib.st_open(path.encode())
+        if not h:
+            raise OSError(lib.st_error().decode() or f"st_open failed: {path}")
+    try:
+        lib.st_prefetch(h)
+        base = lib.st_base(h)
+        out: Dict[str, np.ndarray] = {}
+        shape_buf = (ctypes.c_int64 * 16)()
+        begin = ctypes.c_int64()
+        nbytes = ctypes.c_int64()
+        for i in range(lib.st_count(h)):
+            name = lib.st_name(h, i).decode()
+            tag = lib.st_dtype(h, i).decode()
+            ndim = lib.st_shape(h, i, shape_buf, 16)
+            if ndim < 0:
+                raise ValueError(f"tensor {name!r} has more than 16 dims")
+            if tag not in _DTYPES:
+                raise ValueError(f"unsupported dtype {tag!r} for tensor {name!r}")
+            shape = tuple(shape_buf[d] for d in range(ndim))
+            lib.st_offsets(h, i, ctypes.byref(begin), ctypes.byref(nbytes))
+            dt = np.dtype(_DTYPES[tag])
+            count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            if count * dt.itemsize != nbytes.value:
+                raise ValueError(f"size mismatch for {name!r}")
+            if nbytes.value == 0:
+                arr = np.empty(shape, dt)
+            else:
+                raw = (ctypes.c_ubyte * nbytes.value).from_address(base + begin.value)
+                arr = np.frombuffer(raw, dtype=dt, count=count).reshape(shape)
+                arr.flags.writeable = False
+            out[name] = arr
+    except Exception:
+        # don't cache (or leak) the mapping when the parse fails and the
+        # caller falls back to the safetensors package
+        if key not in _OPEN_HANDLES:
+            lib.st_close(h)
+        raise
+    _OPEN_HANDLES[key] = h
     return out
 
 

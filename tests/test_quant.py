@@ -71,3 +71,30 @@ def test_fp8_quant(shape):
     err = np.abs(deq - x_bf16)
     tol = np.abs(x_bf16) * 0.07 + np.asarray(s, np.float32) * 0.6
     assert np.all(err <= tol)
+
+
+def test_fuse_and_quantize_mixed_biases():
+    """A fused projection where only SOME segments carry a bias must
+    zero-fill the missing ones, not drop or crash (review finding)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastdm_tpu.layers.qlinear import fuse_and_quantize, qlinear_apply
+
+    rng = np.random.default_rng(0)
+    k, n1, n2 = 16, 8, 12
+    w1 = jnp.asarray(rng.standard_normal((k, n1)), jnp.float32) * 0.1
+    w2 = jnp.asarray(rng.standard_normal((k, n2)), jnp.float32) * 0.1
+    b = jnp.asarray(rng.standard_normal((n2,)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, k)), jnp.bfloat16)
+    for first_none in (True, False):
+        biases = [None, b] if first_none else [b[:n1], None]
+        p = fuse_and_quantize([w1, w2], biases, "int8")
+        assert p["bias"].shape == (n1 + n2,)
+        out = np.asarray(qlinear_apply(p, x), np.float32)
+        bias_full = np.concatenate(
+            [np.zeros(n1), np.asarray(b)] if first_none
+            else [np.asarray(b[:n1]), np.zeros(n2)])
+        ref = (np.asarray(x, np.float32)
+               @ np.asarray(jnp.concatenate([w1, w2], axis=1)) + bias_full)
+        np.testing.assert_allclose(out, ref, atol=0.05)
