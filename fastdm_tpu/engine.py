@@ -44,7 +44,9 @@ ARCH_ALIASES = {
     "sdxl": "sdxl",
     "qwen-image": "qwen", "qwen-image-edit": "qwen",
     "wan2.2-t2v": "wan", "wan2.2-i2v": "wan", "wan2.2-ti2v": "wan",
-    "wan": "wan",
+    # wan2.1 checkpoints load through the same core; 2.1-i2v additionally
+    # carries the CLIP image-conditioning branch (image_encoder subdir)
+    "wan": "wan", "wan-i2v": "wan", "wan2.1-t2v": "wan", "wan2.1-i2v": "wan",
 }
 
 # per-model VAE configs (diffusers AutoencoderKL variants)
@@ -514,6 +516,18 @@ class FastDMEngine:
             os.path.join(self.model_path, "model_index.json")
         ) else None
         self.text_encoder = WanTextEncoder(self.model_path, self.cfg.text_len)
+        # Wan2.1-style I2V: the checkpoint ships a CLIP vision tower whose
+        # penultimate-layer tokens condition cross-attention through the
+        # image_embedder + add_k/add_v branch (diffusers
+        # WanImageToVideoPipeline.encode_image; the reference rides that
+        # pipeline, model_entry.py:617). wan2.2 i2v checkpoints have no
+        # image_encoder and use channel-concat conditioning only.
+        self.wan_image_encoder = None
+        if "image_embedder" in self.params.get("condition_embedder", {}):
+            from fastdm_tpu.pipeline.text_encoder import CLIPImageEncoder
+
+            self.wan_image_encoder = CLIPImageEncoder(
+                os.path.join(self.model_path, "image_encoder"))
         # Wan VAE (AutoencoderKLWan) is 3D — loaded separately; numerical
         # parity is unvalidated against real checkpoints, so any load failure
         # (incl. layout drift caught by the consumption assert) degrades to
@@ -1190,22 +1204,34 @@ class FastDMEngine:
         # noise latents carry out_channels (z_dim, 16); i2v models take
         # in_channels = z + 20 conditioning channels concatenated per step
         cond = None
+        img_embeds = None
         if task == "i2v" and image is not None:
             cond = self._wan_i2v_latents(image, lf, lh, lw, num_frames)
+            if self.wan_image_encoder is not None:
+                # Wan2.1-style CLIP conditioning: penultimate-layer vision
+                # tokens, same embeds for both CFG branches (diffusers
+                # WanImageToVideoPipeline.encode_image)
+                img_embeds = self.wan_image_encoder.encode(
+                    image, hidden_states=True)
         latents = self._latents((1, self.cfg.out_channels, lf, lh, lw), seed)
         if dual:
+            if img_embeds is not None:
+                raise NotImplementedError(
+                    "CLIP image conditioning with the dual-expert phase loop "
+                    "is not wired (no released checkpoint combines them)")
             latents, skips = self._denoisers[key](
                 self.params, self.params_2, latents, pos, neg, cos, sin,
                 sparse_mask, cond,
             )
         elif use_cache:
             latents, skips = self._denoisers[key](
-                self.params, latents, pos, neg, cos, sin, sparse_mask, cond
+                self.params, latents, pos, neg, cos, sin, sparse_mask, cond,
+                img_embeds,
             )
         else:
             latents, skips = self._denoisers[key](
                 self.params, self.params_2, latents, pos, neg, cos, sin,
-                sparse_mask, cond,
+                sparse_mask, cond, img_embeds,
             )
         self._note_skips(skips)
         if output_type == "latent":

@@ -510,13 +510,15 @@ def wan_forward_cached(
 def wan_rope_cos_sin(cfg: WanConfig, f: int, h: int, w: int) -> Tuple[Array, Array]:
     """Host-side 3D rope cache (ref: WanRotaryPosEmbed, embeddings.py:859-923).
 
-    head_dim splits into (t, h, w) = (d - 2*(d//3), d//3, d//3); per-pair
-    angles concatenated in that order; returns (cos, sin) each (N, d/2)."""
+    head_dim splits into h_dim = w_dim = 2*(d//6), t_dim = d - h - w (the
+    reference's exact split, embeddings.py:873 — d//3 agrees at d=128 but
+    goes ODD for d=64, breaking the per-pair angle count); per-pair angles
+    concatenated (t, h, w); returns (cos, sin) each (N, d/2)."""
     d = cfg.attention_head_dim
     pt, ph, pw = cfg.patch_size
     pf, phh, pww = f // pt, h // ph, w // pw
-    t_dim = d - 2 * (d // 3)
-    h_dim = w_dim = d // 3
+    h_dim = w_dim = 2 * (d // 6)
+    t_dim = d - h_dim - w_dim
 
     at = rope_1d_freqs(t_dim, np.arange(pf))        # (pf, t_dim/2)
     ah = rope_1d_freqs(h_dim, np.arange(phh))

@@ -33,6 +33,14 @@ from fastdm_tpu.pipeline.schedulers import (
 Array = jax.Array
 
 
+def _is_teacache(cache_cfg) -> bool:
+    """isinstance, not __name__ string compare — subclasses/wrappers of
+    TeaCacheConfig must still get the TeaCache text-stream probe shape."""
+    from fastdm_tpu.caching.config import TeaCacheConfig
+
+    return isinstance(cache_cfg, TeaCacheConfig)
+
+
 def make_sd3_denoiser(
     cfg: SD3Config,
     scheduler: FlowMatchEulerScheduler,
@@ -233,7 +241,7 @@ def make_qwen_denoiser(
             img_hidden = (b, latents.shape[1], cfg.inner_dim)
             probe_shape = (
                 (b, pos_embeds.shape[1], cfg.inner_dim)
-                if type(cache_cfg).__name__ == "TeaCacheConfig"
+                if _is_teacache(cache_cfg)
                 else img_hidden
             )
             st_pos0 = cache_init_state(cache_cfg, img_hidden, probe_shape)
@@ -329,7 +337,7 @@ def make_qwen_edit_denoiser(
             full_hidden = (b, s + src_tokens.shape[1], cfg.inner_dim)
             probe_shape = (
                 (b, pos_embeds.shape[1], cfg.inner_dim)
-                if type(cache_cfg).__name__ == "TeaCacheConfig"
+                if _is_teacache(cache_cfg)
                 else full_hidden
             )
             st_pos0 = cache_init_state(cache_cfg, full_hidden, probe_shape)
@@ -383,6 +391,30 @@ def make_qwen_edit_denoiser(
     return run
 
 
+def _warmup_scans(step_once, carry, sparse_mask, dense_warmup_steps, num_steps):
+    """Shared dense-warmup split for the wan loops: the first `cut` steps run
+    dense (mask=None), the rest consume the sparse mask — as two separate
+    scans so the sparse program never traces a dynamic dense/sparse switch
+    (ref dense_steps gating: fastdm/layer/transformer.py:512).
+
+    cut is CLAMPED to [0, num_steps]: an unclamped warmup (radial config
+    dense_steps > num_inference_steps) would scan past the sigma ladder,
+    where UniPC's corrector divides 0/0 -> NaN (the phase-split loop always
+    clamped; the four flat loops now share this one implementation)."""
+    cut = min(max(int(dense_warmup_steps), 0), num_steps)
+    if sparse_mask is not None and cut > 0:
+        carry, _ = jax.lax.scan(
+            lambda c, s: (step_once(c, s, None), None), carry, jnp.arange(cut))
+        carry, _ = jax.lax.scan(
+            lambda c, s: (step_once(c, s, sparse_mask), None),
+            carry, jnp.arange(cut, num_steps))
+    else:
+        carry, _ = jax.lax.scan(
+            lambda c, s: (step_once(c, s, sparse_mask), None),
+            carry, jnp.arange(num_steps))
+    return carry
+
+
 def make_wan_denoiser(
     cfg: WanConfig,
     scheduler: FlowMatchEulerScheduler,
@@ -393,7 +425,9 @@ def make_wan_denoiser(
     dense_warmup_steps: int = 0,             # radial sparse: first N steps dense
 ):
     """run(params, params_2, latents (B,C,F,H,W), pos_text, neg_text, cos, sin,
-    sparse_mask) -> latents.
+    sparse_mask, cond=None, encoder_image=None) -> latents. encoder_image:
+    Wan2.1-I2V CLIP vision tokens (B, S_img, image_dim), same for both CFG
+    branches (diffusers WanImageToVideoPipeline).
 
     params_2 may be None (single-expert models); with boundary_ratio set, the
     high-noise expert (params) runs while sigma >= boundary, then the low-noise
@@ -405,14 +439,16 @@ def make_wan_denoiser(
     do_cfg = guidance_scale > 1.0
     g2 = guidance_scale_2 if guidance_scale_2 is not None else guidance_scale
 
-    def _fwd(params, lat, text, t, mask):
+    def _fwd(params, lat, text, t, mask, rc, rs, img):
         return wan_forward(
-            params, cfg, lat.astype(jnp.bfloat16), t, text, sparse_mask=mask
+            params, cfg, lat.astype(jnp.bfloat16), t, text,
+            encoder_hidden_states_image=img, rope_cos=rc, rope_sin=rs,
+            sparse_mask=mask,
         ).astype(jnp.float32)
 
-    @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=())
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def run(params, params_2, latents, pos_text, neg_text, rope_cos, rope_sin,
-            sparse_mask, cond=None):
+            sparse_mask, cond=None, encoder_image=None):
         b = latents.shape[0]
 
         def step_once(carry, step, mask):
@@ -425,9 +461,11 @@ def make_wan_denoiser(
                 [lat, cond.astype(lat.dtype)], axis=1)
 
             def one(p, g):
-                pos = _fwd(p, inp, pos_text, t, mask)
+                pos = _fwd(p, inp, pos_text, t, mask, rope_cos, rope_sin,
+                           encoder_image)
                 if do_cfg:
-                    neg = _fwd(p, inp, neg_text, t, mask)
+                    neg = _fwd(p, inp, neg_text, t, mask, rope_cos, rope_sin,
+                               encoder_image)
                     return neg + g * (pos - neg)
                 return pos
 
@@ -443,20 +481,8 @@ def make_wan_denoiser(
             return scheduler_step(scheduler, out, step, lat, sigmas, sst, num_steps)
 
         carry = (latents, scheduler_init_state(scheduler, latents.shape))
-        if sparse_mask is not None and dense_warmup_steps > 0:
-            carry, _ = jax.lax.scan(
-                lambda c, s: (step_once(c, s, None), None),
-                carry, jnp.arange(dense_warmup_steps),
-            )
-            carry, _ = jax.lax.scan(
-                lambda c, s: (step_once(c, s, sparse_mask), None),
-                carry, jnp.arange(dense_warmup_steps, num_steps),
-            )
-        else:
-            carry, _ = jax.lax.scan(
-                lambda c, s: (step_once(c, s, sparse_mask), None),
-                carry, jnp.arange(num_steps),
-            )
+        carry = _warmup_scans(step_once, carry, sparse_mask,
+                              dense_warmup_steps, num_steps)
         return carry[0], jnp.zeros((), jnp.int32)
 
     return run
@@ -488,7 +514,7 @@ def make_wan_cached_denoiser(
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def run(params, latents, pos_text, neg_text, rope_cos, rope_sin, sparse_mask,
-            cond=None):
+            cond=None, encoder_image=None):
         b, c, f, h, w = latents.shape
         pt, ph, pw = cfg.patch_size
         n_tok = (f // pt) * (h // ph) * (w // pw)
@@ -504,6 +530,7 @@ def make_wan_cached_denoiser(
             pos, sp = wan_forward_cached(
                 params, cfg, cache_cfg, sp, step, num_steps,
                 inp.astype(jnp.bfloat16), t, pos_text,
+                encoder_hidden_states_image=encoder_image,
                 rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
             )
             pos = pos.astype(jnp.float32)
@@ -511,6 +538,7 @@ def make_wan_cached_denoiser(
                 neg, sn = wan_forward_cached(
                     params, cfg, neg_cfg, sn, step, num_steps,
                     inp.astype(jnp.bfloat16), t, neg_text,
+                    encoder_hidden_states_image=encoder_image,
                     rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
                 )
                 out = neg.astype(jnp.float32) + guidance_scale * (pos - neg.astype(jnp.float32))
@@ -520,20 +548,8 @@ def make_wan_cached_denoiser(
             return (lat, sp, sn, sst)
 
         carry = (latents, st0, st1, scheduler_init_state(scheduler, latents.shape))
-        if sparse_mask is not None and dense_warmup_steps > 0:
-            carry, _ = jax.lax.scan(
-                lambda c, s: (step_once(c, s, None), None),
-                carry, jnp.arange(dense_warmup_steps),
-            )
-            carry, _ = jax.lax.scan(
-                lambda c, s: (step_once(c, s, sparse_mask), None),
-                carry, jnp.arange(dense_warmup_steps, num_steps),
-            )
-        else:
-            carry, _ = jax.lax.scan(
-                lambda c, s: (step_once(c, s, sparse_mask), None),
-                carry, jnp.arange(num_steps),
-            )
+        carry = _warmup_scans(step_once, carry, sparse_mask,
+                              dense_warmup_steps, num_steps)
         latents_out, st_p, st_n, _ = carry
         return latents_out, st_p["skips"] + st_n["skips"]
 
@@ -622,20 +638,8 @@ def make_wan_dual_cached_denoiser(
             return (lat, states, sst)
 
         carry = (latents, states0, scheduler_init_state(scheduler, latents.shape))
-        if sparse_mask is not None and dense_warmup_steps > 0:
-            carry, _ = jax.lax.scan(
-                lambda c, s: (step_once(c, s, None), None),
-                carry, jnp.arange(dense_warmup_steps),
-            )
-            carry, _ = jax.lax.scan(
-                lambda c, s: (step_once(c, s, sparse_mask), None),
-                carry, jnp.arange(dense_warmup_steps, num_steps),
-            )
-        else:
-            carry, _ = jax.lax.scan(
-                lambda c, s: (step_once(c, s, sparse_mask), None),
-                carry, jnp.arange(num_steps),
-            )
+        carry = _warmup_scans(step_once, carry, sparse_mask,
+                              dense_warmup_steps, num_steps)
         latents_out, states, _ = carry
         return latents_out, sum(st["skips"] for st in states)
 
@@ -696,7 +700,11 @@ def make_wan_ti2v_denoiser(
         def step_once(carry, step, mask):
             lat, cst, sst = carry
             sigma = sigmas[step]
-            lat_in = jnp.concatenate([cond.astype(lat.dtype), lat[:, :, pt:]], axis=2)
+            # replace the first cond.shape[2] latent frames with the clean
+            # conditioning clip (1 VAE-encoded frame today; pt==1 for ti2v,
+            # so frame slicing and the tmask frame-law stay aligned)
+            lat_in = jnp.concatenate(
+                [cond.astype(lat.dtype), lat[:, :, cond.shape[2]:]], axis=2)
             t_tok = jnp.broadcast_to(sigma * 1000.0 * tmask, (b, n_tokens))
 
             if cache_cfg is not None:
@@ -737,26 +745,15 @@ def make_wan_ti2v_denoiser(
 
         carry = (latents, cstates,
                  scheduler_init_state(scheduler, latents.shape))
-        if sparse_mask is not None and dense_warmup_steps > 0:
-            carry, _ = jax.lax.scan(
-                lambda cr, s: (step_once(cr, s, None), None),
-                carry, jnp.arange(dense_warmup_steps),
-            )
-            carry, _ = jax.lax.scan(
-                lambda cr, s: (step_once(cr, s, sparse_mask), None),
-                carry, jnp.arange(dense_warmup_steps, num_steps),
-            )
-        else:
-            carry, _ = jax.lax.scan(
-                lambda cr, s: (step_once(cr, s, sparse_mask), None),
-                carry, jnp.arange(num_steps),
-            )
+        carry = _warmup_scans(step_once, carry, sparse_mask,
+                              dense_warmup_steps, num_steps)
         latents, cst, _ = carry
         skips = (cst[0]["skips"] + cst[1]["skips"]) if cache_cfg is not None \
             else jnp.zeros((), jnp.int32)
         # final output keeps the clean conditioning frame
         return (
-            jnp.concatenate([cond.astype(latents.dtype), latents[:, :, pt:]], axis=2),
+            jnp.concatenate([cond.astype(latents.dtype),
+                             latents[:, :, cond.shape[2]:]], axis=2),
             skips,
         )
 

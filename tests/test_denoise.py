@@ -384,3 +384,30 @@ def test_wan_dual_phase_matches_cond_form():
     out_u1, _ = run_u1(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
     np.testing.assert_allclose(np.asarray(out_p1), np.asarray(out_u1),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_wan_denoiser_warmup_clamped_past_num_steps():
+    """dense_warmup_steps > num_steps must be clamped, not scan past the
+    sigma ladder — unclamped, UniPC's corrector hits sig==sig_prev==0 and
+    divides 0/0 -> NaN video (review finding, round 2)."""
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import make_wan_denoiser
+    from fastdm_tpu.pipeline.schedulers import UniPCMultistepScheduler
+
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=4, quant=None)
+    p = wan_init_random(jax.random.key(0), cfg)
+    sched = UniPCMultistepScheduler.create(3, shift=5.0)
+    run = make_wan_denoiser(cfg, sched, 3, guidance_scale=2.0,
+                            dense_warmup_steps=12)  # > num_steps
+    k = jax.random.key(2)
+    lat = jax.random.normal(k, (1, 4, 2, 16, 16), jnp.float32)
+    pos = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    neg = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, 2, 16, 16)
+    seq = 2 * 8 * 8
+    nb = -(-seq // 128)
+    mask = jnp.ones((1, cfg.num_attention_heads, nb, nb), jnp.int32)
+    out, _ = run(p, None, lat, pos, neg, cos, sin, mask)
+    assert np.isfinite(np.asarray(out)).all()

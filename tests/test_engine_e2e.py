@@ -1279,3 +1279,87 @@ def test_wan_engine_dual_cached_sparse_offload(tmp_path):
     assert np.isfinite(lat).all()
     # threshold 100 forces skips on every non-warmup step of both experts
     assert eng.last_cache_skips > 0
+
+
+def test_wan21_i2v_clip_conditioning(tmp_path, monkeypatch):
+    """Wan2.1-style I2V: a checkpoint with image_embedder + add_k/add_v gets
+    CLIP image tokens through the cross-attention image-KV branch (the
+    reference rides diffusers WanImageToVideoPipeline, model_entry.py:617).
+    The CLIP tower itself is stubbed; the wiring under test is engine ->
+    denoiser -> wan_forward(encoder_hidden_states_image=...)."""
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_golden_wan as gw
+
+    image_dim = 16
+    tiny = dict(gw.TINY)
+    tiny["in_channels"] = gw.TINY["out_channels"] + 4
+    d = tiny["num_attention_heads"] * tiny["attention_head_dim"]
+    rng = np.random.default_rng(7)
+    monkeypatch.setattr(gw, "TINY", tiny)
+    sd = gw._state_dict(rng)
+
+    def lin(name, k, n):
+        sd[f"{name}.weight"] = rng.standard_normal((n, k)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = rng.standard_normal((n,)).astype(np.float32) * 0.02
+
+    ie = "condition_embedder.image_embedder"
+    sd[f"{ie}.norm1.weight"] = np.ones((image_dim,), np.float32)
+    sd[f"{ie}.norm1.bias"] = np.zeros((image_dim,), np.float32)
+    lin(f"{ie}.ff.net.0.proj", image_dim, image_dim)
+    lin(f"{ie}.ff.net.2", image_dim, d)
+    sd[f"{ie}.norm2.weight"] = np.ones((d,), np.float32)
+    sd[f"{ie}.norm2.bias"] = np.zeros((d,), np.float32)
+    for i in range(tiny["num_layers"]):
+        lin(f"blocks.{i}.attn2.add_k_proj", d, d)
+        lin(f"blocks.{i}.attn2.add_v_proj", d, d)
+        sd[f"blocks.{i}.attn2.norm_added_k.weight"] = np.ones((d,), np.float32)
+
+    root = str(tmp_path / "wan21-i2v-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"), sd)
+    cfg_json = dict(tiny)
+    cfg_json["patch_size"] = [1, 2, 2]
+    cfg_json["image_dim"] = image_dim
+    cfg_json["added_kv_proj_dim"] = d
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+
+    eng = FastDMEngine(root, architecture="wan-i2v", use_int8=True, verbose=False)
+    assert eng.wan_image_encoder is not None  # checkpoint carries the branch
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, tiny["text_dim"])), jnp.bfloat16)
+
+    calls = []
+
+    class _FakeCLIP:
+        def encode(self, image, num_images_per_prompt=1, hidden_states=False):
+            calls.append(hidden_states)
+            r = np.random.default_rng(11)
+            return jnp.asarray(
+                r.standard_normal((1, 5, image_dim)), jnp.bfloat16)
+
+    eng.text_encoder = _FakeTE()
+    eng.wan_image_encoder = _FakeCLIP()
+    import dataclasses
+
+    eng.cfg = dataclasses.replace(eng.cfg, text_len=8)
+    monkeypatch.setattr(
+        eng, "_wan_i2v_latents",
+        lambda image, lf, lh, lw, nf: jnp.ones((1, 4, lf, lh, lw), jnp.float32),
+    )
+    lat = eng.generate(prompt="a cat", negative_prompt="blur", task="i2v",
+                       image=np.zeros((32, 32, 3), np.uint8),
+                       height=32, width=32, num_frames=5,
+                       num_inference_steps=2, output_type="latent", seed=9)
+    assert calls == [True]  # penultimate hidden states, encoded once
+    assert lat.shape == (1, tiny["out_channels"], 2, 4, 4)
+    assert np.isfinite(lat).all()
