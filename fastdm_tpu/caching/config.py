@@ -10,7 +10,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional, Tuple, Type
+from typing import Any, ClassVar, Dict, Optional, Tuple, Type
 
 
 @dataclasses.dataclass(frozen=True)
@@ -20,13 +20,13 @@ class CacheConfig:
     threshold: float = 0.2
     negtive_cache: bool = False  # dual pos/neg state for two-forward CFG models
 
-    _registry: Dict[str, Type["CacheConfig"]] = None  # class attr, set below
+    # registry is a CLASS variable — as a dataclass field it would leak into
+    # __init__/__eq__/__hash__ of every frozen config instance
+    _registry: ClassVar[Dict[str, Type["CacheConfig"]]] = {}
 
     @classmethod
     def register(cls, name: str):
         def deco(sub):
-            if CacheConfig._registry is None:
-                CacheConfig._registry = {}
             CacheConfig._registry[name.lower()] = sub
             return sub
 
@@ -37,7 +37,11 @@ class CacheConfig:
         algo = data.get("cache_algorithm")
         if algo is None:
             raise ValueError("cache_algorithm must be specified")
-        target = (CacheConfig._registry or {}).get(algo.lower(), cls)
+        target = CacheConfig._registry.get(algo.lower())
+        if target is None:
+            raise ValueError(
+                f"unknown cache_algorithm {algo!r}; available: "
+                f"{sorted(CacheConfig._registry)}")
         names = {f.name for f in dataclasses.fields(target) if not f.name.startswith("_")}
         kwargs = {k: v for k, v in data.items() if k in names}
         for k in ("coefficients", "negtive_coefficients"):

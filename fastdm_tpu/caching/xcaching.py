@@ -118,9 +118,12 @@ def cached_run(
     probe, (h_after, e_after) = probe_fn(hidden, encoder)
 
     if isinstance(cfg, DiCacheConfig) and cfg.rel_l1_distance_algo == "delta_minus":
-        # error = |delta_y - delta_x| (ref xcaching.py:484-487); delta_x is the
-        # input drift, delta_y the probe-output drift.
-        delta_x = _rel_l1(hidden, state["prev_input"])
+        # error = |delta_y - delta_x| (ref xcaching.py:480-487). BOTH deltas
+        # measure from the current PROBE OUTPUT (the reference overwrites
+        # `hidden_states` with the probe-block result before computing them):
+        # delta_x vs last step's ORIGINAL input, delta_y vs last step's
+        # probe output.
+        delta_x = _rel_l1(probe, state["prev_input"])
         delta_y = _rel_l1(probe, state["prev_probe"])
         should, new_accum = _decide(
             cfg, state, probe, step, total_steps,

@@ -19,6 +19,8 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from fastdm_tpu.utils.logging import logger
+
 
 def _as_list(prompt) -> List[str]:
     return [prompt] if isinstance(prompt, str) else list(prompt)
@@ -253,9 +255,18 @@ class QwenImageTextEncoder:
 
         mp = self.model_path
         self.tokenizer = AutoTokenizer.from_pretrained(os.path.join(mp, "tokenizer"))
-        self.text_encoder = AutoModelForCausalLM.from_pretrained(
-            os.path.join(mp, "text_encoder"), torch_dtype=torch.float32
-        )
+        try:
+            # real Qwen-Image checkpoints ship a Qwen2.5-VL text encoder,
+            # which is NOT in the causal-LM auto-mapping — Vision2Seq first
+            from transformers import AutoModelForVision2Seq
+
+            self.text_encoder = AutoModelForVision2Seq.from_pretrained(
+                os.path.join(mp, "text_encoder"), torch_dtype=torch.float32
+            )
+        except Exception:
+            self.text_encoder = AutoModelForCausalLM.from_pretrained(
+                os.path.join(mp, "text_encoder"), torch_dtype=torch.float32
+            )
         self._loaded = True
 
     def encode(self, prompt, num_images_per_prompt: int = 1):
@@ -273,7 +284,12 @@ class QwenImageTextEncoder:
                 ids.input_ids, attention_mask=ids.attention_mask,
                 output_hidden_states=True,
             )
-            hidden = out.hidden_states[-1][:, self.DROP_IDX :]
+            # diffusers' encode_prompt zero-pads each prompt's embeds past
+            # its own valid length; the DiT attends unmasked (the reference
+            # drops the text mask in forward_qwen), so pad positions must be
+            # ZEROS, not raw pad-token hidden states
+            hidden = out.hidden_states[-1] * ids.attention_mask[..., None]
+            hidden = hidden[:, self.DROP_IDX :]
         embeds = np.repeat(np.asarray(hidden, np.float32), num_images_per_prompt, 0)
         return jnp.asarray(embeds, jnp.bfloat16)
 
@@ -300,8 +316,8 @@ class QwenImageTextEncoder:
         import torch
 
         images = list(image) if isinstance(image, (list, tuple)) else [image]
-        try:
-            if not hasattr(self, "_vl"):
+        if not hasattr(self, "_vl"):
+            try:
                 from transformers import AutoProcessor, AutoModelForVision2Seq
 
                 mp = self.model_path
@@ -311,8 +327,11 @@ class QwenImageTextEncoder:
                 self._vl = AutoModelForVision2Seq.from_pretrained(
                     os.path.join(mp, "text_encoder"), torch_dtype=torch.float32
                 )
-        except Exception as e:
-            print(f"qwen-edit: no vision tower ({e}); text-only conditioning")
+            except Exception as e:
+                self._vl = None  # cache the failure — don't rescan per call
+                logger.warning(
+                    "qwen-edit: no vision tower (%s); text-only conditioning", e)
+        if self._vl is None:
             return self.encode(prompt, num_images_per_prompt)
 
         vision = "<|vision_start|><|image_pad|><|vision_end|>"

@@ -29,6 +29,10 @@ def time_record(name: str | None = None) -> Callable:
         def wrapper(*args, **kwargs):
             if not do_time_prof:
                 return fn(*args, **kwargs)
+            # drain previously enqueued device work first (the reference
+            # decorator cuda-syncs before AND after) — JAX dispatch is async,
+            # so without this t0 includes unrelated queued work
+            jax.block_until_ready(jax.numpy.zeros(()))
             t0 = time.perf_counter()
             out = fn(*args, **kwargs)
             jax.block_until_ready(out)
@@ -43,9 +47,11 @@ def time_record(name: str | None = None) -> Callable:
 def benchmark_kernel(fn: Callable, *args, warmup: int = 3, reps: int = 20) -> float:
     """Best-of-reps latency in seconds, device-synced
     (ref: fastdm/kernel/utils.py:17-34)."""
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
