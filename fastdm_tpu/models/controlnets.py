@@ -338,7 +338,9 @@ class FluxControlNetConfig(FluxConfig):
     num_layers: int = 5
     num_single_layers: int = 0
     guidance_embeds: bool = False
-    conditioning_embedding_channels: Optional[int] = None  # raw-image hint block
+    # raw-image hint variants (input_hint_block) are unsupported; the loader
+    # rejects such checkpoints explicitly
+    conditioning_embedding_channels: Optional[int] = None
 
 
 def flux_controlnet_forward(
@@ -363,11 +365,20 @@ def flux_controlnet_forward(
     text stream — the caller's rope cos/sin must then cover txt_len+1 ids."""
     hidden = qlinear_apply(params["x_embedder"], hidden_states)
     hidden = hidden + qlinear_apply(params["controlnet_x_embedder"], controlnet_cond)
+    # the loader auto-detects the guidance embedder from the checkpoint
+    # (controlnets.py load: 'time_text_embed.guidance_embedder'); gate the
+    # forward on the PARAMS, not the config default, and fail loudly when a
+    # guidance-distilled CN gets no guidance
+    use_guidance = "guidance_embedder" in params["time_text_embed"]
+    if use_guidance and guidance is None:
+        raise ValueError(
+            "this FLUX ControlNet checkpoint is guidance-distilled; "
+            "pass guidance=")
     temb = combined_timestep_text_proj_apply(
         params["time_text_embed"],
         timestep.astype(jnp.float32) * 1000.0,
         pooled_projections,
-        guidance.astype(jnp.float32) * 1000.0 if cfg.guidance_embeds else None,
+        guidance.astype(jnp.float32) * 1000.0 if use_guidance else None,
     )
     encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
     if control_mode is not None and "controlnet_mode_embedder" in params:
@@ -451,8 +462,12 @@ def flux_controlnet_load(src: TensorSource, cfg: FluxControlNetConfig) -> Dict:
 
     CN checkpoints carry the flux trunk WITHOUT norm_out/proj_out, plus
     controlnet_x_embedder and zero-linear heads; union variants add a mode
-    embedder, raw-image variants an input_hint_block conv stack."""
-    from fastdm_tpu.models.flux import flux_load  # reuse block sub-loaders via names
+    embedder, raw-image variants an input_hint_block conv stack (the
+    raw-hint variant is NOT implemented — rejected loudly below)."""
+    if "input_hint_block.0.weight" in src or "input_hint_block.blocks.0.weight" in src:
+        raise NotImplementedError(
+            "raw-image-hint FLUX ControlNet variants (input_hint_block conv "
+            "stack) are not supported; use a latent-hint checkpoint")
 
     q = cfg.quant
     qm = q if cfg.quant_mods else None

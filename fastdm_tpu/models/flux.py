@@ -371,6 +371,11 @@ def _flux_embed(params, cfg, hidden_states, encoder_hidden_states,
                 pooled_projections, timestep, guidance):
     """Shared forward preamble: x/context embedders + combined time-text-
     guidance embedding (one implementation for cached and uncached)."""
+    if cfg.guidance_embeds and guidance is None:
+        # a guidance-distilled model run without guidance is silently wrong
+        # conditioning (the loaded guidance_embedder would be skipped)
+        raise ValueError(
+            "cfg.guidance_embeds=True (FLUX-dev style) requires guidance=")
     hidden = qlinear_apply(params["x_embedder"], hidden_states)
     temb = combined_timestep_text_proj_apply(
         params["time_text_embed"],

@@ -85,7 +85,7 @@ def _attn_random(key, cfg, *, with_context: bool, context_pre_only: bool, quant)
 
 def _joint_block_random(key, cfg: SD3Config, *, dual: bool, last: bool) -> Dict:
     d, q = cfg.inner_dim, cfg.quant
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)
     blk = {
         "norm1": {"linear": qlinear_random(ks[0], d, (9 if dual else 6) * d, quant=None)},
         "norm1_context": {"linear": qlinear_random(ks[1], d, (2 if last else 6) * d, quant=None)},
@@ -101,7 +101,7 @@ def _joint_block_random(key, cfg: SD3Config, *, dual: bool, last: bool) -> Dict:
     if not last:
         blk["ff_context"] = {
             "proj": qlinear_random(ks[7], d, 4 * d, quant=q),
-            "out": qlinear_random(ks[5], 4 * d, d, quant=q),
+            "out": qlinear_random(ks[8], 4 * d, d, quant=q),
         }
     return blk
 
@@ -127,9 +127,9 @@ def sd3_init_random(key: Array, cfg: SD3Config) -> Dict:
         "proj_out": qlinear_random(keys[7], d, p * p * cfg.out_channels, quant=q),
     }
     nd = cfg.num_dual_layers
-    params["dual_attn_blocks"] = stack_blocks([
-        _joint_block_random(keys[8 + i], cfg, dual=True, last=False) for i in range(nd)
-    ])
+    dual = [_joint_block_random(keys[8 + i], cfg, dual=True, last=False)
+            for i in range(nd)]
+    params["dual_attn_blocks"] = stack_blocks(dual) if dual else None
     std = [
         _joint_block_random(keys[8 + i], cfg, dual=False, last=False)
         for i in range(nd, cfg.num_layers - 1)
@@ -206,7 +206,8 @@ def sd3_load(src: TensorSource, cfg: SD3Config) -> Dict:
         return blk
 
     nd = cfg.num_dual_layers
-    params["dual_attn_blocks"] = stack_blocks([load_block(i, True, False) for i in range(nd)])
+    dual = [load_block(i, True, False) for i in range(nd)]
+    params["dual_attn_blocks"] = stack_blocks(dual) if dual else None
     std = [load_block(i, False, False) for i in range(nd, cfg.num_layers - 1)]
     params["std_blocks"] = stack_blocks(std) if std else None
     params["last_block"] = load_block(cfg.num_layers - 1, False, True)
@@ -263,7 +264,7 @@ def sd3_joint_block(
     return hidden, encoder
 
 
-def _scan_segment(blocks, cfg, hidden, encoder, temb, *, dual, cn=None, cn_offset=0, interval=1):
+def _scan_segment(blocks, cfg, hidden, encoder, temb, *, dual, cn=None):
     def body(carry, xs):
         h, e = carry
         if cn is not None:
@@ -354,10 +355,25 @@ def sd3_forward_cached(
 
     elif isinstance(cache_cfg, (FBCacheConfig, DiCacheConfig)):
         depth = 1 if isinstance(cache_cfg, FBCacheConfig) else cache_cfg.probe_depth
-        blk = jax.tree.map(lambda x: x[:depth], params["dual_attn_blocks"])
+        # the probe spans SEGMENTS: first min(depth, nd) dual-attn blocks,
+        # then (depth - nd) standard blocks — an unclamped x[:depth] on the
+        # dual stack alone would silently drop blocks [nd, depth) from every
+        # compute step when probe_depth > num_dual_layers. The last block is
+        # never probed (its context_pre_only output shape differs).
+        depth = min(depth, cfg.num_layers - 1)
+        nd_ = cfg.num_dual_layers
+        d_dual, d_std = min(depth, nd_), max(0, depth - nd_)
+        blk_d = (jax.tree.map(lambda x: x[:d_dual], params["dual_attn_blocks"])
+                 if d_dual else None)
+        blk_s = (jax.tree.map(lambda x: x[:d_std], params["std_blocks"])
+                 if d_std else None)
 
         def probe_fn(hh, ee):
-            h2, e2 = _scan_segment(blk, cfg, hh, ee, temb, dual=True)
+            h2, e2 = hh, ee
+            if blk_d is not None:
+                h2, e2 = _scan_segment(blk_d, cfg, h2, e2, temb, dual=True)
+            if blk_s is not None:
+                h2, e2 = _scan_segment(blk_s, cfg, h2, e2, temb, dual=False)
             return h2, (h2, e2)
 
         def rest_fn(hh, ee):

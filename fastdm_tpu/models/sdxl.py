@@ -450,9 +450,13 @@ def sdxl_attach_ip_adapter(params: Dict, src: TensorSource, cfg: SDXLConfig) -> 
 
     Expects the official IP-Adapter state-dict layout: 'image_proj.*' plus
     'ip_adapter.{proc_idx}.to_k_ip/to_v_ip' where proc_idx enumerates the
-    UNet's attention processors in module DFS order (down, mid, up blocks;
-    attn1 then attn2 per BasicTransformerBlock) — so cross-attention weights
-    sit on odd indices (ref: SDXL IP-Adapter conversion, sdxl.py:114-137).
+    UNet's attention processors in diffusers' named-module registration
+    order — down_blocks, UP_BLOCKS, then MID_BLOCK LAST (UNet2DConditionModel
+    creates both empty ModuleLists before assigning mid_block, so mid lands
+    at the END of unet.attn_processors, which is the order official
+    checkpoints were exported in); attn1 then attn2 per BasicTransformerBlock,
+    so cross-attention weights sit on odd indices (ref: SDXL IP-Adapter
+    conversion, sdxl.py:114-137).
 
     The fused (k,v) projections are quantized like the rest of the UNet and
     stacked per Transformer2DModel so the block scan slices them along with
@@ -477,11 +481,11 @@ def sdxl_attach_ip_adapter(params: Dict, src: TensorSource, cfg: SDXLConfig) -> 
         attach_t2d(a, n1)
     for a in params["down2"]["attns"]:
         attach_t2d(a, n2)
-    attach_t2d(params["mid"]["attn"], n2)
     for a in params["up0"]["attns"]:
         attach_t2d(a, n2)
     for a in params["up1"]["attns"]:
         attach_t2d(a, n1)
+    attach_t2d(params["mid"]["attn"], n2)  # mid is LAST (see docstring)
 
     if "image_proj.proj.weight" in src:
         # plain ImageProjection: one linear -> num_tokens context tokens

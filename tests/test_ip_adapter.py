@@ -77,7 +77,8 @@ def test_sdxl_attach_ip_adapter_plus_layout():
 
     sd = {}
     idx = 0
-    for ch, nl, cnt in ((16, 1, 2), (32, 2, 2), (32, 2, 1), (32, 2, 3), (16, 1, 3)):
+    # processor order = diffusers registration order: down, up, MID LAST
+    for ch, nl, cnt in ((16, 1, 2), (32, 2, 2), (32, 2, 3), (16, 1, 3), (32, 2, 1)):
         for _ in range(cnt):
             for _ in range(nl):
                 idx += 1

@@ -58,3 +58,56 @@ def test_sd3_pos_embed_crop_is_centered():
     np.testing.assert_allclose(
         np.asarray(small).reshape(ht, ht, -1), tbl[top : top + ht, left : left + ht]
     )
+
+
+def test_sd3_dual_free_config_loads_and_runs():
+    """num_dual_layers=0 (SD3.0-style, no dual attention) must init/run —
+    stack_blocks([]) used to IndexError (review finding, round 2)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_dual_layers=0)
+    params = sd3_init_random(jax.random.key(1), cfg)
+    assert params["dual_attn_blocks"] is None
+    rng = np.random.default_rng(1)
+    h, w = 16, 16
+    latent = jnp.asarray(rng.standard_normal((1, cfg.in_channels, h, w)), jnp.bfloat16)
+    encoder = jnp.asarray(rng.standard_normal((1, 8, cfg.joint_attention_dim)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_projection_dim)), jnp.bfloat16)
+    t = jnp.full((1,), 500.0, jnp.float32)
+    pos = sd3_cropped_pos_embed(cfg, None, h, w)
+    out = sd3_forward(params, cfg, latent, encoder, pooled, t, pos)
+    assert out.shape == (1, cfg.out_channels, h, w)
+    assert jnp.isfinite(out.astype(jnp.float32)).all()
+
+
+def test_sd3_dicache_probe_spans_segments():
+    """probe_depth > num_dual_layers: the probe must continue into the
+    standard blocks — the old x[:depth] on the dual stack silently skipped
+    blocks [nd, depth) on every compute step. With threshold=0 (never skip),
+    the cached forward must equal the uncached one for ALL probe depths."""
+    from fastdm_tpu.caching.config import DiCacheConfig
+    from fastdm_tpu.caching.xcaching import cache_init_state
+    from fastdm_tpu.models.sd35 import sd3_forward_cached
+
+    cfg = TINY  # 4 layers, 2 dual
+    params = sd3_init_random(jax.random.key(0), cfg)
+    rng = np.random.default_rng(2)
+    h, w = 16, 16
+    latent = jnp.asarray(rng.standard_normal((1, cfg.in_channels, h, w)), jnp.bfloat16)
+    encoder = jnp.asarray(rng.standard_normal((1, 8, cfg.joint_attention_dim)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_projection_dim)), jnp.bfloat16)
+    t = jnp.full((1,), 500.0, jnp.float32)
+    pos = sd3_cropped_pos_embed(cfg, None, h, w)
+    ref = sd3_forward(params, cfg, latent, encoder, pooled, t, pos)
+    n_tok = (h // 2) * (w // 2)
+    for depth in (1, 3):  # within dual; spanning into std blocks
+        ccfg = DiCacheConfig(cache_algorithm="dicache", enable_caching=True,
+                             threshold=0.0, probe_depth=depth, ret_ratio=0.0)
+        hshape = (1, n_tok, cfg.inner_dim)
+        st = cache_init_state(ccfg, hshape, hshape)
+        out, _ = sd3_forward_cached(
+            params, cfg, ccfg, st, jnp.zeros((), jnp.int32), 4,
+            latent, encoder, pooled, t, pos)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=1e-2, rtol=1e-2)

@@ -77,11 +77,13 @@ def test_sdxl_ip_adapter_attach_and_denoise():
 
     sd = {}
     idx = 0
-    # traversal mirrors diffusers attn_processors DFS: down1(2 t2d x n1),
-    # down2(2 x n2), mid(1 x n2), up0(3 x n2), up1(3 x n1)
+    # traversal mirrors diffusers attn_processors registration order:
+    # down1(2 t2d x n1), down2(2 x n2), up0(3 x n2), up1(3 x n1),
+    # MID LAST (1 x n2) — UNet2DConditionModel registers mid_block after
+    # both block ModuleLists
     n1, n2 = TINY.attn_layers[1], TINY.attn_layers[2]
-    for ch, n_layers, count in ((c1, n1, 2), (c2, n2, 2), (c2, n2, 1),
-                                (c2, n2, 3), (c1, n1, 3)):
+    for ch, n_layers, count in ((c1, n1, 2), (c2, n2, 2), (c2, n2, 3),
+                                (c1, n1, 3), (c2, n2, 1)):
         for _ in range(count):
             for _ in range(n_layers):
                 idx += 1
