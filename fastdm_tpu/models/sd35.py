@@ -332,11 +332,9 @@ def sd3_forward_cached(
     from fastdm_tpu.caching.xcaching import cached_run
 
     b, c, h, w = hidden_states.shape
-    hidden = sd3_patchify(params, cfg, hidden_states, pos_embed)
-    temb = combined_timestep_text_proj_apply(
-        params["time_text_embed"], timestep.astype(jnp.float32), pooled_projections
-    )
-    encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
+    hidden, temb, encoder = _sd3_embed(
+        params, cfg, hidden_states, encoder_hidden_states, pooled_projections,
+        timestep, pos_embed)
 
     first_dual = cfg.num_dual_layers > 0
 
@@ -385,13 +383,7 @@ def sd3_forward_cached(
     hidden, new_state = cached_run(
         cache_cfg, cache_state, step, total_steps, hidden, encoder, probe_fn, rest_fn
     )
-    hidden = ada_layer_norm_continuous(params["norm_out"], hidden, temb)
-    hidden = qlinear_apply(params["proj_out"], hidden)
-    p = cfg.patch_size
-    ht, wt = h // p, w // p
-    x = hidden.reshape(b, ht, wt, p, p, cfg.out_channels)
-    x = jnp.einsum("nhwpqc->nchpwq", x)
-    return x.reshape(b, cfg.out_channels, ht * p, wt * p), new_state
+    return _sd3_output(params, cfg, hidden, temb, b, h, w), new_state
 
 
 def sd3_patchify(params, cfg: SD3Config, latent: Array, pos_embed: Array) -> Array:
@@ -419,6 +411,29 @@ def sd3_cropped_pos_embed(cfg: SD3Config, table: Optional[Array], h: int, w: int
     return t[top : top + ht, left : left + wt].reshape(1, ht * wt, -1)
 
 
+def _sd3_embed(params, cfg, hidden_states, encoder_hidden_states,
+               pooled_projections, timestep, pos_embed):
+    """Shared forward preamble (one implementation for cached + uncached,
+    like flux's _flux_embed)."""
+    hidden = sd3_patchify(params, cfg, hidden_states, pos_embed)
+    temb = combined_timestep_text_proj_apply(
+        params["time_text_embed"], timestep.astype(jnp.float32), pooled_projections
+    )
+    encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
+    return hidden, temb, encoder
+
+
+def _sd3_output(params, cfg, hidden, temb, b, h, w):
+    """Shared output modulation + projection + unpatchify (ref: sd35.py:412-421)."""
+    hidden = ada_layer_norm_continuous(params["norm_out"], hidden, temb)
+    hidden = qlinear_apply(params["proj_out"], hidden)
+    p = cfg.patch_size
+    ht, wt = h // p, w // p
+    x = hidden.reshape(b, ht, wt, p, p, cfg.out_channels)
+    x = jnp.einsum("nhwpqc->nchpwq", x)
+    return x.reshape(b, cfg.out_channels, ht * p, wt * p)
+
+
 def sd3_forward(
     params,
     cfg: SD3Config,
@@ -431,20 +446,8 @@ def sd3_forward(
 ) -> Array:
     """(ref: SD3TransformerModelCore.forward, sd35.py:336-421)"""
     b, c, h, w = hidden_states.shape
-    hidden = sd3_patchify(params, cfg, hidden_states, pos_embed)
-    temb = combined_timestep_text_proj_apply(
-        params["time_text_embed"], timestep.astype(jnp.float32), pooled_projections
-    )
-    encoder = qlinear_apply(params["context_embedder"], encoder_hidden_states)
-
+    hidden, temb, encoder = _sd3_embed(
+        params, cfg, hidden_states, encoder_hidden_states, pooled_projections,
+        timestep, pos_embed)
     hidden = sd3_run_blocks(params, cfg, hidden, encoder, temb, controlnet_block_samples)
-
-    hidden = ada_layer_norm_continuous(params["norm_out"], hidden, temb)
-    hidden = qlinear_apply(params["proj_out"], hidden)
-
-    # unpatchify (ref: sd35.py:412-421)
-    p = cfg.patch_size
-    ht, wt = h // p, w // p
-    x = hidden.reshape(b, ht, wt, p, p, cfg.out_channels)
-    x = jnp.einsum("nhwpqc->nchpwq", x)
-    return x.reshape(b, cfg.out_channels, ht * p, wt * p)
+    return _sd3_output(params, cfg, hidden, temb, b, h, w)
