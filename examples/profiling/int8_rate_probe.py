@@ -41,10 +41,12 @@ def bench(fn, *args, tag=""):
 
 
 def main():
+    global M, N, K
     enable_compilation_cache()
     k1, k2 = jax.random.split(jax.random.key(0))
     a8 = jax.random.randint(k1, (M, K), -127, 128, jnp.int8)
     b8 = jax.random.randint(k2, (K, N), -127, 128, jnp.int8)
+    bt8 = jnp.asarray(np.asarray(b8).T)  # (N, K) row-major = K-minor RHS
     a16 = a8.astype(jnp.bfloat16)
     b16 = b8.astype(jnp.bfloat16)
 
@@ -78,6 +80,41 @@ def main():
         bench(f_f8, a_f8, b_f8, tag="fp8e4m3 x fp8e4m3 -> f32")
     except Exception as e:
         print(f"fp8 path unsupported: {type(e).__name__}: {e}", flush=True)
+
+    # Layout variants: RHS stored (N, K) so the contracting dim is minor on
+    # both operands — MXU weight-stationary loads sometimes prefer this.
+    f_tn = jax.jit(lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32))
+    bench(f_tn, a8, bt8, tag="int8 TN (both K-minor) -> int32")
+    f_tn16 = jax.jit(lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32))
+    bench(f_tn16, a16, jnp.asarray(np.asarray(b16).T), tag="bf16 TN -> f32")
+
+    # int8 -> bf16 output (skip the s32 accumulator writeback width)
+    f_i8bf = jax.jit(lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.bfloat16))
+    bench(f_i8bf, a8, b8, tag="int8 x int8 -> bf16 out")
+
+    # Wide-K variant: rate may need a longer K to amortize int8 pipe setup
+    oldM, oldN, oldK = M, N, K
+    M, N, K = 4096, 4096, 32768
+    a8w = jax.random.randint(k1, (M, K), -127, 128, jnp.int8)
+    b8w = jax.random.randint(k2, (K, N), -127, 128, jnp.int8)
+    bench(f_i32, a8w, b8w, tag="int8 wide-K 4096x32768x4096")
+    bench(f_bf16, a8w.astype(jnp.bfloat16), b8w.astype(jnp.bfloat16),
+          tag="bf16 wide-K 4096x32768x4096")
+    M, N, K = oldM, oldN, oldK
+
+    # What does XLA actually emit for the s8 dot? Look for convert-to-bf16
+    # (emulation) vs a native s8 fusion in the optimized HLO.
+    txt = jax.jit(lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.int32)).lower(a8, b8).compile().as_text()
+    import re
+    dots = [l.strip() for l in txt.splitlines() if re.search(r"(dot|convolution)\(", l)]
+    convs = [l.strip() for l in txt.splitlines() if "convert" in l and ("bf16" in l or "f32" in l)]
+    print("--- optimized HLO dot lines ---", flush=True)
+    for l in dots[:6]:
+        print(l[:160], flush=True)
+    print(f"bf16/f32 converts in module: {len(convs)}", flush=True)
 
 
 if __name__ == "__main__":
