@@ -17,6 +17,9 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="W8A8 float8_e4m3fn quantization")
     parser.add_argument("--use-int8", action="store_true",
                         help="W8A8 int8 quantization (asym activations)")
+    parser.add_argument("--use-int4", action="store_true",
+                        help="W4A4 int4 + SVDQuant low-rank branch (TPU "
+                             "extension; the v5e MXU s4 rate is 1.5x its s8)")
     parser.add_argument("--kernel-backend", type=str, default="auto",
                         choices=["auto", "jnp", "pallas"],
                         help="kernel dispatch backend (ref: KERNEL_BACKEND env)")

@@ -91,6 +91,7 @@ class FastDMEngine:
         architecture: str = "flux",
         use_fp8: bool = False,
         use_int8: bool = False,
+        use_int4: bool = False,  # W4A4 + SVDQuant low-rank (TPU extension)
         kernel_backend: str = "auto",
         cache_config: Optional[str | Dict[str, Any]] = None,
         sparse_attn_config: Optional[str | Dict[str, Any]] = None,
@@ -128,7 +129,10 @@ class FastDMEngine:
         self.architecture_full = architecture
         self.model_path = model_path
         set_global_backend(kernel_backend)
-        quant = "fp8" if use_fp8 else ("int8" if use_int8 else None)
+        if sum((use_fp8, use_int8, use_int4)) > 1:
+            raise ValueError("use_fp8 / use_int8 / use_int4 are mutually exclusive")
+        quant = "fp8" if use_fp8 else ("int8" if use_int8 else
+                                       ("int4" if use_int4 else None))
         self.quant = quant
 
         t0 = time.perf_counter()

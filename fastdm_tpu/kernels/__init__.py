@@ -17,8 +17,10 @@ except ImportError:  # pragma: no cover
 from fastdm_tpu.kernels.ops import (  # noqa: F401, E402
     fp8_matmul,
     gelu_and_mul,
+    int4_matmul,
     int8_matmul,
     quantize_to_fp8,
+    quantize_to_int4,
     quantize_to_int8,
     rms_norm,
     rotary_pos_embedding,

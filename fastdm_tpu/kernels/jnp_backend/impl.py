@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -85,6 +86,54 @@ def quantize_to_int8_jnp(
         jnp.int8
     )
     return q, scale, zp
+
+
+@kernel_registry.register("quantize_to_int4", "jnp")
+def quantize_to_int4_jnp(x: Array) -> Tuple[Array, Array]:
+    """Per-token symmetric int4: scale = rowmax(|x|)/7, q in [-8, 7].
+
+    The W4A4 activation side (SVDQuant-style; the reference has no 4-bit
+    path — this is a TPU-motivated extension: s4 x s4 runs the v5e MXU at
+    1.15-1.35x the s8 rate at FLUX shapes, BENCH_NOTES 2026-08-19).
+
+    q is returned as int4-range values in an INT8 CARRIER: jnp.int4 arrays
+    cannot cross the jit boundary on the axon backend (device_put layout
+    RecursionError, measured 2026-08-19); the s4 cast happens in-graph
+    inside int4_matmul where XLA fuses it into the MXU dot at full rate."""
+    x32 = x.astype(jnp.float32)
+    abs_max = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), _EPS_SCALE)
+    scale = abs_max / 7.0
+    q = jnp.clip(jnp.round(x32 / scale), -8, 7).astype(jnp.int8)
+    return q, scale
+
+
+@kernel_registry.register("int4_matmul", "jnp")
+@functools.partial(jax.jit, static_argnums=(4,))
+def int4_matmul_jnp(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    out_dtype,
+    bias: Optional[Array] = None,
+) -> Array:
+    # s4 x s4 -> s32 runs natively on the MXU (measured 378 TOPS at 8192^3
+    # vs 252 s8); per-token x per-channel dequant in the f32 epilogue.
+    # Inputs arrive as int4-range values in int8 carriers (see
+    # quantize_to_int4_jnp); the in-graph astype keeps the measured rate.
+    # XLA CPU cannot lower an s4 dot — the s8 dot is bit-identical there
+    # (values are int4-range), so tests exercise the same math.
+    if jax.default_backend() == "cpu":
+        acc = jax.lax.dot(a, b, preferred_element_type=jnp.int32)
+    else:
+        acc = jax.lax.dot(a.astype(jnp.int4), b.astype(jnp.int4),
+                          preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (
+        scale_a.astype(jnp.float32) * scale_b.astype(jnp.float32).reshape(1, -1)
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
 
 
 @kernel_registry.register("quantize_to_fp8", "jnp")

@@ -84,6 +84,35 @@ def quantize_to_int8(
     return NotImplemented
 
 
+@kernel_registry.dispatch("quantize_to_int4")
+def quantize_to_int4(x: Array) -> Tuple[Array, Array]:
+    """Per-token symmetric int4 quantization: scale = rowmax(|x|)/7.
+
+    Returns (q int4 (M,K), scale f32 (M,1)). No reference counterpart —
+    TPU extension (v5e MXU s4 rate > s8 rate; BENCH_NOTES 2026-08-19).
+    """
+    return NotImplemented
+
+
+@kernel_registry.dispatch("int4_matmul")
+def int4_matmul(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    out_dtype,
+    bias: Optional[Array] = None,
+) -> Array:
+    """W4A4 int4 matmul: (M,K)s4 @ (K,N)s4 -> s32, dequantized by per-token
+    (M,1) x per-channel (1,N) f32 scales (+ bias), cast to out_dtype.
+
+    Symmetric on both sides (no zero-points): the int4 grid is too coarse
+    for the azp formulation to pay, and the SVDQuant-style low-rank branch
+    (layers/qlinear.py) absorbs the asymmetry instead.
+    """
+    return NotImplemented
+
+
 @kernel_registry.dispatch("quantize_to_fp8")
 def quantize_to_fp8(x: Array) -> Tuple[Array, Array]:
     """Per-token float8_e4m3fn quantization: scale = rowmax(|x|)/448.

@@ -25,8 +25,10 @@ import jax.numpy as jnp
 
 from fastdm_tpu.kernels import (
     fp8_matmul,
+    int4_matmul,
     int8_matmul,
     quantize_to_fp8,
+    quantize_to_int4,
     quantize_to_int8,
 )
 
@@ -35,12 +37,39 @@ Params = Dict[str, Array]
 
 _FP8_MAX = 448.0
 
+# W4A4 low-rank branch rank (SVDQuant, arXiv:2411.05007: a rank-32 bf16
+# side branch absorbs the weight outliers the 4-bit grid cannot represent).
+INT4_LOWRANK_RANK = 32
+
+
+def _lowrank_approx(w32: Array, rank: int, *, iters: int = 2) -> tuple:
+    """Rank-`rank` approximation of (K, N) w32 by randomized subspace
+    iteration (Halko et al. 2011) — pure matmuls, runs on any backend.
+
+    Returns (u (K, r) f32, v (r, N) f32) with w32 ≈ u @ v."""
+    k_dim = w32.shape[0]
+    oversample = min(rank + 8, min(w32.shape))
+    omega = jax.random.normal(jax.random.key(0x5bd), (w32.shape[1], oversample),
+                              jnp.float32)
+    y = w32 @ omega  # (K, r+p)
+    for _ in range(iters):
+        q, _ = jnp.linalg.qr(y)
+        y = w32 @ (w32.T @ q)
+    q, _ = jnp.linalg.qr(y)  # (K, r+p) orthonormal
+    b = q.T @ w32  # (r+p, N)
+    # SVD of the small (r+p, N) factor picks the TOP-rank directions
+    u_b, s_b, vt_b = jnp.linalg.svd(b, full_matrices=False)
+    u = (q @ u_b[:, :rank]) * s_b[:rank][None, :]
+    del k_dim
+    return u, vt_b[:rank]
+
 
 def quantize_weight(w: Array, quant: Optional[str], bias: Optional[Array] = None) -> Params:
     """Quantize a (K, N) weight at load time.
 
     quant: None/"bf16" (no quant), "int8" (per-channel symmetric + colsum),
-    "fp8" (per-channel symmetric e4m3).
+    "fp8" (per-channel symmetric e4m3), "int4" (W4A4 residual + SVDQuant
+    low-rank branch — TPU extension, no reference counterpart).
     (ref: QLinear.weight_loading_and_quant, fastdm/layer/qlinear.py:18-54)
     """
     params: Params = {}
@@ -61,6 +90,23 @@ def quantize_weight(w: Array, quant: Optional[str], bias: Optional[Array] = None
         q = jnp.clip(w32 / scale[None, :], -_FP8_MAX, _FP8_MAX).astype(jnp.float8_e4m3fn)
         params["w"] = q
         params["scale"] = scale
+    elif quant == "int4":
+        # W4A4 (TPU extension; the reference stops at 8-bit): SVDQuant-style
+        # split w = (u @ v) + residual, residual per-channel symmetric int4.
+        # The bf16 low-rank branch carries the outliers; the s4 x s4 dot runs
+        # the MXU above its s8 rate (BENCH_NOTES 2026-08-19). Values live in
+        # an int8 carrier under the "w4" key — jnp.int4 arrays cannot cross
+        # the jit boundary on the axon backend; the s4 cast happens in-graph.
+        w32 = w.astype(jnp.float32)
+        u, v = _lowrank_approx(w32, INT4_LOWRANK_RANK)
+        resid = w32 - u @ v
+        amax = jnp.maximum(jnp.max(jnp.abs(resid), axis=0), 1e-12)
+        scale = amax / 7.0
+        params["w4"] = jnp.clip(jnp.round(resid / scale[None, :]), -8, 7
+                                ).astype(jnp.int8)
+        params["scale"] = scale
+        params["lora_u"] = u.astype(jnp.bfloat16)
+        params["lora_v"] = v.astype(jnp.bfloat16)
     else:
         raise ValueError(f"unsupported quant type {quant!r}")
     if bias is not None:
@@ -114,6 +160,14 @@ def qlinear_random(
             -448.0, 448.0,
         ).astype(jnp.float8_e4m3fn)
         params["scale"] = jnp.full((out_features,), w_std / 448.0, jnp.float32)
+    elif quant == "int4":
+        ku, kv = jax.random.split(kw)
+        params["w4"] = jax.random.randint(
+            kw, (in_features, out_features), -8, 8, jnp.int8)
+        params["scale"] = jnp.full((out_features,), w_std / 7.0, jnp.float32)
+        r = min(INT4_LOWRANK_RANK, in_features, out_features)
+        params["lora_u"] = jax.random.normal(ku, (in_features, r), jnp.bfloat16) * 0.01
+        params["lora_v"] = jax.random.normal(kv, (r, out_features), jnp.bfloat16) * 0.01
     else:
         params["w"] = jax.random.normal(kw, (in_features, out_features), jnp.bfloat16) * w_std
     if b is not None:
@@ -124,10 +178,20 @@ def qlinear_random(
 def qlinear_apply(params: Params, x: Array) -> Array:
     """y = x @ w (+ bias), with per-token activation quantization when the
     weight is int8/fp8. x: (..., K) -> (..., N). (ref: QLinear.forward)"""
-    w = params["w"]
     bias = params.get("bias")
     orig_shape = x.shape
     x2 = x.reshape(-1, orig_shape[-1])
+    if "w4" in params:  # int4 lives in an int8 carrier — key-driven dispatch
+        w = params["w4"]
+        xq, xs = quantize_to_int4(x2)
+        out = int4_matmul(xq, w, xs, params["scale"], x.dtype, bias)
+        # SVDQuant low-rank branch: the bf16 rank-32 side path carries the
+        # outlier mass; its cost is ~r/K of the main dot (negligible)
+        out = out + (
+            (x2.astype(jnp.bfloat16) @ params["lora_u"]) @ params["lora_v"]
+        ).astype(out.dtype)
+        return out.reshape(*orig_shape[:-1], w.shape[-1])
+    w = params["w"]
     if w.dtype == jnp.int8:
         xq, xs, xzp = quantize_to_int8(x2, symmetric=False)
         out = int8_matmul(
