@@ -92,6 +92,7 @@ class FastDMEngine:
         use_fp8: bool = False,
         use_int8: bool = False,
         use_int4: bool = False,  # W4A4 + SVDQuant low-rank (TPU extension)
+        pack_int4: bool = False,  # int4 capacity form: 0.5 byte/param in HBM
         kernel_backend: str = "auto",
         cache_config: Optional[str | Dict[str, Any]] = None,
         sparse_attn_config: Optional[str | Dict[str, Any]] = None,
@@ -131,8 +132,11 @@ class FastDMEngine:
         set_global_backend(kernel_backend)
         if sum((use_fp8, use_int8, use_int4)) > 1:
             raise ValueError("use_fp8 / use_int8 / use_int4 are mutually exclusive")
+        if pack_int4 and not use_int4:
+            raise ValueError("pack_int4 requires use_int4")
         quant = "fp8" if use_fp8 else ("int8" if use_int8 else
-                                       ("int4" if use_int4 else None))
+                                       (("int4p" if pack_int4 else "int4")
+                                        if use_int4 else None))
         self.quant = quant
 
         t0 = time.perf_counter()

@@ -42,6 +42,35 @@ _FP8_MAX = 448.0
 INT4_LOWRANK_RANK = 32
 
 
+def pack_int4(q: Array) -> Array:
+    """Pack int4-range values (int8 carrier, (..., K, N)) into nibbles:
+    (..., K//2, N) int8, low nibble = row 2k, high nibble = row 2k+1.
+
+    The capacity form of the W4A4 path: 0.5 byte/param in HBM. The compute
+    form keeps the unpacked 1-byte carrier (jnp.int4 cannot cross the jit
+    boundary on this backend — BENCH_NOTES 2026-08-19); packed weights are
+    unpacked in-graph per scanned block, so the transient cost is ONE
+    block's weights while residency halves — the lever that fits Wan-A14B
+    on a single 16 GB v5e (BENCH_NOTES residency table)."""
+    k = q.shape[-2]
+    if k % 2:
+        raise ValueError(f"pack_int4 needs even K, got {k}")
+    lo = q[..., 0::2, :] & 0x0F
+    hi = jnp.left_shift(q[..., 1::2, :], 4)
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4(p: Array) -> Array:
+    """Inverse of pack_int4: (..., K//2, N) int8 -> (..., K, N) int4-range.
+
+    Sign extension via arithmetic shifts (jnp.right_shift on signed ints is
+    arithmetic; left shift wraps modularly — both XLA-defined)."""
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    stacked = jnp.stack([lo, hi], axis=-2)  # (..., K//2, 2, N)
+    return stacked.reshape(*p.shape[:-2], 2 * p.shape[-2], p.shape[-1])
+
+
 def _lowrank_approx(w32: Array, rank: int, *, iters: int = 2) -> tuple:
     """Rank-`rank` approximation of (K, N) w32 by randomized subspace
     iteration (Halko et al. 2011) — pure matmuls, runs on any backend.
@@ -90,20 +119,25 @@ def quantize_weight(w: Array, quant: Optional[str], bias: Optional[Array] = None
         q = jnp.clip(w32 / scale[None, :], -_FP8_MAX, _FP8_MAX).astype(jnp.float8_e4m3fn)
         params["w"] = q
         params["scale"] = scale
-    elif quant == "int4":
+    elif quant in ("int4", "int4p"):
         # W4A4 (TPU extension; the reference stops at 8-bit): SVDQuant-style
         # split w = (u @ v) + residual, residual per-channel symmetric int4.
         # The bf16 low-rank branch carries the outliers; the s4 x s4 dot runs
         # the MXU above its s8 rate (BENCH_NOTES 2026-08-19). Values live in
         # an int8 carrier under the "w4" key — jnp.int4 arrays cannot cross
         # the jit boundary on the axon backend; the s4 cast happens in-graph.
+        # "int4p" packs two values per byte ("w4p", capacity form — see
+        # pack_int4).
         w32 = w.astype(jnp.float32)
         u, v = _lowrank_approx(w32, INT4_LOWRANK_RANK)
         resid = w32 - u @ v
         amax = jnp.maximum(jnp.max(jnp.abs(resid), axis=0), 1e-12)
         scale = amax / 7.0
-        params["w4"] = jnp.clip(jnp.round(resid / scale[None, :]), -8, 7
-                                ).astype(jnp.int8)
+        q4 = jnp.clip(jnp.round(resid / scale[None, :]), -8, 7).astype(jnp.int8)
+        if quant == "int4p":
+            params["w4p"] = pack_int4(q4)
+        else:
+            params["w4"] = q4
         params["scale"] = scale
         params["lora_u"] = u.astype(jnp.bfloat16)
         params["lora_v"] = v.astype(jnp.bfloat16)
@@ -160,10 +194,14 @@ def qlinear_random(
             -448.0, 448.0,
         ).astype(jnp.float8_e4m3fn)
         params["scale"] = jnp.full((out_features,), w_std / 448.0, jnp.float32)
-    elif quant == "int4":
+    elif quant in ("int4", "int4p"):
         ku, kv = jax.random.split(kw)
-        params["w4"] = jax.random.randint(
+        q4 = jax.random.randint(
             kw, (in_features, out_features), -8, 8, jnp.int8)
+        if quant == "int4p":
+            params["w4p"] = pack_int4(q4)
+        else:
+            params["w4"] = q4
         params["scale"] = jnp.full((out_features,), w_std / 7.0, jnp.float32)
         r = min(INT4_LOWRANK_RANK, in_features, out_features)
         params["lora_u"] = jax.random.normal(ku, (in_features, r), jnp.bfloat16) * 0.01
@@ -181,8 +219,10 @@ def qlinear_apply(params: Params, x: Array) -> Array:
     bias = params.get("bias")
     orig_shape = x.shape
     x2 = x.reshape(-1, orig_shape[-1])
-    if "w4" in params:  # int4 lives in an int8 carrier — key-driven dispatch
-        w = params["w4"]
+    if "w4" in params or "w4p" in params:
+        # int4 lives in an int8 carrier — key-driven dispatch; the packed
+        # capacity form unpacks in-graph (one block's weights transient)
+        w = params["w4"] if "w4" in params else unpack_int4(params["w4p"])
         xq, xs = quantize_to_int4(x2)
         out = int4_matmul(xq, w, xs, params["scale"], x.dtype, bias)
         # SVDQuant low-rank branch: the bf16 rank-32 side path carries the

@@ -78,14 +78,14 @@ def generic_param_pspec(path: str) -> P:
     row = row or (".proj_out" in path and ("single" in path or "blocks" in path))
     leaf = path.rsplit(".", 1)[-1]
     if col and not row:
-        if leaf in ("w", "w4"):
+        if leaf in ("w", "w4", "w4p"):
             return P(None, None, "tp")
         if leaf == "lora_v":  # (L, r, N): out dim follows the main weight
             return P(None, None, "tp")
         if leaf in ("scale", "colsum", "bias"):
             return P(None, "tp")
     if row:
-        if leaf in ("w", "w4"):
+        if leaf in ("w", "w4", "w4p"):
             return P(None, "tp", None)
         if leaf == "lora_u":  # (L, K, r): in dim follows; partial sums psum'd
             return P(None, "tp", None)
@@ -127,12 +127,12 @@ def flux_param_pspec(path: str) -> P:
     row = row or (".proj_out" in path and "single" in path)
     leaf = path.rsplit(".", 1)[-1]
     if col:
-        if leaf in ("w", "w4", "lora_v"):
+        if leaf in ("w", "w4", "w4p", "lora_v"):
             return P(None, None, "tp")
         if leaf in ("scale", "colsum", "bias"):
             return P(None, "tp")
     if row:
-        if leaf in ("w", "w4", "lora_u"):
+        if leaf in ("w", "w4", "w4p", "lora_u"):
             return P(None, "tp", None)
         return P()  # out-dim vectors replicated
     return P()

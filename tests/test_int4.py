@@ -150,3 +150,70 @@ def test_engine_rejects_conflicting_quant_flags():
     with pytest.raises(ValueError, match="mutually exclusive"):
         FastDMEngine("/nonexistent", architecture="flux",
                      use_int8=True, use_int4=True)
+
+def test_pack_unpack_int4_roundtrip():
+    from fastdm_tpu.layers.qlinear import pack_int4, unpack_int4
+
+    q = jax.random.randint(jax.random.key(12), (6, 64, 48), -8, 8, jnp.int8)
+    p = pack_int4(q)
+    assert p.shape == (6, 32, 48) and p.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(unpack_int4(p)), np.asarray(q))
+    with pytest.raises(ValueError, match="even K"):
+        pack_int4(q[:, :63, :])
+
+
+def test_packed_int4_matches_unpacked_qlinear():
+    """quant='int4p' is bit-identical to quant='int4' (same SVD split, same
+    residual grid); only the carrier layout differs."""
+    w = jax.random.normal(jax.random.key(13), (128, 64), jnp.float32) * 0.02
+    w = w.at[:, 3].mul(30.0)
+    bias = jnp.ones((64,), jnp.float32)
+    p4 = quantize_weight(w, "int4", bias)
+    p4p = quantize_weight(w, "int4p", bias)
+    assert set(p4p) == {"w4p", "scale", "lora_u", "lora_v", "bias"}
+    assert p4p["w4p"].shape == (64, 64)
+    x = jax.random.normal(jax.random.key(14), (8, 128), jnp.bfloat16)
+    # compare both under jit — eager vs jit differ by float reassociation,
+    # but the packed and unpacked carriers feed IDENTICAL integer values
+    # into the same graph, so the compiled outputs must match bitwise
+    y4 = jax.jit(qlinear_apply)(p4, x)
+    y4p = jax.jit(qlinear_apply)(p4p, x)
+    np.testing.assert_allclose(
+        np.asarray(y4, np.float32), np.asarray(y4p, np.float32),
+        rtol=2e-2, atol=2e-2)
+    # and the unpacked carrier is bit-identical to the direct one
+    from fastdm_tpu.layers.qlinear import unpack_int4
+
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(p4p["w4p"])), np.asarray(p4["w4"]))
+
+
+def test_flux_int4p_forward_smoke():
+    """A tiny FLUX core runs end-to-end with the packed capacity form."""
+    from fastdm_tpu.models.flux import FluxConfig, flux_forward, flux_init_random, flux_rope_cache
+
+    cfg = FluxConfig(num_layers=1, num_single_layers=1, num_attention_heads=2,
+                     attention_head_dim=32, joint_attention_dim=64,
+                     pooled_projection_dim=32, in_channels=16, out_channels=16,
+                     axes_dims_rope=(8, 12, 12), quant="int4p", quant_mods=True)
+    params = flux_init_random(jax.random.key(15), cfg)
+    leaves = {p for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+              for p in [p[-1].key] if p == "w4p"}
+    assert "w4p" in leaves  # the packed carrier actually materialized
+    ht = wt = 4
+    txt = 8
+    lat = jax.random.normal(jax.random.key(16), (1, ht * wt, 16), jnp.bfloat16)
+    enc = jax.random.normal(jax.random.key(17), (1, txt, 64), jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.key(18), (1, 32), jnp.bfloat16)
+    cos, sin = flux_rope_cache(cfg, txt, ht, wt)
+    out = flux_forward(params, cfg, lat, enc, pooled,
+                       jnp.array([0.5]), cos, sin, guidance=jnp.array([3.5]))
+    assert out.shape == (1, ht * wt, 16)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_engine_pack_int4_requires_use_int4():
+    from fastdm_tpu.engine import FastDMEngine
+
+    with pytest.raises(ValueError, match="pack_int4 requires"):
+        FastDMEngine("/nonexistent", architecture="flux", pack_int4=True)
