@@ -16,6 +16,30 @@ def _load_state_dict(ckpt_path):
     return TensorSource.from_path(ckpt_path)
 
 
+def _build_cache(use_cache: bool, cache_threshold: float):
+    """Node-level cache controls -> AutoCache, exactly the reference's DiCache
+    construction (ref: comfyui/nodes.py:144-184 — dicache, probe depth 1,
+    ret_ratio 0.2). Returns None when caching is off."""
+    if not use_cache:
+        return None
+    from fastdm_tpu.caching.xcaching import AutoCache
+
+    return AutoCache.from_dict({
+        "cache_algorithm": "dicache",
+        "enable_caching": True,
+        "threshold": cache_threshold,
+        "probe_depth": 1,
+        "ret_ratio": 0.2,
+    })
+
+
+_CACHE_INPUTS = {
+    "use_cache": ("BOOLEAN", {"default": False}),
+    "cache_threshold": ("FLOAT", {"default": 0.2, "min": 0.0, "max": 1.0,
+                                  "step": 0.01}),
+}
+
+
 class FastdmTpuFluxLoader:
     """(ref: FastdmFluxLoader, comfyui/nodes.py:154-217)"""
 
@@ -27,6 +51,7 @@ class FastdmTpuFluxLoader:
             "required": {
                 "ckpt_name": (folder_paths.get_filename_list("diffusion_models"),),
                 "quant": (["int8", "fp8", "bf16"],),
+                **_CACHE_INPUTS,
             }
         }
 
@@ -34,7 +59,7 @@ class FastdmTpuFluxLoader:
     FUNCTION = "load_model"
     CATEGORY = "fastdm_tpu"
 
-    def load_model(self, ckpt_name, quant):
+    def load_model(self, ckpt_name, quant, use_cache=False, cache_threshold=0.2):
         import comfy.model_patcher
         import comfy.model_base
         import comfy.supported_models
@@ -51,7 +76,8 @@ class FastdmTpuFluxLoader:
 
         model_conf = comfy.supported_models.Flux({})
         model = comfy.model_base.Flux(model_conf)
-        model.diffusion_model = ComfyUIFluxForwardWrapper(params, cfg)
+        model.diffusion_model = ComfyUIFluxForwardWrapper(
+            params, cfg, cache=_build_cache(use_cache, cache_threshold))
         return (comfy.model_patcher.ModelPatcher(model, torch.device("cpu"),
                                                  torch.device("cpu")),)
 
@@ -103,6 +129,7 @@ class FastdmTpuSD35Loader:
             "required": {
                 "ckpt_name": (folder_paths.get_filename_list("diffusion_models"),),
                 "quant": (["int8", "fp8", "bf16"],),
+                **_CACHE_INPUTS,
             }
         }
 
@@ -110,7 +137,7 @@ class FastdmTpuSD35Loader:
     FUNCTION = "load_model"
     CATEGORY = "fastdm_tpu"
 
-    def load_model(self, ckpt_name, quant):
+    def load_model(self, ckpt_name, quant, use_cache=False, cache_threshold=0.2):
         import comfy.model_base
         import comfy.model_patcher
         import comfy.supported_models
@@ -125,7 +152,8 @@ class FastdmTpuSD35Loader:
         params = sd3_load(_load_state_dict(ckpt_path), cfg)
         model_conf = comfy.supported_models.SD3({})
         model = comfy.model_base.SD3(model_conf)
-        model.diffusion_model = ComfyUISD3ForwardWrapper(params, cfg)
+        model.diffusion_model = ComfyUISD3ForwardWrapper(
+            params, cfg, cache=_build_cache(use_cache, cache_threshold))
         return (comfy.model_patcher.ModelPatcher(model, torch.device("cpu"),
                                                  torch.device("cpu")),)
 
@@ -141,6 +169,7 @@ class FastdmTpuQwenImageLoader:
             "required": {
                 "ckpt_name": (folder_paths.get_filename_list("diffusion_models"),),
                 "quant": (["int8", "fp8", "bf16"],),
+                **_CACHE_INPUTS,
             }
         }
 
@@ -148,7 +177,7 @@ class FastdmTpuQwenImageLoader:
     FUNCTION = "load_model"
     CATEGORY = "fastdm_tpu"
 
-    def load_model(self, ckpt_name, quant):
+    def load_model(self, ckpt_name, quant, use_cache=False, cache_threshold=0.2):
         import comfy.model_base
         import comfy.model_patcher
         import comfy.supported_models
@@ -164,7 +193,8 @@ class FastdmTpuQwenImageLoader:
         params = qwen_load(_load_state_dict(ckpt_path), cfg)
         model_conf = comfy.supported_models.QwenImage({})
         model = comfy.model_base.QwenImage(model_conf)
-        model.diffusion_model = ComfyUIQwenForwardWrapper(params, cfg)
+        model.diffusion_model = ComfyUIQwenForwardWrapper(
+            params, cfg, cache=_build_cache(use_cache, cache_threshold))
         return (comfy.model_patcher.ModelPatcher(model, torch.device("cpu"),
                                                  torch.device("cpu")),)
 

@@ -2,9 +2,15 @@
 
 ComfyUI drives torch `diffusion_model(x, timestep, context, y, ...)` callables;
 these wrappers bridge torch CPU tensors <-> JAX device arrays around the
-jitted cores. The sigma-indexed cache step callback of the reference
-(doc/introduction.md:62-67) is replaced by the on-device cache carried across
-calls via engine-side state (wired when caching is enabled).
+jitted cores.
+
+Step-skipping caches: the engine keeps cache state in the denoise-loop scan
+carry, but ComfyUI drives the model one externally-scheduled call per step —
+so here the state lives host-side on the wrapper (`HostStepCache`), and the
+step index is recovered from the sampler's sigma schedule exactly like the
+reference's sigma-indexed callback (ref: fastdm/comfyui_entry.py:291-294,
+doc/introduction.md:62-67). Pass `cache=AutoCache(...)` to the Flux/SD3/Qwen
+wrappers to enable it.
 
 Torch is only needed when ComfyUI actually calls in — imports are deferred.
 """
@@ -28,6 +34,89 @@ def _to_torch(a, like):
     return torch.from_numpy(np.asarray(a, np.float32)).to(like.dtype)
 
 
+class HostStepCache:
+    """Host-side cache state across per-step ComfyUI calls.
+
+    ComfyUI calls the model once (or twice, for CFG) per sampler step; the
+    reference recovers the step index by locating the call's sigma in the
+    full schedule (`transformer_options['sample_sigmas']` vs `['sigmas']`,
+    ref: fastdm/comfyui_entry.py:291-294) and keeps skip state on the model
+    object. Same design here: `cached_run` is pure, so the jax-array state
+    dict simply persists on this object between calls. CFG double-calls at
+    the same step alternate pos/neg state slots, matching the reference's
+    `negtive_cache` dual-state (ref: fastdm/caching/xcaching.py:66-76).
+    A step index that moves backwards signals a new sampling run -> reset.
+    """
+
+    def __init__(self, config):
+        from fastdm_tpu.caching.xcaching import negative_stream_config
+
+        self.config = config
+        self.neg_config = negative_stream_config(config)
+        self.reset()
+
+    def reset(self):
+        self.states = [None, None]  # pos / neg CFG stream
+        self._last_step = None
+        self._slot = 0
+
+    @property
+    def skips(self) -> int:
+        """Total recorded step-skips across both CFG streams (observability
+        parity with the reference's per-step skip prints)."""
+        return sum(int(st["skips"]) for st in self.states if st is not None)
+
+    @staticmethod
+    def step_from_options(transformer_options) -> Optional[tuple]:
+        """(step, total) from the sampler sigma schedule; None when ComfyUI
+        didn't provide sigmas (then the caller must run uncached)."""
+        all_s = transformer_options.get("sample_sigmas")
+        cur = transformer_options.get("sigmas")
+        if all_s is None or cur is None:
+            return None
+        all_np = np.asarray(all_s.detach().cpu().float()).reshape(-1)
+        cur_np = np.asarray(cur.detach().cpu().float()).reshape(-1)
+        idx = np.nonzero(all_np == cur_np[0])[0]
+        if idx.size == 0:
+            return None
+        # total = full schedule length, matching the reference's
+        # total_steps_callback = all_steps_sigmas.shape[0] (:294)
+        return int(idx[0]), int(all_np.shape[0])
+
+    def begin(self, step: int) -> int:
+        """Select the state slot for this call; returns the slot index."""
+        if self._last_step is None or step < self._last_step:
+            self.reset()
+        if step == self._last_step:
+            self._slot = 1 - self._slot  # CFG second forward this step
+        else:
+            self._slot = 0
+        self._last_step = step
+        return self._slot
+
+    def config_for(self, slot: int):
+        return self.config if slot == 0 else self.neg_config
+
+    def ensure_state(self, slot: int, hidden_shape, probe_shape):
+        if self.states[slot] is None:
+            from fastdm_tpu.caching.xcaching import cache_init_state
+
+            self.states[slot] = cache_init_state(
+                self.config_for(slot), hidden_shape, probe_shape
+            )
+        return self.states[slot]
+
+
+def _make_host_cache(cache) -> Optional[HostStepCache]:
+    """Wrapper-ctor helper: AutoCache | CacheConfig | None -> HostStepCache."""
+    if cache is None:
+        return None
+    config = getattr(cache, "config", cache)
+    if not config.enable_caching:
+        return None
+    return HostStepCache(config)
+
+
 def pad_to_patch_size(x_np: np.ndarray, patch: int = 2):
     """(ref: comfyui_entry.py:17-25) pad H/W up to the patch multiple."""
     b, c, h, w = x_np.shape
@@ -41,14 +130,19 @@ class ComfyUIFluxForwardWrapper:
     """Callable matching ComfyUI's flux diffusion_model signature
     (ref: comfyui_entry.py:287+)."""
 
-    def __init__(self, params, cfg):
+    def __init__(self, params, cfg, cache=None):
         import jax
+
+        from fastdm_tpu.models.flux import flux_forward, flux_forward_cached
 
         self.params = params
         self.cfg = cfg
-        self._fwd = jax.jit(
-            __import__("fastdm_tpu.models.flux", fromlist=["flux_forward"]).flux_forward,
-            static_argnames="cfg",
+        self._fwd = jax.jit(flux_forward, static_argnames="cfg")
+        self.cache = _make_host_cache(cache)
+        self._fwd_cached = (
+            jax.jit(flux_forward_cached,
+                    static_argnames=("cfg", "cache_cfg", "total_steps"))
+            if self.cache is not None else None
         )
         self._rope_cache = {}
 
@@ -73,7 +167,24 @@ class ComfyUIFluxForwardWrapper:
         if key not in self._rope_cache:
             self._rope_cache[key] = flux_rope_cache(self.cfg, ctx.shape[1], ht, wt)
         cos, sin = self._rope_cache[key]
-        out = self._fwd(self.params, self.cfg, hidden, ctx, pooled, t, cos, sin, guidance=g)
+        step_info = (
+            HostStepCache.step_from_options(transformer_options)
+            if self.cache is not None else None
+        )
+        if step_info is not None:
+            step, total = step_info
+            slot = self.cache.begin(step)
+            hshape = (hidden.shape[0], hidden.shape[1], self.cfg.inner_dim)
+            st = self.cache.ensure_state(slot, hshape, hshape)
+            out, st = self._fwd_cached(
+                self.params, self.cfg, self.cache.config_for(slot), st,
+                jnp.int32(step), total, hidden, ctx, pooled, t, cos, sin,
+                guidance=g,
+            )
+            self.cache.states[slot] = st
+        else:
+            out = self._fwd(self.params, self.cfg, hidden, ctx, pooled, t,
+                            cos, sin, guidance=g)
         img = flux_unpack_latents(out, ht, wt)[:, :, :h, :w]
         return _to_torch(img, x)
 
@@ -112,14 +223,19 @@ class ComfyUISD3ForwardWrapper:
     """Callable matching ComfyUI's SD3 MMDiT signature
     (ref wrapper role: comfyui_entry.py SD35 path)."""
 
-    def __init__(self, params, cfg):
+    def __init__(self, params, cfg, cache=None):
         import jax
+
+        from fastdm_tpu.models.sd35 import sd3_forward, sd3_forward_cached
 
         self.params = params
         self.cfg = cfg
-        self._fwd = jax.jit(
-            __import__("fastdm_tpu.models.sd35", fromlist=["sd3_forward"]).sd3_forward,
-            static_argnames="cfg",
+        self._fwd = jax.jit(sd3_forward, static_argnames="cfg")
+        self.cache = _make_host_cache(cache)
+        self._fwd_cached = (
+            jax.jit(sd3_forward_cached,
+                    static_argnames=("cfg", "cache_cfg", "total_steps"))
+            if self.cache is not None else None
         )
         self._pos_cache = {}
 
@@ -136,26 +252,46 @@ class ComfyUISD3ForwardWrapper:
         t = jnp.asarray(np.asarray(timestep.detach().cpu().float()), jnp.float32)
         # ComfyUI hands flow sigma in [0,1]; the core expects 0..1000 timesteps
         t = t * 1000.0
-        out = self._fwd(
-            self.params, self.cfg, sample, _to_jax(context), _to_jax(y), t,
-            self._pos_cache[(h, w)],
+        step_info = (
+            HostStepCache.step_from_options(transformer_options)
+            if self.cache is not None else None
         )
+        if step_info is not None:
+            step, total = step_info
+            slot = self.cache.begin(step)
+            p = self.cfg.patch_size
+            hshape = (sample.shape[0], (h // p) * (w // p), self.cfg.inner_dim)
+            st = self.cache.ensure_state(slot, hshape, hshape)
+            out, st = self._fwd_cached(
+                self.params, self.cfg, self.cache.config_for(slot), st,
+                jnp.int32(step), total, sample, _to_jax(context), _to_jax(y),
+                t, self._pos_cache[(h, w)],
+            )
+            self.cache.states[slot] = st
+        else:
+            out = self._fwd(
+                self.params, self.cfg, sample, _to_jax(context), _to_jax(y), t,
+                self._pos_cache[(h, w)],
+            )
         return _to_torch(out, x)
 
 
 class ComfyUIQwenForwardWrapper:
     """Callable matching ComfyUI's Qwen-Image signature (packed like flux)."""
 
-    def __init__(self, params, cfg):
+    def __init__(self, params, cfg, cache=None):
         import jax
+
+        from fastdm_tpu.models.qwenimage import qwen_forward, qwen_forward_cached
 
         self.params = params
         self.cfg = cfg
-        self._fwd = jax.jit(
-            __import__(
-                "fastdm_tpu.models.qwenimage", fromlist=["qwen_forward"]
-            ).qwen_forward,
-            static_argnames="cfg",
+        self._fwd = jax.jit(qwen_forward, static_argnames="cfg")
+        self.cache = _make_host_cache(cache)
+        self._fwd_cached = (
+            jax.jit(qwen_forward_cached,
+                    static_argnames=("cfg", "cache_cfg", "total_steps"))
+            if self.cache is not None else None
         )
         self._rope_cache = {}
 
@@ -173,7 +309,30 @@ class ComfyUIQwenForwardWrapper:
         if key not in self._rope_cache:
             self._rope_cache[key] = qwen_rope_cos_sin(self.cfg, 1, ht, wt, ctx.shape[1])
         cos, sin = self._rope_cache[key]
-        out = self._fwd(self.params, self.cfg, hidden, ctx, t, cos, sin)
+        step_info = (
+            HostStepCache.step_from_options(transformer_options)
+            if self.cache is not None else None
+        )
+        if step_info is not None:
+            from fastdm_tpu.caching.config import TeaCacheConfig
+
+            step, total = step_info
+            slot = self.cache.begin(step)
+            hshape = (hidden.shape[0], hidden.shape[1], self.cfg.inner_dim)
+            # qwen TeaCache probes the TEXT-stream modulated input
+            # (ref: xcaching.py:171-181 qwenimage path)
+            pshape = (
+                (ctx.shape[0], ctx.shape[1], self.cfg.inner_dim)
+                if isinstance(self.cache.config, TeaCacheConfig) else hshape
+            )
+            st = self.cache.ensure_state(slot, hshape, pshape)
+            out, st = self._fwd_cached(
+                self.params, self.cfg, self.cache.config_for(slot), st,
+                jnp.int32(step), total, hidden, ctx, t, cos, sin,
+            )
+            self.cache.states[slot] = st
+        else:
+            out = self._fwd(self.params, self.cfg, hidden, ctx, t, cos, sin)
         img = flux_unpack_latents(out, ht, wt)[:, :, :h, :w]
         return _to_torch(img, x)
 

@@ -98,6 +98,154 @@ def test_qwen_wrapper_roundtrip():
     assert torch.isfinite(out).all()
 
 
+def _flux_tiny():
+    from fastdm_tpu.models.flux import FluxConfig, flux_init_random
+
+    cfg = FluxConfig(num_layers=2, num_single_layers=1, attention_head_dim=32,
+                     num_attention_heads=2, joint_attention_dim=24,
+                     pooled_projection_dim=16, in_channels=8, out_channels=8,
+                     axes_dims_rope=(8, 12, 12), guidance_embeds=False,
+                     quant=None)
+    return flux_init_random(jax.random.key(0), cfg), cfg
+
+
+def _sigma_options(sigmas, i):
+    """transformer_options the way ComfyUI's sampler populates them."""
+    return {"sample_sigmas": sigmas, "sigmas": sigmas[i : i + 1]}
+
+
+def test_flux_wrapper_cache_skips_steps():
+    """Host-side DiCache across per-step ComfyUI calls: constant inputs make
+    every post-warmup rel-L1 distance 0, so all non-forced steps must skip
+    (ref node cache semantics: comfyui/nodes.py:144-184, sigma-indexed step:
+    comfyui_entry.py:291-294)."""
+    from fastdm_tpu.caching.xcaching import AutoCache
+    from fastdm_tpu.comfyui_entry import ComfyUIFluxForwardWrapper
+
+    params, cfg = _flux_tiny()
+    cache = AutoCache.from_dict({
+        "cache_algorithm": "dicache", "enable_caching": True,
+        "threshold": 0.2, "probe_depth": 1, "ret_ratio": 0.2,
+    })
+    w = ComfyUIFluxForwardWrapper(params, cfg, cache=cache)
+    assert w.cache is not None
+
+    n = 8
+    sigmas = torch.linspace(1.0, 0.0, n + 1)
+    x = _t((1, 2, 8, 8), 1)
+    ctx, y = _t((1, 5, 24), 3), _t((1, 16), 4)
+    for i in range(n):
+        out = w(x, timestep=sigmas[i : i + 1], context=ctx, y=y,
+                transformer_options=_sigma_options(sigmas, i))
+        assert out.shape == (1, 2, 8, 8) and torch.isfinite(out).all()
+    # warmup = step <= int(0.2 * 9) = 1 -> steps 0,1 forced; 2..7 skip
+    assert w.cache.skips >= 1
+    assert w.cache.skips == n - 2
+
+    # a fresh schedule (step index restarts) resets the state
+    w(x, timestep=sigmas[:1], context=ctx, y=y,
+      transformer_options=_sigma_options(sigmas, 0))
+    assert w.cache.skips == 0
+
+
+def test_flux_wrapper_cache_cfg_dual_stream():
+    """CFG runs call the model twice per step; the two calls must land in
+    separate state slots (ref dual pos/neg state: xcaching.py:66-76) — with
+    DIFFERENT inputs per stream, cross-talk would poison the probe distance."""
+    from fastdm_tpu.caching.xcaching import AutoCache
+    from fastdm_tpu.comfyui_entry import ComfyUIFluxForwardWrapper
+
+    params, cfg = _flux_tiny()
+    cache = AutoCache.from_dict({
+        "cache_algorithm": "dicache", "enable_caching": True,
+        "threshold": 0.2, "probe_depth": 1, "ret_ratio": 0.2,
+    })
+    w = ComfyUIFluxForwardWrapper(params, cfg, cache=cache)
+
+    n = 6
+    sigmas = torch.linspace(1.0, 0.0, n + 1)
+    x = _t((1, 2, 8, 8), 1)
+    ctx_pos, ctx_neg = _t((1, 5, 24), 3), _t((1, 5, 24), 30)
+    y = _t((1, 16), 4)
+    for i in range(n):
+        opts = _sigma_options(sigmas, i)
+        w(x, timestep=sigmas[i : i + 1], context=ctx_pos, y=y,
+          transformer_options=opts)
+        w(x, timestep=sigmas[i : i + 1], context=ctx_neg, y=y,
+          transformer_options=opts)
+    assert all(st is not None for st in w.cache.states)
+    # constant per-stream inputs -> both streams skip all non-warmup steps
+    per_stream = n - 2  # warmup: step <= int(0.2*7) = 1
+    assert w.cache.skips == 2 * per_stream
+
+
+def test_wrapper_without_sigmas_runs_uncached():
+    """ComfyUI contexts that omit sample_sigmas must still work (uncached)."""
+    from fastdm_tpu.caching.xcaching import AutoCache
+    from fastdm_tpu.comfyui_entry import ComfyUIFluxForwardWrapper
+
+    params, cfg = _flux_tiny()
+    cache = AutoCache.from_dict({
+        "cache_algorithm": "dicache", "enable_caching": True,
+        "threshold": 0.2, "probe_depth": 1, "ret_ratio": 0.2,
+    })
+    w = ComfyUIFluxForwardWrapper(params, cfg, cache=cache)
+    out = w(_t((1, 2, 8, 8), 1), timestep=_t((1,), 2, 0.1).abs(),
+            context=_t((1, 5, 24), 3), y=_t((1, 16), 4))
+    assert torch.isfinite(out).all()
+    assert all(st is None for st in w.cache.states)
+
+
+def test_sd3_and_qwen_wrapper_cache():
+    """SD3.5 + Qwen wrappers carry the same host cache (TeaCache for qwen
+    exercises the text-stream probe shape)."""
+    from fastdm_tpu.caching.xcaching import AutoCache
+    from fastdm_tpu.comfyui_entry import (
+        ComfyUIQwenForwardWrapper,
+        ComfyUISD3ForwardWrapper,
+    )
+    from fastdm_tpu.models.qwenimage import QwenImageConfig, qwen_init_random
+    from fastdm_tpu.models.sd35 import SD3Config, sd3_init_random
+
+    n = 6
+    sigmas = torch.linspace(1.0, 0.0, n + 1)
+
+    cfg3 = SD3Config(sample_size=16, patch_size=2, in_channels=4, out_channels=4,
+                     num_layers=4, attention_head_dim=16, num_attention_heads=4,
+                     joint_attention_dim=32, caption_projection_dim=64,
+                     pooled_projection_dim=24, pos_embed_max_size=24,
+                     num_dual_layers=2, quant=None)
+    w3 = ComfyUISD3ForwardWrapper(
+        sd3_init_random(jax.random.key(0), cfg3), cfg3,
+        cache=AutoCache.from_dict({
+            "cache_algorithm": "fbcache", "enable_caching": True,
+            "threshold": 0.3, "warmup_steps": 1,
+        }))
+    x3, c3, y3 = _t((1, 4, 16, 16), 1), _t((1, 6, 32), 2), _t((1, 24), 3)
+    for i in range(n):
+        out = w3(x3, timestep=sigmas[i : i + 1], context=c3, y=y3,
+                 transformer_options=_sigma_options(sigmas, i))
+        assert torch.isfinite(out).all()
+    assert w3.cache.skips == n - 2  # warmup_steps=1 -> steps 0,1 forced
+
+    cfgq = QwenImageConfig(num_layers=2, attention_head_dim=32,
+                           num_attention_heads=2, joint_attention_dim=24,
+                           in_channels=8, out_channels=2,
+                           axes_dims_rope=(8, 12, 12), quant=None)
+    wq = ComfyUIQwenForwardWrapper(
+        qwen_init_random(jax.random.key(0), cfgq), cfgq,
+        cache=AutoCache.from_dict({
+            "cache_algorithm": "teacache", "enable_caching": True,
+            "threshold": 0.5, "coefficients": [1.0, 0.0],
+        }))
+    xq, cq = _t((1, 2, 6, 8), 1), _t((1, 5, 24), 2)
+    for i in range(n):
+        out = wq(xq, timestep=sigmas[i : i + 1], context=cq,
+                 transformer_options=_sigma_options(sigmas, i))
+        assert torch.isfinite(out).all()
+    assert wq.cache.skips == n - 1  # teacache forces step 0 only
+
+
 def test_sdxl_controlnet_wrapper_residual_dict():
     from fastdm_tpu.comfyui_entry import ComfyUISDXLControlnetForwardWrapper
     from fastdm_tpu.models.controlnets import sdxl_controlnet_init_random
