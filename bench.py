@@ -15,7 +15,10 @@ own accelerated number on its best hardware; > 1.0 means faster than FastDM).
 
 Env knobs:
   BENCH_CACHE=teacache|none   (default teacache, mirroring '+cache' rows)
-  BENCH_STEPS, BENCH_HEIGHT, BENCH_WIDTH, BENCH_QUANT (int8|fp8|bf16)
+  BENCH_STEPS, BENCH_HEIGHT, BENCH_WIDTH
+  BENCH_QUANT=int8|fp8|bf16|int4|int4p   (int4 = W4A4 + SVDQuant low-rank
+      branch, the measured lever past the int8 roofline; int4p = packed
+      0.5 byte/param capacity form, same values)
 """
 
 import json
@@ -84,8 +87,13 @@ def main():
     import numpy as np
 
     # warmup / compile (np.asarray forces a real device sync over the tunnel)
-    out, _ = run(params, latents, encoder, pooled, cos, sin)
+    out, skips = run(params, latents, encoder, pooled, cos, sin)
     np.asarray(out)
+    if cache_cfg is not None:
+        # skip-rate observability (stderr keeps the stdout JSON contract):
+        # the reference's H20 19.91 -> 10.02 s implies ~half the steps replay
+        print(f"cache skipped {int(np.asarray(skips))}/{steps} steps",
+              file=sys.stderr)
 
     # timed runs (fresh latents each time; donated arg)
     times = []

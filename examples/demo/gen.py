@@ -56,7 +56,7 @@ def main():
         architecture=args.architecture,
         use_fp8=args.use_fp8,
         use_int8=args.use_int8,
-        use_int4=args.use_int4,
+        use_int4=args.use_int4, pack_int4=args.pack_int4,
         kernel_backend=args.kernel_backend,
         cache_config=args.cache_config,
         sparse_attn_config=args.sparse_attn_config,

@@ -30,7 +30,7 @@ def main():
 
     engine = FastDMEngine(
         model_path=args.model_path, architecture=args.architecture,
-        use_fp8=args.use_fp8, use_int8=args.use_int8, use_int4=args.use_int4,
+        use_fp8=args.use_fp8, use_int8=args.use_int8, use_int4=args.use_int4, pack_int4=args.pack_int4,
         kernel_backend=args.kernel_backend, cache_config=args.cache_config,
         mesh_shape=parse_mesh_shape(args.mesh_shape),
     )

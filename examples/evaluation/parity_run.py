@@ -180,6 +180,115 @@ def run_parity(args, post_init=None):
     return report
 
 
+def _checkpoint_key_list(tdir: str):
+    """Tensor-name list of a checkpoint directory WITHOUT loading weights:
+    prefers `*.safetensors.index.json` (weight_map names — tiny, often
+    fetchable alone), else reads the 8-byte-header JSON of each .safetensors
+    file (mmap-free: header only)."""
+    import glob
+    import struct
+
+    for idx in sorted(glob.glob(os.path.join(tdir, "*.safetensors.index.json"))):
+        with open(idx) as f:
+            return sorted(json.load(f)["weight_map"]), os.path.basename(idx)
+    names = []
+    files = sorted(glob.glob(os.path.join(tdir, "*.safetensors")))
+    for path in files:
+        with open(path, "rb") as f:
+            (hlen,) = struct.unpack("<Q", f.read(8))
+            header = json.loads(f.read(hlen))
+        names.extend(k for k in header if k != "__metadata__")
+    if not files:
+        raise FileNotFoundError(f"no safetensors index or files in {tdir}")
+    return sorted(names), f"{len(files)} safetensors header(s)"
+
+
+def _expected_key_set(architecture: str, cfg_json: dict):
+    """The loader's expected checkpoint key set, derived from the SAME
+    synthetic-layout generators the golden tests load (tests/test_golden_*).
+    Key NAMES depend only on layer counts/flags, so tiny hidden dims suffice —
+    no 12B-param materialization. Kontext/Krea share the flux layout and
+    Qwen-Edit the qwen layout; their configs differ only in counts/flags,
+    which is exactly what this check validates."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "tests"))
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = architecture.lower()
+    arch = next((fam for fam in ("flux", "kontext", "krea", "qwen", "sd35",
+                                 "sd3", "wan") if a.startswith(fam)), a)
+    if arch in ("flux", "kontext", "krea"):
+        import test_golden_flux as g
+
+        dims = dict(g.TINY)
+        for k in ("num_layers", "num_single_layers"):
+            if k in cfg_json:
+                dims[k] = cfg_json[k]
+        keys = set(g._synthetic_state_dict(dims, rng))
+        if not cfg_json.get("guidance_embeds", True):
+            keys = {k for k in keys if "guidance_embedder" not in k}
+        return keys
+    if arch == "qwen":
+        import test_golden_qwen as g
+
+        saved = dict(g.TINY)
+        try:
+            g.TINY["num_layers"] = cfg_json.get("num_layers", saved["num_layers"])
+            return set(g._state_dict(rng))
+        finally:
+            g.TINY.update(saved)
+    if arch in ("sd35", "sd3"):
+        import test_golden_sd35 as g
+
+        saved, saved_dual = dict(g.TINY), g.DUAL
+        try:
+            g.TINY["num_layers"] = cfg_json.get("num_layers", saved["num_layers"])
+            g.DUAL = tuple(cfg_json.get("dual_attention_layers", saved_dual))
+            return set(g._state_dict(rng))
+        finally:
+            g.TINY.update(saved)
+            g.DUAL = saved_dual
+    if arch == "wan":
+        import test_golden_wan as g
+
+        saved = dict(g.TINY)
+        try:
+            g.TINY["num_layers"] = cfg_json.get("num_layers", saved["num_layers"])
+            return set(g._state_dict(rng))
+        finally:
+            g.TINY.update(saved)
+    raise SystemExit(f"--check-index supports flux/qwen/sd35/wan families, "
+                     f"not {architecture!r}")
+
+
+def check_index(model_path: str, architecture: str) -> dict:
+    """Diff the loader's expected key set against a real checkpoint's tensor
+    NAME list (index json / safetensors headers — no weight bytes needed).
+    This retires the 'loader name maps vs real checkpoint layouts' risk for
+    Kontext/Krea/Edit variants before any full download (SURVEY.md §7
+    'weight loading fidelity')."""
+    tdir = os.path.join(model_path, "transformer")
+    if not os.path.isdir(tdir):
+        tdir = model_path
+    names, source = _checkpoint_key_list(tdir)
+    cfg_path = os.path.join(tdir, "config.json")
+    cfg_json = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg_json = json.load(f)
+    expected = _expected_key_set(architecture, cfg_json)
+    actual = set(names)
+    report = {
+        "source": source,
+        "checkpoint_keys": len(actual),
+        "expected_keys": len(expected),
+        "missing_in_checkpoint": sorted(expected - actual),
+        "unexpected_in_checkpoint": sorted(actual - expected),
+        "ok": expected == actual,
+    }
+    return report
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--model-path", required=True)
@@ -200,8 +309,18 @@ def main(argv=None):
     p.add_argument("--clip-path", default="openai/clip-vit-large-patch14")
     p.add_argument("--skip-clip", action="store_true")
     p.add_argument("--refit-teacache", action="store_true")
+    p.add_argument("--check-index", action="store_true",
+                   help="only diff the loader key map against the checkpoint "
+                        "index / safetensors headers (no weights loaded)")
     p.add_argument("--report", default="parity.json")
     args = p.parse_args(argv)
+
+    if args.check_index:
+        report = check_index(args.model_path, args.architecture)
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        return 0 if report["ok"] else 1
 
     report = run_parity(args)
 

@@ -6,10 +6,15 @@ re-measures the same 20-layer forward with the round-2 fine-gather sparse
 path (sdpa_gather_fine, CSR tables) to turn the kernel-level 2.01x into a
 measured end-to-end forward number (BENCH_NOTES "A14B residency" section).
 
+Round-3: A14B_QUANT=int4p packs the weights 0.5 byte/param (~7.2 GB for all
+40 layers), which makes the FULL 40-layer 720p81f forward measurable on one
+16GB chip — replacing the 20-layer extrapolation (VERDICT r2 item 3).
+
 Run: nohup python -u examples/profiling/a14b_sparse_forward.py > /tmp/a14b.log 2>&1 &
 Env: A14B_LAYERS (default 20), A14B_FRAMES (default 21 latent frames),
 A14B_LH/A14B_LW (default 90x160 = 720p latents; 64x64 = the Lightning 512^2
-serving shape), A14B_DENSE_ONLY=1 (skip the sparse half — Lightning's 1024
+serving shape), A14B_QUANT=int8|int4|int4p (default int8),
+A14B_DENSE_ONLY=1 (skip the sparse half — Lightning's 1024
 tokens/frame makes radial sparsity inapplicable, see BENCH_NOTES Wan-5B).
 """
 
@@ -38,11 +43,15 @@ def main():
     lf = int(os.environ.get("A14B_FRAMES", 21))  # 81 px frames -> 21 latent
     lh = int(os.environ.get("A14B_LH", 90))      # 720p latent default
     lw = int(os.environ.get("A14B_LW", 160))
-    cfg = WanConfig(num_layers=layers, quant="int8")
+    quant = os.environ.get("A14B_QUANT", "int8")
+    cfg = WanConfig(num_layers=layers, quant=quant)
     params = jax.jit(lambda k: wan_init_random(k, cfg))(jax.random.key(0))
     pt, ph, pw = cfg.patch_size
     tokens = (lf // pt) * (lh // ph) * (lw // pw)
-    print(f"A14B {layers}/40 layers, {tokens} tokens", flush=True)
+    wbytes = sum(x.size * x.dtype.itemsize
+                 for x in jax.tree_util.tree_leaves(params))
+    print(f"A14B {layers}/40 layers, {tokens} tokens, quant={quant}, "
+          f"weights {wbytes/2**30:.2f} GiB", flush=True)
 
     k = jax.random.key(1)
     lat = jax.random.normal(k, (1, cfg.in_channels, lf, lh, lw), jnp.bfloat16)

@@ -39,7 +39,7 @@ def main():
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--num-frames", type=int, default=16)
     p.add_argument("--quant", default="int8",
-                   choices=["int8", "fp8", "bf16", "int4"])
+                   choices=["int8", "fp8", "bf16", "int4", "int4p"])
     p.add_argument("--layers", type=int, default=None, help="override layer count")
     p.add_argument("--reps", type=int, default=5)
     args = p.parse_args()

@@ -20,6 +20,10 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--use-int4", action="store_true",
                         help="W4A4 int4 + SVDQuant low-rank branch (TPU "
                              "extension; the v5e MXU s4 rate is 1.5x its s8)")
+    parser.add_argument("--pack-int4", action="store_true",
+                        help="with --use-int4: pack two int4 per byte in HBM "
+                             "(0.5 byte/param capacity form — fits Wan-A14B "
+                             "on a 16GB chip; unpacked in-graph before the dot)")
     parser.add_argument("--kernel-backend", type=str, default="auto",
                         choices=["auto", "jnp", "pallas"],
                         help="kernel dispatch backend (ref: KERNEL_BACKEND env)")

@@ -99,7 +99,7 @@ class FastDMEngine:
         oom_resolve: bool = False,  # accepted for parity; host text-encode is default
         max_sequence_length: int = 512,
         quant_mods: bool = False,
-        mesh_shape: Optional[tuple] = None,  # (dp, sp, tp) for multi-chip TP/SP
+        mesh_shape: Optional[tuple] = None,  # (dp, sp, tp) or (dp, sp, tp, pp)
         controlnet_path: Optional[str] = None,  # flux/sdxl CN checkpoint dir
         ip_adapter_path: Optional[str] = None,  # sdxl IP-Adapter checkpoint
         ip_adapter_scale: float = 0.6,
@@ -132,6 +132,19 @@ class FastDMEngine:
         set_global_backend(kernel_backend)
         if sum((use_fp8, use_int8, use_int4)) > 1:
             raise ValueError("use_fp8 / use_int8 / use_int4 are mutually exclusive")
+        if mesh_shape is not None:
+            if len(mesh_shape) not in (3, 4):
+                raise ValueError(
+                    f"mesh_shape must be (dp, sp, tp) or (dp, sp, tp, pp), "
+                    f"got {mesh_shape}")
+            if len(mesh_shape) == 4 and mesh_shape[3] > 1:
+                # PP is the weights-don't-fit axis; composing it with tp/sp
+                # inside one shard_map needs manual collectives in the block
+                # fns (future work) — reject rather than silently waste chips
+                if mesh_shape[1] != 1 or mesh_shape[2] != 1:
+                    raise ValueError(
+                        "pp > 1 requires sp == 1 and tp == 1 "
+                        f"(got mesh_shape={mesh_shape}); compose pp with dp only")
         if pack_int4 and not use_int4:
             raise ValueError("pack_int4 requires use_int4")
         quant = "fp8" if use_fp8 else ("int8" if use_int8 else
@@ -199,9 +212,10 @@ class FastDMEngine:
 
             from fastdm_tpu.parallel.mesh import AXES, shard_params_by_name
 
+            axes = AXES if len(mesh_shape) == 3 else AXES + ("pp",)
             n = int(np.prod(mesh_shape))
             devs = np.asarray(jax.devices()[:n]).reshape(mesh_shape)
-            self.mesh = Mesh(devs, AXES)
+            self.mesh = Mesh(devs, axes)
             if self.mesh.shape.get("sp", 1) > 1:
                 # long-sequence scale-out: dense attention becomes a ring over
                 # the sp axis (the Wan 81f/720p design case, BENCH_NOTES.md).
@@ -216,19 +230,26 @@ class FastDMEngine:
                     print("sparse_attn_config ignored with sp > 1 "
                           "(ring attention handles the long sequence)")
                     self.sparse_attn = None
+            if self.mesh.shape.get("pp", 1) > 1:
+                # PP placement: block stacks sharded over the layer axis
+                # (each stage holds only its own L/pp layers)
+                from fastdm_tpu.parallel.pipeline import shard_model_stacks_pp
+
+                place = lambda p, _m=self.mesh: shard_model_stacks_pp(p, _m)
+            else:
+                place = lambda p, _m=self.mesh: shard_params_by_name(p, _m)
             if getattr(self, "_place_params", None) is not None:
                 # offload + mesh composition: both experts stay in HOST RAM
                 # and the phase denoiser places the ACTIVE one straight onto
                 # its tp shards (offload + tp=2 is the minimal A14B slice —
                 # BENCH_NOTES residency math)
-                self._place_params = (
-                    lambda p, _m=self.mesh: shard_params_by_name(p, _m))
+                self._place_params = place
             else:
-                self.params = shard_params_by_name(self.params, self.mesh)
+                self.params = place(self.params)
                 if getattr(self, "params_2", None) is not None:
-                    self.params_2 = shard_params_by_name(self.params_2, self.mesh)
+                    self.params_2 = place(self.params_2)
             if self.cn_params is not None:
-                self.cn_params = shard_params_by_name(self.cn_params, self.mesh)
+                self.cn_params = place(self.cn_params)
 
         self._denoisers: Dict[tuple, Any] = {}
         self._denoiser_sigmas_by_key: Dict[tuple, Any] = {}
@@ -598,20 +619,27 @@ class FastDMEngine:
                 "supported: flux (SDEdit/Kontext), qwen-image-edit"
             )
         fn = getattr(self, f"_generate_{self.architecture}")
-        # sequence-parallel attention routing is active only while THIS
-        # engine generates (process-global registry state saved/restored)
+        # sequence-parallel attention routing and pipeline-parallel block
+        # routing are active only while THIS engine generates (process-global
+        # state saved/restored), so unsharded engines coexist in-process
         mesh = getattr(self, "mesh", None)
         sp_mesh = mesh if mesh is not None and mesh.shape.get("sp", 1) > 1 else None
-        if sp_mesh is None:
+        pp_mesh = mesh if mesh is not None and mesh.shape.get("pp", 1) > 1 else None
+        if sp_mesh is None and pp_mesh is None:
             return fn(prompt, task=task, **kw)
-        from fastdm_tpu.parallel import cp_state
+        from fastdm_tpu.parallel import cp_state, pp_state
 
-        prev = cp_state.get_cp_mesh()
-        cp_state.set_cp_mesh(sp_mesh)
+        prev_sp = cp_state.get_cp_mesh()
+        prev_pp = pp_state.get_pp_mesh()
+        if sp_mesh is not None:
+            cp_state.set_cp_mesh(sp_mesh)
+        if pp_mesh is not None:
+            pp_state.set_pp_mesh(pp_mesh)
         try:
             return fn(prompt, task=task, **kw)
         finally:
-            cp_state.set_cp_mesh(prev)
+            cp_state.set_cp_mesh(prev_sp)
+            pp_state.set_pp_mesh(prev_pp)
 
     @property
     def _wan_sched_name(self) -> str:

@@ -98,7 +98,9 @@ def quantize_weight(w: Array, quant: Optional[str], bias: Optional[Array] = None
 
     quant: None/"bf16" (no quant), "int8" (per-channel symmetric + colsum),
     "fp8" (per-channel symmetric e4m3), "int4" (W4A4 residual + SVDQuant
-    low-rank branch — TPU extension, no reference counterpart).
+    low-rank branch — TPU extension, no reference counterpart), "int4p"
+    (same values as int4, packed two-per-byte in HBM: the 0.5 byte/param
+    capacity form, unpacked in-graph before the dot).
     (ref: QLinear.weight_loading_and_quant, fastdm/layer/qlinear.py:18-54)
     """
     params: Params = {}

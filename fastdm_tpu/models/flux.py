@@ -351,7 +351,20 @@ def flux_run_blocks(
     controlnet_*: stacked (num_layers, B, S_img, D) residuals or None
     (ref residual injection: flux.py:455-483). start_dual skips the first N
     dual blocks (cache probes already ran them).
+
+    When a pipeline-parallel mesh is active (parallel/pp_state), the full
+    uncached stack runs through the GPipe schedule instead — see
+    _flux_run_blocks_pp for the engagement conditions.
     """
+    from fastdm_tpu.parallel import pp_state
+
+    ppm = pp_state.get_pp_mesh()
+    if ppm is not None and _pp_applicable(
+        ppm, params, start_dual, controlnet_block_samples,
+        controlnet_single_block_samples,
+    ):
+        return _flux_run_blocks_pp(params, cfg, hidden, encoder, temb, cos, sin, ppm)
+
     dual = params["dual_blocks"]
     cn = controlnet_block_samples
     if start_dual:
@@ -365,6 +378,60 @@ def flux_run_blocks(
         controlnet_single_block_samples,
     )
     return joint[:, ctx_len:]
+
+
+def _pp_applicable(mesh, params, start_dual, cn, cns) -> bool:
+    """GPipe engages only on the FULL uncached stack run (TeaCache's rest_fn
+    qualifies; FBCache/DiCache probes consume leading blocks -> start_dual>0),
+    without per-layer ControlNet residuals (their batch dim is per-microbatch,
+    which the layer-stacked param feed can't carry), and when pp divides both
+    stack depths (stages hold equal consecutive slices)."""
+    from fastdm_tpu.parallel import pp_state
+
+    pp = mesh.shape[pp_state.get_pp_axis()]
+    n_dual = jax.tree_util.tree_leaves(params["dual_blocks"])[0].shape[0]
+    n_single = jax.tree_util.tree_leaves(params["single_blocks"])[0].shape[0]
+    return (
+        start_dual == 0 and cn is None and cns is None
+        and pp > 1 and n_dual % pp == 0 and n_single % pp == 0
+    )
+
+
+def _flux_run_blocks_pp(
+    params, cfg: FluxConfig, hidden: Array, encoder: Array, temb: Array,
+    cos: Array, sin: Array, mesh,
+) -> Array:
+    """Pipeline-parallel block run: the batch dim becomes the GPipe
+    microbatch stream (CFG pairs / server batches), dual then single stacks
+    each pipeline over the pp axis with stage hops on ICI (SURVEY.md §7
+    step 9; schedule: parallel/pipeline.py). temb is per-sample, so it rides
+    in the microbatch state (unchanged through every stage)."""
+    from fastdm_tpu.parallel import pp_state
+    from fastdm_tpu.parallel.pipeline import gpipe_run_blocks
+
+    axis = pp_state.get_pp_axis()
+    # (B, ...) -> (M=B, 1, ...) microbatches
+    mb = (hidden[:, None], encoder[:, None], temb[:, None])
+
+    def dual_fn(block, state):
+        h, e, t = state
+        h, e = flux_dual_block(block, h, e, t, cos, sin, cfg)
+        return (h, e, t)
+
+    h_mb, e_mb, t_mb = gpipe_run_blocks(
+        dual_fn, params["dual_blocks"], mb, mesh, axis
+    )
+    ctx_len = encoder.shape[1]
+    joint_mb = jnp.concatenate([e_mb, h_mb], axis=2)
+
+    def single_fn(block, state):
+        j, t = state
+        return flux_single_block(block, j, t, cos, sin, cfg), t
+
+    j_mb, _ = gpipe_run_blocks(
+        single_fn, params["single_blocks"], (joint_mb, t_mb), mesh, axis
+    )
+    return j_mb[:, 0, ctx_len:]
 
 
 def _flux_embed(params, cfg, hidden_states, encoder_hidden_states,

@@ -337,7 +337,26 @@ def wan_block(block, hidden: Array, encoder: Array, temb6: Array, cos: Array,
 def wan_run_blocks(params, cfg: WanConfig, hidden, encoder, temb6, cos, sin,
                    sparse_mask: Optional[Array] = None, start_block: int = 0):
     """Dense-layer segment scans without the mask; the rest consumes it
-    (ref layer gating: transformer.py:512). start_block supports FBCache."""
+    (ref layer gating: transformer.py:512). start_block supports FBCache.
+
+    When a pipeline-parallel mesh is active (parallel/pp_state) and the stack
+    is uniform (no dense-layer segment split, no cache-consumed prefix,
+    depth % pp == 0), the scan is replaced by the GPipe schedule — the
+    A14B/5B weights-don't-fit axis (SURVEY.md §7 step 9). The sparse mask is
+    layer-invariant, so it rides as a closure constant; encoder/temb6 are
+    per-sample and ride in the microbatch state."""
+    from fastdm_tpu.parallel import pp_state
+
+    ppm = pp_state.get_pp_mesh()
+    if ppm is not None and params["dense_blocks"] is None and start_block == 0:
+        import jax.tree_util as jtu
+
+        pp = ppm.shape[pp_state.get_pp_axis()]
+        n = jtu.tree_leaves(params["blocks"])[0].shape[0]
+        if pp > 1 and n % pp == 0:
+            return _wan_run_blocks_pp(
+                params["blocks"], cfg, hidden, encoder, temb6, cos, sin,
+                sparse_mask, ppm)
 
     def mk_body(mask):
         def body(carry, block):
@@ -357,6 +376,24 @@ def wan_run_blocks(params, cfg: WanConfig, hidden, encoder, temb6, cos, sin,
             blocks = jax.tree.map(lambda x: x[start_block - nd:], blocks)
         hidden, _ = jax.lax.scan(mk_body(sparse_mask), hidden, blocks)
     return hidden
+
+
+def _wan_run_blocks_pp(blocks, cfg: WanConfig, hidden, encoder, temb6, cos,
+                       sin, sparse_mask, mesh):
+    """GPipe over the wan block stack: batch dim -> microbatch stream."""
+    from fastdm_tpu.parallel import pp_state
+    from fastdm_tpu.parallel.pipeline import gpipe_run_blocks
+
+    axis = pp_state.get_pp_axis()
+    mb = (hidden[:, None], encoder[:, None], temb6[:, None])
+
+    def block_fn(block, state):
+        h, e, t6 = state
+        h = wan_block(block, h, e, t6, cos, sin, cfg, sparse_mask)
+        return (h, e, t6)
+
+    h_mb, _, _ = gpipe_run_blocks(block_fn, blocks, mb, mesh, axis)
+    return h_mb[:, 0]
 
 
 def wan_patchify(params, cfg: WanConfig, video: Array) -> Array:

@@ -95,8 +95,11 @@ def gpipe_run_blocks(
             return out
 
         state0 = _tree_index(xs, 0)
+        # fresh zeros from shape/dtype — zeros_like on the closed-over OUTER
+        # `microbatches` would drag their Auto-mesh sharding into this Manual
+        # (shard_map) context and fail the mesh-context check
         outs0 = jax.tree_util.tree_map(
-            lambda x: jnp.zeros_like(x), microbatches
+            lambda x: jnp.zeros(x.shape, x.dtype), xs
         )
         perm = [(i, (i + 1) % pp) for i in range(pp)]
 
@@ -148,6 +151,27 @@ def shard_stacked_layers(stacked_params, mesh: Mesh, axis: str = "pp"):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, stacked_params)
+
+
+def shard_model_stacks_pp(params, mesh: Mesh, axis: str = "pp"):
+    """Engine-level placement for PP: every top-level `*blocks` stack gets its
+    LAYER axis sharded over `axis` (each stage's HBM holds only its own
+    layers); everything else (embedders, norms, heads) replicates. Stacks
+    whose depth pp doesn't divide stay replicated — the block runner then
+    falls back to the sequential scan for them (models/flux.py
+    _pp_applicable)."""
+    pp = mesh.shape[axis]
+    out = {}
+    for k, v in params.items():
+        leaves = jax.tree_util.tree_leaves(v)
+        if ("blocks" in k and leaves and hasattr(leaves[0], "shape")
+                and leaves[0].ndim and leaves[0].shape[0] % pp == 0):
+            out[k] = shard_stacked_layers(v, mesh, axis)
+        else:
+            out[k] = jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), v
+            )
+    return out
 
 
 def pp_dryrun_step(n_devices: int) -> None:

@@ -27,9 +27,11 @@ Numerical parity against real checkpoints is pending (no checkpoints in this
 environment); the loader targets the diffusers AutoencoderKLWan key layout
 and the exhaustive-consumption assert surfaces any drift immediately.
 
-Memory: decodes the full sequence in one program (fine for <= ~33 latent
-frames at 480p on 16GB); frame-chunked decode mirroring the torch cache walk
-is the follow-up for 81-frame 720p.
+Memory: `wan_vae_decode` runs the full sequence in one program (fine for
+<= ~33 latent frames at 480p on 16GB); `wan_vae_decode_chunked` (below)
+streams frame-by-frame with lax.scan conv caches — peak activations of one
+latent frame — which is what the engine uses for 81-frame 720p
+(engine._wan_decode switches at > 8 latent frames).
 """
 
 from __future__ import annotations

@@ -173,9 +173,10 @@ def test_packed_int4_matches_unpacked_qlinear():
     assert set(p4p) == {"w4p", "scale", "lora_u", "lora_v", "bias"}
     assert p4p["w4p"].shape == (64, 64)
     x = jax.random.normal(jax.random.key(14), (8, 128), jnp.bfloat16)
-    # compare both under jit — eager vs jit differ by float reassociation,
-    # but the packed and unpacked carriers feed IDENTICAL integer values
-    # into the same graph, so the compiled outputs must match bitwise
+    # the packed and unpacked carriers feed identical integer values into the
+    # dot, but the two jit calls compile separate graphs whose float epilogues
+    # may reassociate — so the outputs agree within tolerance here; the
+    # bit-level guarantee is the unpack_int4(w4p) == w4 assert below
     y4 = jax.jit(qlinear_apply)(p4, x)
     y4p = jax.jit(qlinear_apply)(p4p, x)
     np.testing.assert_allclose(

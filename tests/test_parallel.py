@@ -114,3 +114,99 @@ def test_gpipe_wan_blocks_match_sequential():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_flux_forward_pp_state_matches_sequential():
+    """The pp_state routing inside flux_run_blocks (the ENGINE's path to PP):
+    with an active pp mesh the whole flux forward must equal the sequential
+    scan; without one the PP code must be bypassed entirely."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from fastdm_tpu.models.flux import (
+        FluxConfig, flux_forward, flux_init_random, flux_rope_cache,
+    )
+    from fastdm_tpu.parallel import pp_state
+    from fastdm_tpu.parallel.pipeline import shard_model_stacks_pp
+
+    cfg = FluxConfig(num_layers=2, num_single_layers=2, attention_head_dim=32,
+                     num_attention_heads=4, joint_attention_dim=64,
+                     pooled_projection_dim=48, in_channels=16, out_channels=16,
+                     axes_dims_rope=(8, 12, 12), quant="int8", quant_mods=True)
+    params = flux_init_random(jax.random.key(0), cfg)
+    txt, ht, wt = 8, 4, 4
+    b = 2  # 2 microbatches through the 2-stage pipeline
+    k = jax.random.key(1)
+    hidden = jax.random.normal(k, (b, ht * wt, cfg.in_channels), jnp.bfloat16)
+    encoder = jax.random.normal(k, (b, txt, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(k, (b, cfg.pooled_projection_dim), jnp.bfloat16)
+    t = jnp.full((b,), 0.5, jnp.float32)
+    g = jnp.full((b,), 3.5, jnp.float32)
+    cos, sin = flux_rope_cache(cfg, txt, ht, wt)
+
+    ref = flux_forward(params, cfg, hidden, encoder, pooled, t, cos, sin,
+                       guidance=g)
+
+    import numpy as onp
+    mesh = Mesh(onp.asarray(jax.devices()[:2]).reshape(1, 1, 1, 2),
+                ("dp", "sp", "tp", "pp"))
+    sharded = shard_model_stacks_pp(params, mesh)
+    pp_state.set_pp_mesh(mesh)
+    try:
+        out = jax.jit(flux_forward, static_argnames="cfg")(
+            sharded, cfg, hidden, encoder, pooled, t, cos, sin, guidance=g)
+    finally:
+        pp_state.set_pp_mesh(None)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_wan_forward_pp_state_matches_sequential():
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from fastdm_tpu.models.wan import WanConfig, wan_forward, wan_init_random
+    from fastdm_tpu.parallel import pp_state
+    from fastdm_tpu.parallel.pipeline import shard_model_stacks_pp
+
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=8, quant="int8")
+    params = wan_init_random(jax.random.key(0), cfg)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 2, 8, 8), jnp.bfloat16)
+    text = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    t = jnp.full((1,), 500.0)
+
+    ref = wan_forward(params, cfg, lat, t, text)
+
+    import numpy as onp
+    mesh = Mesh(onp.asarray(jax.devices()[:2]).reshape(1, 1, 1, 2),
+                ("dp", "sp", "tp", "pp"))
+    sharded = dict(params)
+    sharded.update(shard_model_stacks_pp(
+        {k2: v for k2, v in params.items() if k2 in ("blocks", "dense_blocks")
+         and v is not None}, mesh))
+    pp_state.set_pp_mesh(mesh)
+    try:
+        out = wan_forward(sharded, cfg, lat, t, text)
+    finally:
+        pp_state.set_pp_mesh(None)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2)
+
+
+def test_engine_rejects_pp_with_tp_or_sp():
+    from fastdm_tpu.engine import FastDMEngine
+
+    with pytest.raises(ValueError, match="pp > 1 requires"):
+        FastDMEngine("/nonexistent", architecture="flux",
+                     mesh_shape=(1, 1, 2, 2))
+    with pytest.raises(ValueError, match="mesh_shape must be"):
+        FastDMEngine("/nonexistent", architecture="flux", mesh_shape=(2, 2))

@@ -97,3 +97,61 @@ def test_parity_run_reference_dir_metric(tmp_path, monkeypatch):
                     255).astype(np.uint8)
     p = parity_run.psnr(img, noisy)
     assert 35.0 < p < 60.0
+
+
+def test_check_index_flux_roundtrip(tmp_path):
+    """--check-index: a synthetic flux checkpoint's key list must diff clean
+    against the loader's expected set; a renamed key must be flagged both
+    ways (missing + unexpected)."""
+    from test_engine_e2e import TINY, _flux_transformer_sd, _write_st
+
+    import parity_run
+
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "flux-tiny")
+    sd = _flux_transformer_sd(rng)
+    _write_st(os.path.join(root, "transformer", "model.safetensors"), sd)
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(TINY, f)
+
+    rep = parity_run.check_index(root, "flux")
+    assert rep["ok"], (rep["missing_in_checkpoint"][:5],
+                       rep["unexpected_in_checkpoint"][:5])
+    assert rep["checkpoint_keys"] == rep["expected_keys"] == len(sd)
+
+    # corrupt one key name -> flagged in both directions
+    bad = dict(sd)
+    bad["x_embedder.weight_TYPO"] = bad.pop("x_embedder.weight")
+    root2 = str(tmp_path / "flux-bad")
+    _write_st(os.path.join(root2, "transformer", "model.safetensors"), bad)
+    with open(os.path.join(root2, "transformer", "config.json"), "w") as f:
+        json.dump(TINY, f)
+    rep2 = parity_run.check_index(root2, "flux")
+    assert not rep2["ok"]
+    assert rep2["missing_in_checkpoint"] == ["x_embedder.weight"]
+    assert rep2["unexpected_in_checkpoint"] == ["x_embedder.weight_TYPO"]
+
+
+def test_check_index_prefers_index_json(tmp_path):
+    """A sharded checkpoint's *.safetensors.index.json weight_map is enough —
+    no tensor bytes needed (the Kontext/Krea/Edit pre-download check)."""
+    from test_golden_wan import TINY as WAN_TINY, _state_dict as _wan_sd
+
+    import parity_run
+
+    rng = np.random.default_rng(0)
+    sd = _wan_sd(rng)
+    root = str(tmp_path / "wan-tiny")
+    os.makedirs(os.path.join(root, "transformer"))
+    index = {"weight_map": {k: "diffusion_pytorch_model-00001-of-00001.safetensors"
+                            for k in sd}}
+    with open(os.path.join(root, "transformer",
+                           "diffusion_pytorch_model.safetensors.index.json"),
+              "w") as f:
+        json.dump(index, f)
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump({"num_layers": WAN_TINY["num_layers"]}, f)
+    rep = parity_run.check_index(root, "wan2.2-t2v")
+    assert rep["ok"], (rep["missing_in_checkpoint"][:5],
+                       rep["unexpected_in_checkpoint"][:5])
+    assert "index.json" in rep["source"]
