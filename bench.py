@@ -16,9 +16,10 @@ own accelerated number on its best hardware; > 1.0 means faster than FastDM).
 Env knobs:
   BENCH_CACHE=teacache|none   (default teacache, mirroring '+cache' rows)
   BENCH_STEPS, BENCH_HEIGHT, BENCH_WIDTH
-  BENCH_QUANT=int8|fp8|bf16|int4|int4p   (int4 = W4A4 + SVDQuant low-rank
-      branch, the measured lever past the int8 roofline; int4p = packed
-      0.5 byte/param capacity form, same values)
+  BENCH_QUANT=int8|fp8|bf16|int4|int4p   (default int4: W4A4 + SVDQuant
+      low-rank branch — measured 13.70 s vs int8's 14.07 s on 2026-08-19,
+      accuracy-gated by tests/test_int4.py where int4+branch BEATS int8 on
+      the outlier-heavy probe; int4p = packed 0.5 byte/param capacity form)
 """
 
 import json
@@ -45,7 +46,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 25))
     height = int(os.environ.get("BENCH_HEIGHT", 1024))
     width = int(os.environ.get("BENCH_WIDTH", 2048))
-    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = os.environ.get("BENCH_QUANT", "int4")
     cache_kind = os.environ.get("BENCH_CACHE", "teacache")
 
     ht, wt = height // 16, width // 16  # packed latent tokens

@@ -426,7 +426,7 @@ def _gather_fine_kernel(
     idx_ref, row_ref,  # scalar-prefetch (SMEM)
     q_ref, k_hbm, v_hbm, o_ref,
     k_buf, v_buf, m_scr, l_scr, acc_scr, sem,
-    *, block_q, group, fine, kv_rep, tail_id, tail_valid,
+    *, block_q, group, fine, kv_rep, tail_id, tail_valid, slots,
 ):
     """Fine-granularity gather-sparse flash attention.
 
@@ -434,12 +434,15 @@ def _gather_fine_kernel(
     the radial mask's native granularity (ref: fastdm/sparse/xsparse.py
     block_size) — and the kernel assembles each (group*fine)-token compute
     tile by manually DMA-ing `group` scattered fine blocks from HBM into a
-    double-buffered VMEM scratch. Because the list is compacted, the MXU dot
-    runs over fully-ACTIVE columns: the work ratio vs dense is the fine mask
-    density itself (0.234 at the A14B shape) instead of the OR-coarsened
-    density a BlockSpec-gathered 1024-token tile pays (0.603 — the round-1
-    1.33x ceiling). Group g+1's 2*group copies are issued before waiting on
-    group g, so DMA overlaps compute.
+    `slots`-deep ring of VMEM scratch buffers. Because the list is
+    compacted, the MXU dot runs over fully-ACTIVE columns: the work ratio vs
+    dense is the fine mask density itself (0.234 at the A14B shape) instead
+    of the OR-coarsened density a BlockSpec-gathered 1024-token tile pays
+    (0.603 — the round-1 1.33x ceiling). At iteration g the copies for group
+    g+slots-1 are issued before waiting on group g, keeping slots-1 groups'
+    scattered DMAs in flight behind the MXU (slots=2 = classic double
+    buffering; deeper rings hide more of the scattered-issue latency,
+    VERDICT r2 item 6).
 
     The index table is CSR-FLAT: idx_ref is ONE flat array of group-padded
     row segments and row_ref[i] = (start, count), so SMEM holds ~active
@@ -483,20 +486,22 @@ def _gather_fine_kernel(
             dma(g, slot, u, 0).wait()
             dma(g, slot, u, 1).wait()
 
-    @pl.when(ng > 0)
-    def _():
-        start_group(0, 0)
+    # prologue: fill slots 0..slots-2 (the steady-state loop issues the rest)
+    for p in range(slots - 1):
+        @pl.when(p < ng)
+        def _(p=p):
+            start_group(p, p)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
     chunk = col // fine
     within = col - chunk * fine
 
     def loop_body(g, carry):
-        slot = jax.lax.rem(g, 2)
+        slot = jax.lax.rem(g, slots)
 
-        @pl.when(g + 1 < ng)
+        @pl.when(g + slots - 1 < ng)
         def _():
-            start_group(g + 1, jax.lax.rem(g + 1, 2))
+            start_group(g + slots - 1, jax.lax.rem(g + slots - 1, slots))
 
         wait_group(g, slot)
         base = g * group
@@ -541,11 +546,12 @@ def _gather_fine_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_q_heads", "num_kv_heads", "head_dim", "scale",
-                     "block_q", "group", "fine"),
+                     "block_q", "group", "fine", "slots"),
 )
 def _gather_fine_attention(
     query, key, value, block_indices, block_rows,
     *, num_q_heads, num_kv_heads, head_dim, scale, block_q, group, fine,
+    slots=2,
 ):
     b, sq, _ = query.shape
     skv = key.shape[1]
@@ -580,17 +586,17 @@ def _gather_fine_attention(
                                lambda b_, h, i, *_: (b_, h, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, group * fine, head_dim), key.dtype),
-            pltpu.VMEM((2, group * fine, head_dim), value.dtype),
+            pltpu.VMEM((slots, group * fine, head_dim), key.dtype),
+            pltpu.VMEM((slots, group * fine, head_dim), value.dtype),
             pltpu.VMEM((bq, _LANES), jnp.float32),
             pltpu.VMEM((bq, _LANES), jnp.float32),
             pltpu.VMEM((bq, head_dim), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, group)),
+            pltpu.SemaphoreType.DMA((slots, 2, group)),
         ],
     )
     kernel = functools.partial(
         _gather_fine_kernel, block_q=bq, group=group, fine=fine, kv_rep=kv_rep,
-        tail_id=tail_id, tail_valid=tail_valid,
+        tail_id=tail_id, tail_valid=tail_valid, slots=slots,
     )
     out = pl.pallas_call(
         kernel,
@@ -619,6 +625,7 @@ def sdpa_gather_fine_pallas(
     block_q: int = 512,
     group: int = 8,
     fine: int = 64,
+    slots: Optional[int] = None,
 ) -> Array:
     contracts.check_sdpa("sdpa_gather_fine_pallas", query, key, value,
                          num_q_heads, num_kv_heads, head_dim)
@@ -639,10 +646,15 @@ def sdpa_gather_fine_pallas(
     # block_valid is consumed by the contract check + jnp oracle only; the
     # kernel derives validity from cnt + static tail constants (see
     # _gather_fine_kernel), so it never rides the scalar-prefetch SMEM.
+    if slots is None:
+        # ring depth default; sweepable without a code change
+        slots = int(os.environ.get("FASTDM_GATHER_SLOTS", "2"))
+    if slots < 2:
+        raise ValueError(f"slots must be >= 2, got {slots}")
     return _gather_fine_attention(
         query, key, value, block_indices, block_rows,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
-        scale=scale, block_q=block_q, group=group, fine=fine,
+        scale=scale, block_q=block_q, group=group, fine=fine, slots=slots,
     )
 
 
