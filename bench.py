@@ -14,7 +14,8 @@ vs_baseline = H20_fastdm_seconds / our_seconds (speedup over the reference's
 own accelerated number on its best hardware; > 1.0 means faster than FastDM).
 
 Env knobs:
-  BENCH_CACHE=teacache|none   (default teacache, mirroring '+cache' rows)
+  BENCH_CACHE=teacache|dicache|none   (default teacache, mirroring '+cache'
+      rows; dicache = the reference's stated flux best practice)
   BENCH_STEPS, BENCH_HEIGHT, BENCH_WIDTH
   BENCH_QUANT=int8|fp8|bf16|int4|int4p   (default int4: W4A4 + SVDQuant
       low-rank branch — measured 13.70 s vs int8's 14.07 s on 2026-08-19,
@@ -66,13 +67,26 @@ def main():
 
     cache_cfg = None
     if cache_kind == "teacache":
-        # FLUX TeaCache best-practice config (ref: examples/xcaching/configs)
+        # FLUX TeaCache config (ref: examples/xcaching/configs/teacache_flux.json)
         cache_cfg = TeaCacheConfig(
             cache_algorithm="teacache",
             enable_caching=True,
             threshold=0.25,
             coefficients=(4.98651651e02, -2.83781631e02, 5.58554382e01,
                           -3.82021401e00, 2.64230861e-01),
+        )
+    elif cache_kind == "dicache":
+        # the reference's stated flux BEST PRACTICE (doc/introduction.md
+        # "flux: recommend Dicache"; config examples/xcaching/configs/
+        # dicache_flux.json: threshold 0.2, probe depth 1, ret_ratio 0.2)
+        from fastdm_tpu.caching.config import DiCacheConfig
+
+        cache_cfg = DiCacheConfig(
+            cache_algorithm="dicache",
+            enable_caching=True,
+            threshold=0.2,
+            probe_depth=1,
+            ret_ratio=0.2,
         )
 
     mu = flow_match_shift_mu(seq)
@@ -106,7 +120,9 @@ def main():
         times.append(time.perf_counter() - t0)
     value = min(times)
 
-    baseline = 10.02 if cache_kind == "teacache" else 19.91  # H20 fp8 (BASELINE.md)
+    # H20 fp8 rows (BASELINE.md): any cached config compares to the '+cache'
+    # number, uncached to the plain FastDM number
+    baseline = 10.02 if cache_cfg is not None else 19.91
     print(json.dumps({
         "metric": f"flux_t2i_{height}x{width}_{steps}step_denoise_latency",
         "value": round(value, 3),

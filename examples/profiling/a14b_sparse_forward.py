@@ -57,7 +57,8 @@ def main():
     lat = jax.random.normal(k, (1, cfg.in_channels, lf, lh, lw), jnp.bfloat16)
     text = jax.random.normal(k, (1, 512, cfg.text_dim), jnp.bfloat16)
     t = jnp.full((1,), 500.0)
-    cos, sin = wan_rope_cos_sin(cfg, lf // pt, lh // ph, lw // pw)
+    # wan_rope_cos_sin takes RAW latent dims (divides by patch internally)
+    cos, sin = wan_rope_cos_sin(cfg, lf, lh, lw)
 
     def run(mask, tag):
         fwd = jax.jit(lambda p, x, tt, e: wan_forward(

@@ -1118,25 +1118,38 @@ class FastDMEngine:
             gather_mode = os.environ.get("FASTDM_SPARSE_GATHER", "fine")
             if kernel_registry.backend_for("sdpa_sparse") != "pallas":
                 gather_mode = "mask"
-            if gather_mode == "fine":
+            if gather_mode in ("fine", "super"):
                 # fine-gather form: compute tiles assembled from compacted
                 # ACTIVE fine blocks by manual DMA — MXU work ~= the fine
-                # mask density (sdpa_gather_fine)
+                # mask density (sdpa_gather_fine). "super" variant: entries
+                # are aligned runs of 4 fine blocks with exact sub-block
+                # bitmasks (sdpa_gather_super) — 4x larger scattered DMAs,
+                # the bandwidth form (BENCH_NOTES superblock A/B).
                 bq, grp, fine = self.cfg.sparse_gather_fine_blocks
                 bs = self.sparse_attn.config.block_size
-                if fine != bs:
-                    import dataclasses as _dc
+                import dataclasses as _dc
+                sb = 4 if gather_mode == "super" else 1
+                if fine != bs or self.cfg.sparse_gather_superblock != sb:
                     self.cfg = _dc.replace(
-                        self.cfg, sparse_gather_fine_blocks=(bq, grp, bs))
-                idx, val, cnt = self.sparse_attn.block_lists_fine(bq, grp)
+                        self.cfg, sparse_gather_fine_blocks=(bq, grp, bs),
+                        sparse_gather_superblock=sb)
                 # run the strict concrete-value contract checks HERE, where
                 # the tables are host-side numpy — inside the jitted denoiser
                 # they are tracers and the wrapper can only clip
                 from fastdm_tpu.kernels import contracts
-                contracts.check_gather_fine(
-                    "engine.wan fine-gather tables", jnp.asarray(idx),
-                    jnp.asarray(val), jnp.asarray(cnt), tokens, tokens,
-                    bq, grp, self.sparse_attn.config.block_size)
+                if sb > 1:
+                    idx, val, cnt = self.sparse_attn.block_lists_super(
+                        bq, max(1, grp // sb), sb)
+                    contracts.check_gather_super(
+                        "engine.wan super-gather tables", jnp.asarray(idx),
+                        jnp.asarray(val), jnp.asarray(cnt), tokens, tokens,
+                        bq, max(1, grp // sb), bs, sb)
+                else:
+                    idx, val, cnt = self.sparse_attn.block_lists_fine(bq, grp)
+                    contracts.check_gather_fine(
+                        "engine.wan fine-gather tables", jnp.asarray(idx),
+                        jnp.asarray(val), jnp.asarray(cnt), tokens, tokens,
+                        bq, grp, self.sparse_attn.config.block_size)
                 sparse_mask = (jnp.asarray(idx), jnp.asarray(val),
                                jnp.asarray(cnt))
             elif gather_mode == "coarse":

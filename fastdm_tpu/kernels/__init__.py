@@ -27,5 +27,6 @@ from fastdm_tpu.kernels.ops import (  # noqa: F401, E402
     scaled_dot_product_attention,
     gather_fine_attention,
     gather_sparse_attention,
+    gather_super_attention,
     sparse_scaled_dot_product_attention,
 )

@@ -156,6 +156,63 @@ def check_gather_fine(kernel: str, block_indices, block_valid, block_rows,
                           "would OOB-read SMEM / OOB-DMA on hardware")
 
 
+def check_gather_super(kernel: str, block_indices, block_valbits, block_rows,
+                       sq: int, skv: int, block_q: int, group: int,
+                       fine: int, superblock: int) -> None:
+    """Superblock gather tables (RadialAttn.block_lists_super): CSR-flat
+    like the fine form, but indices address aligned runs of `superblock`
+    fine blocks and block_valbits holds the per-entry active-sub-block
+    BITMASK (0 for padding slots)."""
+    if superblock < 1:
+        _fail(kernel, f"superblock {superblock} must be >= 1")
+    if fine % 8 or (group * superblock * fine) % 128:
+        _fail(kernel, f"fine={fine} must be a multiple of 8 and group*"
+                      f"superblock*fine={group * superblock * fine} a "
+                      "multiple of 128 (sublane/lane)")
+    if block_q % 128:
+        _fail(kernel, f"block_q {block_q} must be a multiple of 128")
+    ni = -(-sq // block_q)
+    nsuper = -(-(-(-skv // fine)) // superblock)
+    if block_indices.ndim != 1:
+        _fail(kernel, f"block_indices must be flat (T,), got "
+                      f"{block_indices.shape}")
+    T = block_indices.shape[0]
+    if T % group:
+        _fail(kernel, f"flat table length {T} not a multiple of group {group}")
+    if block_valbits.shape != block_indices.shape:
+        _fail(kernel, f"block_valbits {block_valbits.shape} != block_indices "
+                      f"{block_indices.shape}")
+    if tuple(block_rows.shape) != (ni, 2):
+        _fail(kernel, f"block_rows must be ({ni}, 2) [start, count], got "
+                      f"{block_rows.shape} — q-tile granularity mismatch")
+    for name, arr in (("block_indices", block_indices),
+                      ("block_valbits", block_valbits),
+                      ("block_rows", block_rows)):
+        if arr.dtype != jnp.int32:
+            _fail(kernel, f"{name} dtype {arr.dtype} != int32")
+    if _is_concrete(block_indices):
+        a = np.asarray(block_indices)
+        if a.size and (int(a.max()) >= nsuper or int(a.min()) < 0):
+            _fail(kernel, f"superblock index out of range [0, {nsuper}) for "
+                          f"skv={skv} at fine={fine} x superblock="
+                          f"{superblock} — would OOB-DMA on hardware")
+    if _is_concrete(block_valbits):
+        a = np.asarray(block_valbits)
+        if a.size and (int(a.max()) >= (1 << superblock) or int(a.min()) < 0):
+            _fail(kernel, f"valbits out of [0, {(1 << superblock) - 1}]")
+    if _is_concrete(block_rows):
+        r = np.asarray(block_rows)
+        starts, cnts = r[:, 0], r[:, 1]
+        if (starts % group).any():
+            _fail(kernel, f"row starts must be group-aligned (group={group})")
+        if (cnts < 0).any():
+            _fail(kernel, "negative row count")
+        ends = starts + -(-cnts // group) * group
+        if (ends > T).any():
+            _fail(kernel, f"row segment exceeds flat table length {T} — "
+                          "would OOB-read SMEM / OOB-DMA on hardware")
+
+
 def check_sparse_mask(kernel: str, sparse_mask, batch: int, heads: int,
                       sq: int, skv: int, block_q: int, block_k: int) -> None:
     check_block_tiles(kernel, block_q, block_k)

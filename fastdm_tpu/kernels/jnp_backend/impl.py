@@ -318,6 +318,73 @@ def sdpa_gather_fine_jnp(
     return out.reshape(b, sq, num_q_heads * head_dim).astype(query.dtype)
 
 
+@kernel_registry.register("sdpa_gather_super", "jnp")
+def sdpa_gather_super_jnp(
+    query: Array,
+    key: Array,
+    value: Array,
+    block_indices: Array,
+    block_valbits: Array,
+    block_rows: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    group: int = 8,
+    fine: int = 64,
+    superblock: int = 4,
+    slots: Optional[int] = None,
+) -> Array:
+    """Oracle for the superblock gather tables: expand each entry's
+    active-sub-block bitmask to fine-block token validity (tail fine block
+    capped at the remainder), then reuse the fine oracle's dense masked
+    attention. Jittable."""
+    del group, slots
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    nq = block_rows.shape[0]
+    sb = superblock
+    nfine = -(-skv // fine)
+    tail_fid = nfine - 1
+    tail_valid = skv - tail_fid * fine
+    t_flat = block_indices.shape[0]
+    slot = jnp.arange(t_flat)
+    r_of_slot = jnp.searchsorted(block_rows[:, 0], slot, side="right") - 1
+    sub = jnp.arange(sb)
+    fids = block_indices[:, None] * sb + sub[None, :]           # (T, sb)
+    active = (block_valbits[:, None] >> sub[None, :]) & 1 == 1  # (T, sb)
+    vals = jnp.where(fids == tail_fid, tail_valid, fine)
+    vals = jnp.where(active, vals, 0)
+    nsup = -(-nfine // sb)
+    valid_grid = jnp.zeros((nq, nsup * sb), jnp.int32).at[
+        jnp.repeat(r_of_slot[:, None], sb, 1), fids
+    ].max(vals)
+    tok = jnp.arange(skv)
+    allowed = (tok % fine)[None, :] < valid_grid[:, tok // fine]
+    rowmask = jnp.repeat(allowed, block_q, axis=0)[:sq]
+
+    q = _split_heads(query, num_q_heads, head_dim)
+    k = _split_heads(key, num_kv_heads, head_dim)
+    v = _split_heads(value, num_kv_heads, head_dim)
+    if num_kv_heads != num_q_heads:
+        rep = num_q_heads // num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if scale is None:
+        scale = head_dim**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    logits = jnp.where(rowmask[None, None], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(rowmask.any(-1)[None, None, :, None], probs, 0.0)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, sq, num_q_heads * head_dim).astype(query.dtype)
+
+
 @kernel_registry.register("sdpa_sparse", "jnp")
 def sdpa_sparse_jnp(
     query: Array,

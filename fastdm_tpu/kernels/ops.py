@@ -255,3 +255,32 @@ def gather_fine_attention(
     is `fine` for interior blocks, the tail remainder for the global last
     block, and 0 for padding slots."""
     return NotImplemented
+
+
+@kernel_registry.dispatch("sdpa_gather_super")
+def gather_super_attention(
+    query: Array,
+    key: Array,
+    value: Array,
+    block_indices: Array,   # (T,) int32 SUPERBLOCK ids, CSR-flat segments
+    block_valbits: Array,   # (T,) int32 active-sub-block bitmask (0 = pad)
+    block_rows: Array,      # (nq, 2) int32 [segment start, active count]
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    group: int = 8,
+    fine: int = 64,
+    superblock: int = 4,
+    slots: Optional[int] = None,
+) -> Array:
+    """Superblock gather sparse attention: entries address aligned runs of
+    `superblock` consecutive fine blocks (radial masks are diagonal bands —
+    85% of active fine blocks ride fully-active 4-runs at the A14B shape),
+    making each scattered DMA 4x larger: the bandwidth fix for the fine
+    kernel's 16KB-transfer bound (BENCH_NOTES slots-sweep null result).
+    Inactive sub-blocks are masked exactly via the bitmask, so semantics
+    stay bit-parity with the 64-token radial spec. Tables:
+    RadialAttn.block_lists_super."""
+    return NotImplemented

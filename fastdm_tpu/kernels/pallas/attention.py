@@ -658,6 +658,235 @@ def sdpa_gather_fine_pallas(
     )
 
 
+def _gather_super_kernel(
+    idx_ref, val_ref, row_ref,  # scalar-prefetch (SMEM)
+    q_ref, k_hbm, v_hbm, o_ref,
+    k_buf, v_buf, m_scr, l_scr, acc_scr, sem,
+    *, block_q, group, fine, superblock, kv_rep, tail_fid, tail_valid, slots,
+):
+    """Superblock gather-sparse flash attention (the scattered-DMA bandwidth
+    fix for _gather_fine_kernel, BENCH_NOTES "slots sweep" null result).
+
+    Entries address aligned runs of `superblock` consecutive fine blocks, so
+    each DMA moves superblock*fine tokens (4x the fine kernel's transfer
+    size at the default 4) — radial masks are diagonal bands, so ~85% of
+    active fine blocks ride fully-active runs and the extra fetched bytes
+    are ~15% (table builder: RadialAttn.block_lists_super). Inactive fine
+    sub-blocks are masked EXACTLY via the per-entry validity bitmask
+    (val_ref), so the attention semantics match the 64-token radial spec
+    bit-for-bit; the global tail fine block's partial tokens are derived
+    from static tail_fid/tail_valid as in the fine kernel."""
+    b_, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    hk = h // kv_rep
+    sb = superblock
+    sbt = sb * fine                   # tokens per superblock
+    bk = group * sbt
+    bits_all = (1 << sb) - 1
+    row_start = row_ref[i, 0]
+    cnt = row_ref[i, 1]
+    ng = jax.lax.div(cnt + group - 1, group)
+
+    m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def dma(g, slot, u, which):
+        sid = idx_ref[row_start + g * group + u]
+        src = k_hbm if which == 0 else v_hbm
+        buf = k_buf if which == 0 else v_buf
+        return pltpu.make_async_copy(
+            src.at[b_, hk, pl.ds(sid * sbt, sbt), :],
+            buf.at[slot, pl.ds(u * sbt, sbt), :],
+            sem.at[slot, which, u],
+        )
+
+    def start_group(g, slot):
+        for u in range(group):
+            dma(g, slot, u, 0).start()
+            dma(g, slot, u, 1).start()
+
+    def wait_group(g, slot):
+        for u in range(group):
+            dma(g, slot, u, 0).wait()
+            dma(g, slot, u, 1).wait()
+
+    for p in range(slots - 1):
+        @pl.when(p < ng)
+        def _(p=p):
+            start_group(p, p)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    entry = col // sbt
+    subcol = (col // fine) - entry * sb   # fine sub-block within the entry
+    within = col - (col // fine) * fine
+
+    def loop_body(g, carry):
+        slot = jax.lax.rem(g, slots)
+
+        @pl.when(g + slots - 1 < ng)
+        def _():
+            start_group(g + slots - 1, jax.lax.rem(g + slots - 1, slots))
+
+        wait_group(g, slot)
+        base = g * group
+        full = base + group <= cnt
+        all_active = jnp.bool_(True)
+        any_tail = jnp.bool_(False)
+        for u in range(group):
+            bits = val_ref[row_start + base + u]
+            sid = idx_ref[row_start + base + u]
+            all_active = jnp.logical_and(all_active, bits == bits_all)
+            any_tail = jnp.logical_or(any_tail, sid == tail_fid // sb)
+        clean = jnp.logical_and(full, all_active)
+        if tail_valid != fine or (tail_fid + 1) % sb != 0:
+            # a tail-bearing group needs token masking even when all its
+            # sub-block bits are set
+            clean = jnp.logical_and(clean, jnp.logical_not(any_tail))
+
+        @pl.when(clean)
+        def _():
+            _attn_body(q_ref[0, 0], k_buf[slot], v_buf[slot], None,
+                       m_scr, l_scr, acc_scr)
+
+        @pl.when(jnp.logical_not(clean))
+        def _():
+            vfull = jnp.zeros((1, bk), jnp.int32)
+            for u in range(group):
+                p = base + u
+                sid = idx_ref[row_start + p]
+                bits = val_ref[row_start + p]
+                in_row = p < cnt
+                for s in range(sb):
+                    fid = sid * sb + s
+                    active = jnp.logical_and((bits >> s) & 1 == 1, in_row)
+                    vu = jnp.where(fid == tail_fid, tail_valid, fine)
+                    vu = jnp.where(active, vu, 0)
+                    vfull = jnp.where(
+                        jnp.logical_and(entry == u, subcol == s), vu, vfull
+                    )
+            _attn_body(q_ref[0, 0], k_buf[slot], v_buf[slot], within < vfull,
+                       m_scr, l_scr, acc_scr)
+        return carry
+
+    jax.lax.fori_loop(0, ng, loop_body, 0)
+
+    l = l_scr[:, :1]
+    out = acc_scr[...] / jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_q_heads", "num_kv_heads", "head_dim", "scale",
+                     "block_q", "group", "fine", "superblock", "slots"),
+)
+def _gather_super_attention(
+    query, key, value, block_indices, block_valbits, block_rows,
+    *, num_q_heads, num_kv_heads, head_dim, scale, block_q, group, fine,
+    superblock, slots=2,
+):
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    scale = head_dim**-0.5 if scale is None else scale
+    bq = block_q
+    sb = superblock
+    nfine = -(-skv // fine)
+    tail_fid = nfine - 1
+    tail_valid = skv - tail_fid * fine
+
+    q = query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3)
+    q = _pad_seq((q.astype(jnp.float32) * (scale * _LOG2E)).astype(query.dtype), bq)
+    # pad KV to the SUPERBLOCK stride so the tail superblock's DMA stays
+    # in-bounds (its out-of-mask sub-blocks carry val bit 0 -> masked)
+    k = _pad_seq(key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), sb * fine)
+    v = _pad_seq(value.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), sb * fine)
+    ni = q.shape[2] // bq
+    grid = (b, num_q_heads, ni)
+    kv_rep = num_q_heads // num_kv_heads
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, head_dim),
+                         lambda b_, h, i, *_: (b_, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, head_dim),
+                               lambda b_, h, i, *_: (b_, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slots, group * sb * fine, head_dim), key.dtype),
+            pltpu.VMEM((slots, group * sb * fine, head_dim), value.dtype),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, head_dim), jnp.float32),
+            pltpu.SemaphoreType.DMA((slots, 2, group)),
+        ],
+    )
+    kernel = functools.partial(
+        _gather_super_kernel, block_q=bq, group=group, fine=fine,
+        superblock=sb, kv_rep=kv_rep, tail_fid=tail_fid,
+        tail_valid=tail_valid, slots=slots,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, query.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=_INTERPRET,
+    )(block_indices, block_valbits, block_rows, q, k, v)
+    return out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, num_q_heads * head_dim)
+
+
+@kernel_registry.register("sdpa_gather_super", "pallas")
+def sdpa_gather_super_pallas(
+    query: Array,
+    key: Array,
+    value: Array,
+    block_indices: Array,
+    block_valbits: Array,
+    block_rows: Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    group: int = 8,
+    fine: int = 64,
+    superblock: int = 4,
+    slots: Optional[int] = None,
+) -> Array:
+    contracts.check_sdpa("sdpa_gather_super_pallas", query, key, value,
+                         num_q_heads, num_kv_heads, head_dim)
+    contracts.check_gather_super("sdpa_gather_super_pallas", block_indices,
+                                 block_valbits, block_rows, query.shape[1],
+                                 key.shape[1], block_q, group, fine,
+                                 superblock)
+    # in-graph OOB backstop, mirroring sdpa_gather_fine_pallas
+    t_len = int(block_indices.shape[0])
+    nsuper = -(-(-(-key.shape[1] // fine)) // superblock)
+    block_indices = jnp.clip(block_indices, 0, nsuper - 1)
+    starts = block_rows[:, 0]
+    starts = jnp.clip(starts - starts % group, 0, max(t_len - group, 0))
+    cnts = jnp.clip(block_rows[:, 1], 0, t_len - starts)
+    block_rows = jnp.stack([starts, cnts], axis=1)
+    if slots is None:
+        slots = int(os.environ.get("FASTDM_GATHER_SLOTS", "2"))
+    if slots < 2:
+        raise ValueError(f"slots must be >= 2, got {slots}")
+    return _gather_super_attention(
+        query, key, value, block_indices, block_valbits, block_rows,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
+        scale=scale, block_q=block_q, group=group, fine=fine,
+        superblock=superblock, slots=slots,
+    )
+
+
 def coarsen_block_mask(mask_2d, q_factor: int = 1, k_factor: int = 1):
     """Host-side OR-coarsening of a 2D block mask: rows grouped by q_factor,
     cols by k_factor (zero-padded up to a multiple first, so padding rows/

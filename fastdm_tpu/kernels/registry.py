@@ -42,7 +42,8 @@ class KernelRegistry:
     # 112 TOPS) and fuses the dequant epilogue itself, while pallas flash
     # attention is 2.4x XLA's unfused attention. "auto" routes accordingly;
     # FASTDM_KERNEL_BACKEND=pallas forces pallas everywhere (for benchmarks).
-    _AUTO_PALLAS_OPS = ("sdpa", "sdpa_sparse", "sdpa_gather")
+    _AUTO_PALLAS_OPS = ("sdpa", "sdpa_sparse", "sdpa_gather",
+                        "sdpa_gather_fine", "sdpa_gather_super")
 
     def backend_for(self, op_name: str, force_backend: str | None = None) -> str:
         choice = force_backend or os.environ.get(_ENV_KEY, "auto")

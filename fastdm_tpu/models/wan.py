@@ -27,6 +27,7 @@ import numpy as np
 
 from fastdm_tpu.kernels import (
     gather_fine_attention,
+    gather_super_attention,
     gather_sparse_attention,
     rms_norm,
     rotary_pos_embedding,
@@ -71,6 +72,11 @@ class WanConfig:
     # mask-native fine blocks assembled by manual DMA (sdpa_gather_fine);
     # fine_tokens must equal the sparse config's block_size (engine syncs it)
     sparse_gather_fine_blocks: Tuple[int, int, int] = (512, 32, 64)
+    # superblock gather: 3-tuple sparse masks carry SUPERBLOCK tables when
+    # this is > 1 (each entry = an aligned run of N fine blocks + validity
+    # bitmask — the scattered-DMA bandwidth form, sdpa_gather_super); the
+    # group count then comes from sparse_gather_fine_blocks[1] divided by it
+    sparse_gather_superblock: int = 1
     per_token_timestep: bool = False        # wan2.2-ti2v (temb per token)
     quant: Optional[str] = "int8"
 
@@ -242,13 +248,24 @@ def _wan_self_attention(attn, x: Array, cos: Array, sin: Array, cfg: WanConfig,
         if isinstance(sparse_mask, (tuple, list)) and len(sparse_mask) == 3:
             # fine-gather form: (indices, valid, counts) at the mask's native
             # fine granularity — compute tiles assembled from compacted
-            # ACTIVE fine blocks, so MXU work ~= fine mask density
+            # ACTIVE fine blocks, so MXU work ~= fine mask density. With
+            # cfg.sparse_gather_superblock > 1 the same tuple carries
+            # SUPERBLOCK tables (runs of consecutive fine blocks + validity
+            # bitmask): 4x larger scattered DMAs, exact sub-block masking.
             idx, val, cnt = sparse_mask
             bq, grp, fine = cfg.sparse_gather_fine_blocks
-            out = gather_fine_attention(
-                q, k, v, idx, val, cnt, h, h, hd,
-                scale=hd**-0.5, block_q=bq, group=grp, fine=fine,
-            )
+            sb = cfg.sparse_gather_superblock
+            if sb > 1:
+                out = gather_super_attention(
+                    q, k, v, idx, val, cnt, h, h, hd,
+                    scale=hd**-0.5, block_q=bq, group=max(1, grp // sb),
+                    fine=fine, superblock=sb,
+                )
+            else:
+                out = gather_fine_attention(
+                    q, k, v, idx, val, cnt, h, h, hd,
+                    scale=hd**-0.5, block_q=bq, group=grp, fine=fine,
+                )
         elif isinstance(sparse_mask, (tuple, list)):
             # gather form: (block_indices (nq, max_nb), counts (nq, 1)) —
             # masked KV blocks cost neither DMA nor compute (pallas); the

@@ -271,3 +271,51 @@ class RadialAttn(SparseAttn):
             idx_segs.append(seg_i)
             val_segs.append(seg_v)
         return np.concatenate(idx_segs), np.concatenate(val_segs), rows
+
+    def block_lists_super(self, q_tokens: int = 512, group: int = 8,
+                          superblock: int = 4):
+        """SUPERBLOCK gather tables for `sdpa_gather_super`: like
+        block_lists_fine, but each entry addresses an aligned run of
+        `superblock` consecutive fine blocks, with a per-entry BITMASK of
+        which fine sub-blocks are active. Radial masks are diagonal bands
+        (85% of active fine blocks sit in fully-active aligned 4-runs at the
+        A14B shape — BENCH_NOTES), so superblock fetches keep DMA transfers
+        4x larger at ~15% extra fetched bytes, attacking the scattered-DMA
+        bandwidth bound the slots sweep proved (depth was a null result).
+        The kernel masks inactive sub-blocks exactly, so attention semantics
+        stay bit-parity with the 64-token radial spec.
+
+        Returns (indices (T,) i32 SUPERBLOCK ids, valbits (T,) i32 bitmask
+        of active sub-blocks (bit j = fine block sid*superblock+j active;
+        0 for padding slots), rows (nq, 2) i32 [start, count])."""
+        from fastdm_tpu.kernels.pallas.attention import coarsen_block_mask
+
+        bs = self.config.block_size
+        if q_tokens % bs:
+            raise ValueError(
+                f"q_tokens {q_tokens} must be a multiple of the radial mask "
+                f"block_size {bs}"
+            )
+        sb = superblock
+        m = coarsen_block_mask(self._mask2d(), q_tokens // bs, 1)
+        nq, nfine = m.shape
+        nsuper = -(-nfine // sb)
+        mp = np.zeros((nq, nsuper * sb), bool)
+        mp[:, :nfine] = m
+        weights = (1 << np.arange(sb)).astype(np.int32)
+        idx_segs, val_segs = [], []
+        rows = np.zeros((nq, 2), np.int32)
+        start = 0
+        for r in range(nq):
+            sub = mp[r].reshape(nsuper, sb)
+            act = np.nonzero(sub.any(axis=1))[0].astype(np.int32)
+            padded = -(-max(1, len(act)) // group) * group
+            seg_i = np.zeros(padded, np.int32)
+            seg_v = np.zeros(padded, np.int32)
+            seg_i[: len(act)] = act
+            seg_v[: len(act)] = (sub[act] * weights[None, :]).sum(axis=1)
+            rows[r] = (start, len(act))
+            start += padded
+            idx_segs.append(seg_i)
+            val_segs.append(seg_v)
+        return np.concatenate(idx_segs), np.concatenate(val_segs), rows
