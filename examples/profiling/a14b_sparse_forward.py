@@ -81,13 +81,28 @@ def main():
     sp = RadialAttn(RadialAttnConfig(block_size=64, decay_factor=0.2,
                                      model_type="wan"))
     sp.post_init(video_token_num=tokens, num_frame=lf // pt)
-    bq, grp, fine = cfg.sparse_gather_fine_blocks
-    idx, val, rows = sp.block_lists_fine(bq, grp)
-    dens = rows[:, 1].sum() / (rows.shape[0] * (-(-tokens // fine)))
-    print(f"fine tables: {idx.shape[0]} entries, q-coarsened density "
-          f"{dens:.3f}", flush=True)
+    mode = os.environ.get("A14B_GATHER", "super")  # engine default
+    if mode == "super":
+        import dataclasses as _dc
+
+        sb = 4
+        bq, grp = 256, 32
+        cfg = _dc.replace(cfg, sparse_gather_fine_blocks=(bq, grp, 64),
+                          sparse_gather_superblock=sb)
+        idx, val, rows = sp.block_lists_super(bq, grp // sb, sb)
+        fetched = rows[:, 1].sum() * sb / (rows.shape[0] * (-(-tokens // 64)))
+        print(f"super tables: {idx.shape[0]} entries, fetched density "
+              f"{fetched:.3f}", flush=True)
+        tag = "super-gather sparse"
+    else:
+        bq, grp, fine = cfg.sparse_gather_fine_blocks
+        idx, val, rows = sp.block_lists_fine(bq, grp)
+        dens = rows[:, 1].sum() / (rows.shape[0] * (-(-tokens // fine)))
+        print(f"fine tables: {idx.shape[0]} entries, q-coarsened density "
+              f"{dens:.3f}", flush=True)
+        tag = "fine-gather sparse"
     t_sparse = run((jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows)),
-                   "fine-gather sparse")
+                   tag)
     print(f"forward speedup: {t_dense / t_sparse:.2f}x", flush=True)
 
 

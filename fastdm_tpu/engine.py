@@ -1115,7 +1115,10 @@ class FastDMEngine:
             self.sparse_attn.post_init(video_token_num=tokens, num_frame=lf // pt)
             from fastdm_tpu.kernels import kernel_registry
 
-            gather_mode = os.environ.get("FASTDM_SPARSE_GATHER", "fine")
+            # default = superblock gather at bq256 — measured 2.07x dense at
+            # the A14B shape vs the fine form's 1.97x (BENCH_NOTES superblock
+            # A/B, 2026-08-19); "fine"/"coarse"/"mask" remain selectable
+            gather_mode = os.environ.get("FASTDM_SPARSE_GATHER", "super")
             if kernel_registry.backend_for("sdpa_sparse") != "pallas":
                 gather_mode = "mask"
             if gather_mode in ("fine", "super"):
@@ -1129,7 +1132,12 @@ class FastDMEngine:
                 bs = self.sparse_attn.config.block_size
                 import dataclasses as _dc
                 sb = 4 if gather_mode == "super" else 1
-                if fine != bs or self.cfg.sparse_gather_superblock != sb:
+                if sb > 1 and (bq, grp) == type(self.cfg)().sparse_gather_fine_blocks[:2]:
+                    # untouched fine defaults -> the super-tuned tile shape
+                    # (bq256 halves the q-coarsened density; measured best)
+                    bq, grp = 256, 32
+                if (fine != bs or self.cfg.sparse_gather_superblock != sb
+                        or (bq, grp) != self.cfg.sparse_gather_fine_blocks[:2]):
                     self.cfg = _dc.replace(
                         self.cfg, sparse_gather_fine_blocks=(bq, grp, bs),
                         sparse_gather_superblock=sb)
