@@ -306,14 +306,23 @@ class RadialAttn(SparseAttn):
         idx_segs, val_segs = [], []
         rows = np.zeros((nq, 2), np.int32)
         start = 0
+        bits_all = (1 << sb) - 1
         for r in range(nq):
             sub = mp[r].reshape(nsuper, sb)
             act = np.nonzero(sub.any(axis=1))[0].astype(np.int32)
+            bits = (sub[act] * weights[None, :]).sum(axis=1).astype(np.int32)
+            # FULL superblocks first: attention is order-invariant over KV
+            # blocks, and clustering partial entries into the tail group(s)
+            # lets the kernel's clean fast path (no column mask) cover most
+            # groups — at sb=4 boundary blocks otherwise taint nearly every
+            # group with the masked path (BENCH_NOTES superblock A/B)
+            order = np.argsort(bits != bits_all, kind="stable")
+            act, bits = act[order], bits[order]
             padded = -(-max(1, len(act)) // group) * group
             seg_i = np.zeros(padded, np.int32)
             seg_v = np.zeros(padded, np.int32)
             seg_i[: len(act)] = act
-            seg_v[: len(act)] = (sub[act] * weights[None, :]).sum(axis=1)
+            seg_v[: len(act)] = bits
             rows[r] = (start, len(act))
             start += padded
             idx_segs.append(seg_i)
