@@ -67,7 +67,14 @@ def main():
 
     cache_cfg = None
     if cache_kind == "teacache":
-        # FLUX TeaCache config (ref: examples/xcaching/configs/teacache_flux.json)
+        # Threshold choice, MEASURED (2026-08-19): the reference's published
+        # flux config uses 0.2 (examples/xcaching/configs/teacache_flux.json),
+        # but with random weights the TeaCache signal is distribution-shifted
+        # — 0.2 here skips only 9/25 steps (16.87 s) while the reference's own
+        # H20 row implies ~50% skip (19.91 -> 10.02 s). 0.25 reproduces the
+        # reference's EFFECTIVE skip rate (12/25), which is the comparability
+        # criterion that matters for a latency bench; real-weight runs should
+        # use the published 0.2.
         cache_cfg = TeaCacheConfig(
             cache_algorithm="teacache",
             enable_caching=True,
