@@ -17,10 +17,12 @@ Env knobs:
   BENCH_CACHE=teacache|dicache|none   (default teacache, mirroring '+cache'
       rows; dicache = the reference's stated flux best practice)
   BENCH_STEPS, BENCH_HEIGHT, BENCH_WIDTH
-  BENCH_QUANT=int8|fp8|bf16|int4|int4p   (default int4: W4A4 + SVDQuant
-      low-rank branch — measured 13.70 s vs int8's 14.07 s on 2026-08-19,
-      accuracy-gated by tests/test_int4.py where int4+branch BEATS int8 on
-      the outlier-heavy probe; int4p = packed 0.5 byte/param capacity form)
+  BENCH_QUANT=int8|fp8|bf16|int4|int4p   (default int4p: W4A4 + SVDQuant
+      low-rank branch with the 0.5 byte/param packed-halves carrier —
+      measured 13.07 s vs int4's 13.70 s vs int8's 14.07 s on 2026-08-19
+      (halving weight HBM reads beats the concat-unpack cost); accuracy-
+      gated by tests/test_int4.py where int4+branch BEATS int8 on the
+      outlier-heavy probe, and packed==unpacked carriers are bit-equal)
 """
 
 import json
@@ -47,7 +49,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 25))
     height = int(os.environ.get("BENCH_HEIGHT", 1024))
     width = int(os.environ.get("BENCH_WIDTH", 2048))
-    quant = os.environ.get("BENCH_QUANT", "int4")
+    quant = os.environ.get("BENCH_QUANT", "int4p")
     cache_kind = os.environ.get("BENCH_CACHE", "teacache")
 
     ht, wt = height // 16, width // 16  # packed latent tokens

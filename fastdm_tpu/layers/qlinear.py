@@ -44,19 +44,31 @@ INT4_LOWRANK_RANK = 32
 
 def pack_int4(q: Array) -> Array:
     """Pack int4-range values (int8 carrier, (..., K, N)) into nibbles:
-    (..., K//2, N) int8, low nibble = row 2k, high nibble = row 2k+1.
+    (..., K//2, N) int8, low nibble = row k, high nibble = row k + K//2.
 
-    The capacity form of the W4A4 path: 0.5 byte/param in HBM. The compute
-    form keeps the unpacked 1-byte carrier (jnp.int4 cannot cross the jit
-    boundary on this backend — BENCH_NOTES 2026-08-19); packed weights are
-    unpacked in-graph per scanned block, so the transient cost is ONE
-    block's weights while residency halves — the lever that fits Wan-A14B
-    on a single 16 GB v5e (BENCH_NOTES residency table)."""
+    HALVES layout, not even/odd interleave: unpacking is then a plain
+    two-segment concat along K — the interleaved layout's unpack is a
+    sublane relayout that XLA lowers ~4.5x over the bandwidth floor
+    (measured ~520 ms/step through FLUX int4p, BENCH_NOTES 2026-08-19).
+    Under tensor parallelism a tp-sharded packed-K dim no longer lines up
+    with the contiguously-sharded activation K after the concat; GSPMD
+    reshards automatically (correctness is sharding-independent), and the
+    capacity use case — fitting Wan-A14B / Qwen-scale on ONE 16 GB v5e —
+    runs on a single chip where no resharding exists.
+
+    0.5 byte/param in HBM (jnp.int4 cannot cross the jit boundary on this
+    backend — BENCH_NOTES 2026-08-19); packed weights are unpacked in-graph
+    per scanned block, so the transient cost is ONE block's weights while
+    residency halves. With the halves layout this is BOTH the capacity form
+    (fits Wan-A14B on a single 16 GB v5e, BENCH_NOTES residency table) and
+    the SPEED form: halving the weight HBM reads outruns the concat-unpack
+    cost (full FLUX 25-step: int4p 24.89 s vs int4 26.23 s uncached,
+    13.07 s vs 13.70 s TeaCache — BENCH_NOTES 2026-08-19)."""
     k = q.shape[-2]
     if k % 2:
         raise ValueError(f"pack_int4 needs even K, got {k}")
-    lo = q[..., 0::2, :] & 0x0F
-    hi = jnp.left_shift(q[..., 1::2, :], 4)
+    lo = q[..., : k // 2, :] & 0x0F
+    hi = jnp.left_shift(q[..., k // 2 :, :], 4)
     return (lo | hi).astype(jnp.int8)
 
 
@@ -64,11 +76,11 @@ def unpack_int4(p: Array) -> Array:
     """Inverse of pack_int4: (..., K//2, N) int8 -> (..., K, N) int4-range.
 
     Sign extension via arithmetic shifts (jnp.right_shift on signed ints is
-    arithmetic; left shift wraps modularly — both XLA-defined)."""
+    arithmetic; left shift wraps modularly — both XLA-defined). The two
+    halves concatenate contiguously (see pack_int4 layout note)."""
     lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
     hi = jnp.right_shift(p, 4)
-    stacked = jnp.stack([lo, hi], axis=-2)  # (..., K//2, 2, N)
-    return stacked.reshape(*p.shape[:-2], 2 * p.shape[-2], p.shape[-1])
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def _lowrank_approx(w32: Array, rank: int, *, iters: int = 2) -> tuple:
