@@ -210,3 +210,52 @@ def test_engine_rejects_pp_with_tp_or_sp():
                      mesh_shape=(1, 1, 2, 2))
     with pytest.raises(ValueError, match="mesh_shape must be"):
         FastDMEngine("/nonexistent", architecture="flux", mesh_shape=(2, 2))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_int4p_qlinear_under_tp_matches_single_device():
+    """The packed-halves int4 carrier stays correct when its K//2 dim is
+    tp-sharded (row-parallel rule P(None, 'tp', None) on w4p): the unpack
+    concat makes the packed-K sharding misalign with the activation K, and
+    GSPMD must reshard rather than silently mis-stitch the halves
+    (layers/qlinear.py pack_int4 layout note). Covers both row- and
+    column-parallel placements over stacked block leaves."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fastdm_tpu.layers.qlinear import quantize_weight, qlinear_apply
+    from fastdm_tpu.parallel.mesh import AXES, generic_param_pspec
+
+    kk, nn, layers = 64, 64, 2  # square so layers chain through the scan
+    ws = [jax.random.normal(jax.random.key(40 + i), (kk, nn), jnp.float32) * 0.02
+          for i in range(layers)]
+    ws = [w.at[:, 1].mul(25.0) for w in ws]  # outlier column -> branch active
+    per_layer = [quantize_weight(w, "int4p", jnp.ones((nn,), jnp.float32))
+                 for w in ws]
+    stacked = {k: jnp.stack([p[k] for p in per_layer]) for k in per_layer[0]}
+    x = jax.random.normal(jax.random.key(50), (4, kk), jnp.bfloat16)
+
+    def run_stack(params, x):
+        def body(h, layer):
+            return qlinear_apply(layer, h), None
+        h, _ = jax.lax.scan(body, x, params)
+        return h
+
+    ref = jax.jit(run_stack)(stacked, x)
+
+    import numpy as onp
+    mesh = jax.sharding.Mesh(onp.asarray(jax.devices()[:2]).reshape(1, 1, 2),
+                             AXES)
+    for role in ("blocks.ff.proj", "blocks.ff.out"):  # col- and row-parallel
+        sharded = {
+            k: jax.device_put(v, NamedSharding(
+                mesh, generic_param_pspec(f"{role}.{k}")))
+            for k, v in stacked.items()
+        }
+        spec = generic_param_pspec(f"{role}.w4p")
+        assert "tp" in jax.tree_util.tree_leaves(spec) or spec != P()
+        out = jax.jit(run_stack)(sharded, x)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
