@@ -58,7 +58,8 @@ class HostStepCache:
     def reset(self):
         self.states = [None, None]  # pos / neg CFG stream
         self._last_step = None
-        self._slot = 0
+        self._total = None
+        self._chunk = 0
 
     @property
     def skips(self) -> int:
@@ -83,16 +84,34 @@ class HostStepCache:
         # total_steps_callback = all_steps_sigmas.shape[0] (:294)
         return int(idx[0]), int(all_np.shape[0])
 
-    def begin(self, step: int) -> int:
-        """Select the state slot for this call; returns the slot index."""
-        if self._last_step is None or step < self._last_step:
+    def begin(self, step: int, total: Optional[int] = None) -> int:
+        """Select the state slot for this call; returns the slot index.
+
+        New-run detection: within one sampling run the recovered step index
+        only ever repeats (CFG / cond-chunk forwards) or advances by exactly
+        1, so a backward move, a jump > 1, or a changed schedule length all
+        signal a fresh run and reset the cross-run state (stale
+        prev_probe/prev_residual from another image must never feed a skip
+        decision). The one undetectable case — a new run whose first step
+        equals or immediately follows the previous run's last step with the
+        SAME schedule length — degrades to at most one mis-judged probe
+        delta, never a crash. Cond-batch chunking: chunk 0 of a step is the
+        positive stream (slot 0); every later chunk shares slot 1, keeping
+        the skip-driving positive trajectory clean even when ComfyUI splits
+        a step into 3+ model calls."""
+        if (self._last_step is None or step < self._last_step
+                or step > self._last_step + 1
+                or (total is not None and self._total is not None
+                    and total != self._total)):
             self.reset()
         if step == self._last_step:
-            self._slot = 1 - self._slot  # CFG second forward this step
+            self._chunk += 1
         else:
-            self._slot = 0
+            self._chunk = 0
         self._last_step = step
-        return self._slot
+        if total is not None:
+            self._total = total
+        return min(self._chunk, 1)
 
     def config_for(self, slot: int):
         return self.config if slot == 0 else self.neg_config
@@ -105,6 +124,26 @@ class HostStepCache:
                 self.config_for(slot), hidden_shape, probe_shape
             )
         return self.states[slot]
+
+    def dispatch(self, fwd_cached, transformer_options, hshape, pshape,
+                 params, cfg, *fwd_args, **fwd_kwargs):
+        """One cached forward: recover the step, pick the CFG slot, run
+        `fwd_cached(params, cfg, cache_cfg, state, step, total, *fwd_args)`,
+        persist the new state. Returns None when the sampler didn't provide
+        a recoverable step (caller then runs the uncached forward) — the
+        single implementation behind every ComfyUI wrapper."""
+        step_info = self.step_from_options(transformer_options)
+        if step_info is None:
+            return None
+        step, total = step_info
+        slot = self.begin(step, total)
+        st = self.ensure_state(slot, hshape, pshape)
+        out, st = fwd_cached(
+            params, cfg, self.config_for(slot), st, jnp.int32(step), total,
+            *fwd_args, **fwd_kwargs,
+        )
+        self.states[slot] = st
+        return out
 
 
 def _make_host_cache(cache) -> Optional[HostStepCache]:
@@ -167,22 +206,15 @@ class ComfyUIFluxForwardWrapper:
         if key not in self._rope_cache:
             self._rope_cache[key] = flux_rope_cache(self.cfg, ctx.shape[1], ht, wt)
         cos, sin = self._rope_cache[key]
-        step_info = (
-            HostStepCache.step_from_options(transformer_options)
-            if self.cache is not None else None
-        )
-        if step_info is not None:
-            step, total = step_info
-            slot = self.cache.begin(step)
+        out = None
+        if self.cache is not None:
             hshape = (hidden.shape[0], hidden.shape[1], self.cfg.inner_dim)
-            st = self.cache.ensure_state(slot, hshape, hshape)
-            out, st = self._fwd_cached(
-                self.params, self.cfg, self.cache.config_for(slot), st,
-                jnp.int32(step), total, hidden, ctx, pooled, t, cos, sin,
+            out = self.cache.dispatch(
+                self._fwd_cached, transformer_options, hshape, hshape,
+                self.params, self.cfg, hidden, ctx, pooled, t, cos, sin,
                 guidance=g,
             )
-            self.cache.states[slot] = st
-        else:
+        if out is None:
             out = self._fwd(self.params, self.cfg, hidden, ctx, pooled, t,
                             cos, sin, guidance=g)
         img = flux_unpack_latents(out, ht, wt)[:, :, :h, :w]
@@ -252,23 +284,16 @@ class ComfyUISD3ForwardWrapper:
         t = jnp.asarray(np.asarray(timestep.detach().cpu().float()), jnp.float32)
         # ComfyUI hands flow sigma in [0,1]; the core expects 0..1000 timesteps
         t = t * 1000.0
-        step_info = (
-            HostStepCache.step_from_options(transformer_options)
-            if self.cache is not None else None
-        )
-        if step_info is not None:
-            step, total = step_info
-            slot = self.cache.begin(step)
+        out = None
+        if self.cache is not None:
             p = self.cfg.patch_size
             hshape = (sample.shape[0], (h // p) * (w // p), self.cfg.inner_dim)
-            st = self.cache.ensure_state(slot, hshape, hshape)
-            out, st = self._fwd_cached(
-                self.params, self.cfg, self.cache.config_for(slot), st,
-                jnp.int32(step), total, sample, _to_jax(context), _to_jax(y),
+            out = self.cache.dispatch(
+                self._fwd_cached, transformer_options, hshape, hshape,
+                self.params, self.cfg, sample, _to_jax(context), _to_jax(y),
                 t, self._pos_cache[(h, w)],
             )
-            self.cache.states[slot] = st
-        else:
+        if out is None:
             out = self._fwd(
                 self.params, self.cfg, sample, _to_jax(context), _to_jax(y), t,
                 self._pos_cache[(h, w)],
@@ -309,15 +334,10 @@ class ComfyUIQwenForwardWrapper:
         if key not in self._rope_cache:
             self._rope_cache[key] = qwen_rope_cos_sin(self.cfg, 1, ht, wt, ctx.shape[1])
         cos, sin = self._rope_cache[key]
-        step_info = (
-            HostStepCache.step_from_options(transformer_options)
-            if self.cache is not None else None
-        )
-        if step_info is not None:
+        out = None
+        if self.cache is not None:
             from fastdm_tpu.caching.config import TeaCacheConfig
 
-            step, total = step_info
-            slot = self.cache.begin(step)
             hshape = (hidden.shape[0], hidden.shape[1], self.cfg.inner_dim)
             # qwen TeaCache probes the TEXT-stream modulated input
             # (ref: xcaching.py:171-181 qwenimage path)
@@ -325,13 +345,11 @@ class ComfyUIQwenForwardWrapper:
                 (ctx.shape[0], ctx.shape[1], self.cfg.inner_dim)
                 if isinstance(self.cache.config, TeaCacheConfig) else hshape
             )
-            st = self.cache.ensure_state(slot, hshape, pshape)
-            out, st = self._fwd_cached(
-                self.params, self.cfg, self.cache.config_for(slot), st,
-                jnp.int32(step), total, hidden, ctx, t, cos, sin,
+            out = self.cache.dispatch(
+                self._fwd_cached, transformer_options, hshape, pshape,
+                self.params, self.cfg, hidden, ctx, t, cos, sin,
             )
-            self.cache.states[slot] = st
-        else:
+        if out is None:
             out = self._fwd(self.params, self.cfg, hidden, ctx, t, cos, sin)
         img = flux_unpack_latents(out, ht, wt)[:, :, :h, :w]
         return _to_torch(img, x)

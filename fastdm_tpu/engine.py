@@ -145,6 +145,22 @@ class FastDMEngine:
                     raise ValueError(
                         "pp > 1 requires sp == 1 and tp == 1 "
                         f"(got mesh_shape={mesh_shape}); compose pp with dp only")
+                if arch not in ("flux", "wan", "qwen"):
+                    # PP is the weights-don't-fit axis; flux/wan/qwen route
+                    # their stacks through the GPipe schedule. sd35/sdxl fit
+                    # any chip and have NO pp routing — a pp-sharded stack
+                    # consumed by their sequential scans would make GSPMD
+                    # gather full weights per chip (the exact OOM pp is
+                    # bought to avoid). Reject rather than silently degrade.
+                    raise ValueError(
+                        f"pp > 1 is not supported for architecture={arch!r} "
+                        "(PP block routing exists for flux/wan/qwen only)")
+                if controlnet_path is not None:
+                    # per-layer CN residuals carry a per-microbatch batch dim
+                    # the layer-stacked GPipe feed can't (models/flux.py
+                    # _pp_applicable) — the scan fallback would gather the
+                    # pp-sharded stacks
+                    raise ValueError("pp > 1 is incompatible with controlnet_path")
         if pack_int4 and not use_int4:
             raise ValueError("pack_int4 requires use_int4")
         quant = "fp8" if use_fp8 else ("int8" if use_int8 else
@@ -231,6 +247,16 @@ class FastDMEngine:
                           "(ring attention handles the long sequence)")
                     self.sparse_attn = None
             if self.mesh.shape.get("pp", 1) > 1:
+                if (self.sparse_attn is not None
+                        and self.sparse_attn.config.dense_layers > 0):
+                    # dense_layers splits the wan stack into two segments;
+                    # wan_run_blocks only routes the UNIFORM stack through
+                    # GPipe — the split stack would fall back to a scan over
+                    # pp-sharded weights (full gather per chip)
+                    raise ValueError(
+                        "pp > 1 requires sparse dense_layers == 0 "
+                        f"(got {self.sparse_attn.config.dense_layers}); the "
+                        "split stack has no GPipe routing")
                 # PP placement: block stacks sharded over the layer axis
                 # (each stage holds only its own L/pp layers)
                 from fastdm_tpu.parallel.pipeline import shard_model_stacks_pp
@@ -1109,6 +1135,11 @@ class FastDMEngine:
         # sparse attention block-size rounding (ref: model_entry.py:771-773)
         sparse_mask = None
         dense_steps = 0
+        sparse_sig = None  # participates in the denoiser cache key: the
+        # gather MODE and tile geometry are baked into the jitted closure
+        # (self.cfg at build time), so flipping FASTDM_SPARSE_GATHER between
+        # generates must not reuse a denoiser compiled for another mode —
+        # fine tables fed to the super kernel read counts as bitmasks
         if self.sparse_attn is not None:
             pt, ph, pw = self.cfg.patch_size
             tokens = (lf // pt) * (lh // ph) * (lw // pw)
@@ -1160,6 +1191,8 @@ class FastDMEngine:
                         bq, grp, self.sparse_attn.config.block_size)
                 sparse_mask = (jnp.asarray(idx), jnp.asarray(val),
                                jnp.asarray(cnt))
+                sparse_sig = (gather_mode, self.cfg.sparse_gather_fine_blocks,
+                              self.cfg.sparse_gather_superblock)
             elif gather_mode == "coarse":
                 # gather form: masked KV blocks cost neither DMA nor compute;
                 # block_lists takes the gather tile sizes in TOKENS and
@@ -1171,6 +1204,7 @@ class FastDMEngine:
                     "engine.wan gather tables", jnp.asarray(idx),
                     jnp.asarray(cnt), tokens, tokens, bq, bk)
                 sparse_mask = (jnp.asarray(idx), jnp.asarray(cnt))
+                sparse_sig = (gather_mode, self.cfg.sparse_gather_blocks)
             else:
                 # the masked-kernel path tiles at 128 (wan self-attn call);
                 # retile the mask from its native block_size granularity
@@ -1179,6 +1213,7 @@ class FastDMEngine:
                         1, self.cfg.num_attention_heads, block_tokens=128
                     )
                 )
+                sparse_sig = ("mask",)
             dense_steps = self.sparse_attn.config.dense_steps
         cos, sin = wan_rope_cos_sin(self.cfg, lf, lh, lw)
         use_cache = self.cache is not None
@@ -1186,7 +1221,8 @@ class FastDMEngine:
         ti2v_path = (self.architecture_full == "wan2.2-ti2v" and image is not None
                      and task in ("i2v", "ti2v"))
         key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale,
-               guidance_scale_2, dense_steps, use_cache, dual, self._wan_sched_name)
+               guidance_scale_2, dense_steps, use_cache, dual,
+               self._wan_sched_name, sparse_sig)
         if not ti2v_path and key not in self._denoisers:
             sched = self._wan_scheduler(num_inference_steps)
             if dual:

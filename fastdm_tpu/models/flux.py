@@ -389,6 +389,8 @@ def _pp_applicable(mesh, params, start_dual, cn, cns) -> bool:
     from fastdm_tpu.parallel import pp_state
 
     pp = mesh.shape[pp_state.get_pp_axis()]
+    if params.get("dual_blocks") is None or params.get("single_blocks") is None:
+        return False  # zero-depth stacks (tiny/ablation configs) stay sequential
     n_dual = jax.tree_util.tree_leaves(params["dual_blocks"])[0].shape[0]
     n_single = jax.tree_util.tree_leaves(params["single_blocks"])[0].shape[0]
     return (

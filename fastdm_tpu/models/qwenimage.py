@@ -187,7 +187,21 @@ def qwen_block(block, hidden: Array, encoder: Array, temb: Array, cos: Array,
 
 def qwen_run_blocks(params, cfg: QwenImageConfig, hidden, encoder, temb, cos, sin,
                     start_block: int = 0):
+    """Homogeneous 60-block stack. With an active pipeline-parallel mesh
+    (parallel/pp_state) the scan becomes the GPipe schedule over the pp
+    axis — Qwen-Image is the weights-don't-fit case PP exists for (13.6 GB
+    int8 > one 16 GB chip). Cache probes (start_block > 0) stay sequential
+    (they consume a leading prefix, which stages can't hold evenly)."""
+    from fastdm_tpu.parallel import pp_state
+
     blocks = params["blocks"]
+    ppm = pp_state.get_pp_mesh()
+    if ppm is not None and start_block == 0:
+        pp = ppm.shape[pp_state.get_pp_axis()]
+        n = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+        if pp > 1 and n % pp == 0:
+            return _qwen_run_blocks_pp(blocks, cfg, hidden, encoder, temb,
+                                       cos, sin, ppm)
     if start_block:
         blocks = jax.tree.map(lambda x: x[start_block:], blocks)
 
@@ -198,6 +212,25 @@ def qwen_run_blocks(params, cfg: QwenImageConfig, hidden, encoder, temb, cos, si
 
     (hidden, encoder), _ = jax.lax.scan(body, (hidden, encoder), blocks)
     return hidden
+
+
+def _qwen_run_blocks_pp(blocks, cfg: QwenImageConfig, hidden, encoder, temb,
+                        cos, sin, mesh):
+    """GPipe over the qwen dual-stream stack: batch dim -> microbatch
+    stream; temb is per-sample and rides in the microbatch state."""
+    from fastdm_tpu.parallel import pp_state
+    from fastdm_tpu.parallel.pipeline import gpipe_run_blocks
+
+    axis = pp_state.get_pp_axis()
+    mb = (hidden[:, None], encoder[:, None], temb[:, None])
+
+    def block_fn(block, state):
+        h, e, t = state
+        h, e = qwen_block(block, h, e, t, cos, sin, cfg)
+        return (h, e, t)
+
+    h_mb, _, _ = gpipe_run_blocks(block_fn, blocks, mb, mesh, axis)
+    return h_mb[:, 0]
 
 
 def qwen_forward(

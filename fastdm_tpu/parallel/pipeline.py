@@ -81,10 +81,18 @@ def gpipe_run_blocks(
         raise ValueError(
             f"stacked layer count {num_layers} not divisible by pp={pp}"
         )
-    m_leaves = jax.tree_util.tree_leaves(microbatches)
-    num_mb = m_leaves[0].shape[0]
+    m_total = jax.tree_util.tree_leaves(microbatches)[0].shape[0]
+    # dp composition: shard the microbatch stream over the mesh's dp axis so
+    # each dp group pipelines only its own M/dp microbatches (otherwise every
+    # replica would redundantly run the full stream — P() replication).
+    # Each dp slice owns an independent pp ring: ppermute/psum over `axis`
+    # never cross dp groups.
+    dp = mesh.shape.get("dp", 1) if axis != "dp" else 1
+    mb_axis = "dp" if dp > 1 and m_total % dp == 0 else None
 
     def staged(local_params, xs):
+        # local (per-dp-shard) microbatch count — xs is the shard_map view
+        num_mb = jax.tree_util.tree_leaves(xs)[0].shape[0]
         stage = jax.lax.axis_index(axis)
 
         def local_apply(state):
@@ -128,8 +136,8 @@ def gpipe_run_blocks(
     pspec = jax.tree_util.tree_map(
         lambda leaf: P(*((axis,) + (None,) * (leaf.ndim - 1))), stacked_params
     )
-    xspec = jax.tree_util.tree_map(lambda _: P(), microbatches)
-    outspec = jax.tree_util.tree_map(lambda _: P(), microbatches)
+    xspec = jax.tree_util.tree_map(lambda _: P(mb_axis), microbatches)
+    outspec = jax.tree_util.tree_map(lambda _: P(mb_axis), microbatches)
     fn = jax.shard_map(
         staged, mesh=mesh, in_specs=(pspec, xspec), out_specs=outspec,
         check_vma=False,

@@ -288,3 +288,36 @@ def test_flux_controlnet_wrapper_residual_dict():
             context=_t((1, 5, 24), 3), y=_t((1, 16), 4))
     assert "input" in out and len(out["input"]) == cfg.num_layers
     assert all(isinstance(o, torch.Tensor) for o in out["input"])
+
+
+def test_host_step_cache_new_run_detection():
+    """begin() resets on every detectable new-run signature: backward step,
+    forward jump > 1, changed schedule length. Within a run, repeats pick
+    slot 1 (all later cond chunks) and slot 0 stays the positive stream."""
+    from fastdm_tpu.caching.config import DiCacheConfig
+    from fastdm_tpu.comfyui_entry import HostStepCache
+
+    cfg = DiCacheConfig(cache_algorithm="dicache", enable_caching=True,
+                        threshold=0.2, probe_depth=1, ret_ratio=0.2)
+    c = HostStepCache(cfg)
+    assert c.begin(0, 10) == 0
+    c.states[0] = {"skips": jnp.int32(3)}
+    assert c.begin(0, 10) == 1          # CFG second forward, same step
+    c.states[1] = {"skips": jnp.int32(2)}
+    assert c.begin(0, 10) == 1          # third cond chunk stays in slot 1
+    assert c.begin(1, 10) == 0          # next step -> positive slot
+    assert c.states[0] is not None      # still the same run: state kept
+
+    # forward jump (new run with denoise<1 starting past the old last step)
+    assert c.begin(5, 10) == 0
+    assert c.states[0] is None and c.states[1] is None
+
+    c.states[0] = {"skips": jnp.int32(1)}
+    # same step index but a different schedule length -> new run
+    assert c.begin(6, 25) == 0
+    assert c.states[0] is None
+
+    c.states[0] = {"skips": jnp.int32(1)}
+    # backward move -> new run (the round-2 behavior, still covered)
+    assert c.begin(2, 25) == 0
+    assert c.states[0] is None

@@ -1209,11 +1209,18 @@ def test_wan_engine_sparse_fine_gather(tmp_path, monkeypatch):
 
     sparse = {"sparse_algorithm": "radial", "block_size": 16,
               "decay_factor": 1.0, "model_type": "wan", "dense_steps": 1}
+    # on CPU the auto backend routes sparse ops to jnp, which would force
+    # gather_mode to "mask" for BOTH iterations (a vacuous comparison) —
+    # force pallas (interpret mode via conftest) so the fine path is real
+    # the ctor writes FASTDM_KERNEL_BACKEND to os.environ; setenv first so
+    # monkeypatch teardown restores the pre-test value
+    monkeypatch.setenv("FASTDM_KERNEL_BACKEND", "pallas")
     outs = {}
     for mode in ("fine", "mask"):
         monkeypatch.setenv("FASTDM_SPARSE_GATHER", mode)
         eng = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True,
-                           verbose=False, sparse_attn_config=dict(sparse))
+                           verbose=False, sparse_attn_config=dict(sparse),
+                           kernel_backend="pallas")
         eng.text_encoder = _FakeTE()
         eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
         # 13 output frames -> lf=4 latent frames; 64x64 px -> 8x8 latent ->
@@ -1364,3 +1371,59 @@ def test_wan21_i2v_clip_conditioning(tmp_path, monkeypatch):
     assert calls == [True]  # penultimate hidden states, encoded once
     assert lat.shape == (1, tiny["out_channels"], 2, 4, 4)
     assert np.isfinite(lat).all()
+
+
+def test_wan_engine_gather_mode_flip_rebuilds_denoiser(tmp_path, monkeypatch):
+    """Flipping FASTDM_SPARSE_GATHER between generates on ONE engine must not
+    reuse the denoiser jitted for the other mode: the gather mode and tile
+    geometry live in the closure's cfg, and fine tables fed to the super
+    kernel would read valid-counts as sub-block bitmasks (silent garbage).
+    The cache key carries a sparse signature (engine.py sparse_sig)."""
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_wan import TINY as WAN_TINY, _state_dict
+
+    rng = np.random.default_rng(31)
+    root = str(tmp_path / "wan-tiny-sparse-flip")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    cfg_json = dict(WAN_TINY)
+    cfg_json["patch_size"] = [1, 2, 2]
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, WAN_TINY["text_dim"])), jnp.bfloat16)
+
+    sparse = {"sparse_algorithm": "radial", "block_size": 16,
+              "decay_factor": 1.0, "model_type": "wan", "dense_steps": 1}
+    # force pallas (interpret) so the gather modes are actually distinct on
+    # CPU — under the auto backend all three would degrade to "mask"; setenv
+    # first so monkeypatch restores the ctor-written env var on teardown
+    monkeypatch.setenv("FASTDM_KERNEL_BACKEND", "pallas")
+    eng = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True,
+                       verbose=False, sparse_attn_config=dict(sparse),
+                       kernel_backend="pallas")
+    eng.text_encoder = _FakeTE()
+    eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
+    gen = dict(prompt="a storm", negative_prompt="calm", height=64, width=64,
+               num_frames=13, num_inference_steps=2, output_type="latent",
+               seed=4)
+    outs = {}
+    for mode in ("super", "fine", "mask"):
+        monkeypatch.setenv("FASTDM_SPARSE_GATHER", mode)
+        outs[mode] = eng.generate(**gen)
+        assert np.isfinite(outs[mode]).all()
+    # one denoiser per gather mode — no silent reuse across modes
+    assert len(eng._denoisers) == 3
+    # all three consume the identical wide radial mask at this tiny shape
+    np.testing.assert_allclose(outs["super"], outs["mask"], atol=5e-2)
+    np.testing.assert_allclose(outs["fine"], outs["mask"], atol=5e-2)

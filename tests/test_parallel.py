@@ -259,3 +259,64 @@ def test_int4p_qlinear_under_tp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_qwen_forward_pp_state_matches_sequential():
+    """qwen_run_blocks routes its homogeneous 60-block stack through GPipe
+    when a pp mesh is active — Qwen-Image is the weights-don't-fit case PP
+    exists for (13.6 GB int8 > one 16 GB chip)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from fastdm_tpu.models.qwenimage import (
+        QwenImageConfig, qwen_forward, qwen_init_random, qwen_rope_cos_sin,
+    )
+    from fastdm_tpu.parallel import pp_state
+    from fastdm_tpu.parallel.pipeline import shard_model_stacks_pp
+
+    cfg = QwenImageConfig(num_layers=2, attention_head_dim=32,
+                          num_attention_heads=2, joint_attention_dim=24,
+                          in_channels=16, out_channels=4,
+                          axes_dims_rope=(8, 12, 12), quant="int8")
+    params = qwen_init_random(jax.random.key(0), cfg)
+    b, txt, ht, wt = 2, 6, 4, 4
+    k = jax.random.key(1)
+    hidden = jax.random.normal(k, (b, ht * wt, cfg.in_channels), jnp.bfloat16)
+    encoder = jax.random.normal(k, (b, txt, cfg.joint_attention_dim), jnp.bfloat16)
+    t = jnp.full((b,), 0.5, jnp.float32)
+    cos, sin = qwen_rope_cos_sin(cfg, 1, ht, wt, txt)
+
+    ref = qwen_forward(params, cfg, hidden, encoder, t, cos, sin)
+
+    import numpy as onp
+    mesh = Mesh(onp.asarray(jax.devices()[:2]).reshape(1, 1, 1, 2),
+                ("dp", "sp", "tp", "pp"))
+    sharded = shard_model_stacks_pp(params, mesh)
+    pp_state.set_pp_mesh(mesh)
+    try:
+        out = jax.jit(qwen_forward, static_argnames="cfg")(
+            sharded, cfg, hidden, encoder, t, cos, sin)
+    finally:
+        pp_state.set_pp_mesh(None)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2)
+
+
+def test_engine_rejects_pp_for_unrouted_configs():
+    """pp > 1 must fail loudly where no GPipe routing exists — a pp-sharded
+    stack consumed by a sequential scan would make GSPMD gather full weights
+    per chip (the exact OOM pp is bought to avoid)."""
+    from fastdm_tpu.engine import FastDMEngine
+
+    with pytest.raises(ValueError, match="not supported for architecture"):
+        FastDMEngine("/nonexistent", architecture="sd35",
+                     mesh_shape=(1, 1, 1, 2))
+    with pytest.raises(ValueError, match="not supported for architecture"):
+        FastDMEngine("/nonexistent", architecture="sdxl",
+                     mesh_shape=(1, 1, 1, 2))
+    with pytest.raises(ValueError, match="incompatible with controlnet"):
+        FastDMEngine("/nonexistent", architecture="flux",
+                     mesh_shape=(1, 1, 1, 2), controlnet_path="/nonexistent-cn")
