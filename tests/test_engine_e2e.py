@@ -1427,3 +1427,64 @@ def test_wan_engine_gather_mode_flip_rebuilds_denoiser(tmp_path, monkeypatch):
     # all three consume the identical wide radial mask at this tiny shape
     np.testing.assert_allclose(outs["super"], outs["mask"], atol=5e-2)
     np.testing.assert_allclose(outs["fine"], outs["mask"], atol=5e-2)
+
+
+def test_qwen_engine_mesh_pp(tmp_path, monkeypatch):
+    """Qwen engine under a pp=2 mesh: block stacks layer-sharded, the GPipe
+    route (models/qwenimage.py _qwen_run_blocks_pp) produces the same image
+    as the unsharded engine — the deployable form of PP for the 13.6 GB
+    weights-don't-fit family."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs multiple devices")
+
+    import fastdm_tpu.engine as engine_mod
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.pipeline.vae import VAEConfig
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_qwen import TINY as Q_TINY, _state_dict
+
+    rng = np.random.default_rng(6)
+    root = str(tmp_path / "qwen-pp")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    cfg_json = dict(Q_TINY)
+    cfg_json["out_channels"] = Q_TINY["in_channels"] // 4
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+    lat_ch = Q_TINY["in_channels"] // 4
+    _write_st(os.path.join(root, "vae", "model.safetensors"),
+              _vae_sd(rng, latent_channels=lat_ch))
+    monkeypatch.setitem(
+        engine_mod.VAE_CONFIGS, "qwen",
+        VAEConfig(latent_channels=lat_ch, block_out_channels=(8, 8, 8, 8),
+                  layers_per_block=1, norm_num_groups=4,
+                  scaling_factor=1.0, shift_factor=0.0),
+    )
+
+    class _FakeTE:
+        def encode(self, prompt, n=1):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 6, Q_TINY["joint_attention_dim"])), jnp.bfloat16)
+
+    outs = {}
+    for mesh in (None, (1, 1, 1, 2)):
+        eng = FastDMEngine(root, architecture="qwen-image", use_int8=True,
+                           verbose=False, mesh_shape=mesh)
+        eng.text_encoder = _FakeTE()
+        if mesh is not None:
+            spec = eng.params["blocks"]["img_mod"]["w"].sharding.spec
+            assert "pp" in str(spec)  # layer axis sharded over pp
+        outs[mesh] = eng.generate(prompt="a fox", negative_prompt="x",
+                                  height=64, width=64, num_inference_steps=2,
+                                  true_cfg_scale=3.0, seed=6)
+    diff = np.abs(outs[None].astype(int) - outs[(1, 1, 1, 2)].astype(int))
+    assert diff.mean() <= 1.0 and diff.max() <= 12, (diff.mean(), diff.max())
