@@ -14,6 +14,11 @@ vs_baseline = H20_fastdm_seconds / our_seconds (speedup over the reference's
 own accelerated number on its best hardware; > 1.0 means faster than FastDM).
 
 Env knobs:
+  BENCH_MODEL=flux|qwen|sd35|sdxl|wan5b   (default flux = the headline; the
+      others reproduce the reference's per-family BASELINE.md rows: qwen
+      1024x2048 25-step no-neg vs H20 21.34/13.29 s, sd35 1024x2048 25-step
+      CFG vs 10.26/6.03 s, sdxl 1024x2048 25-step CFG vs 6.73 s uncached,
+      wan5b 768^2x121f 50-step CFG vs 181/102 s)
   BENCH_CACHE=teacache|dicache|none   (default teacache, mirroring '+cache'
       rows; dicache = the reference's stated flux best practice)
   BENCH_STEPS, BENCH_HEIGHT, BENCH_WIDTH
@@ -34,7 +39,296 @@ import jax
 import jax.numpy as jnp
 
 
+def _timed_denoise(run, args, latents_shape, latents_dtype, reps):
+    """Warmup (compile) + timed reps with fresh donated latents each rep.
+    run's first arg after params must be the latents (donated). args is the
+    full warmup arg tuple; index 1 is replaced per rep."""
+    import numpy as np
+
+    out = run(*args)
+    first = out[0] if isinstance(out, tuple) else out
+    np.asarray(first)
+    skips = None
+    if isinstance(out, tuple) and len(out) > 1:
+        skips = int(np.asarray(out[1]))
+    times = []
+    args = list(args)
+    for i in range(reps):
+        args[1] = jax.random.normal(
+            jax.random.key(100 + i), latents_shape, latents_dtype)
+        t0 = time.perf_counter()
+        out = run(*args)
+        np.asarray(out[0] if isinstance(out, tuple) else out)
+        times.append(time.perf_counter() - t0)
+    return min(times), skips
+
+
+def _emit(metric, value, baseline, steps, skips=None):
+    if skips is not None:
+        print(f"cache skipped {skips}/{steps} steps", file=sys.stderr)
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline / value, 3),
+    }))
+
+
+def main_sd35():
+    """BENCH_MODEL=sd35: SD3.5-medium 1024x2048, 25 steps, batched CFG
+    (BASELINE.md: H20 10.26 s fastdm / 6.03 s +cache). TeaCache with the
+    reference's published sd35 coefficients (threshold 0.15, single batched
+    stream — the reference's sd35 config sets negtive_cache=false). One v5e
+    BEATS the H20 row here (measured 419 ms/forward int8 -> ~5 s cached,
+    BENCH_NOTES 2026-08-17): the 2B model is small enough that the chip's
+    int8 rate dominates its bandwidth deficit."""
+    from fastdm_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    from fastdm_tpu.caching.config import TeaCacheConfig
+    from fastdm_tpu.models.sd35 import (
+        SD3Config, sd3_cropped_pos_embed, sd3_init_random,
+    )
+    from fastdm_tpu.pipeline.denoise_more import make_sd3_denoiser
+    from fastdm_tpu.pipeline.schedulers import FlowMatchEulerScheduler
+
+    steps = int(os.environ.get("BENCH_STEPS", 25))
+    height = int(os.environ.get("BENCH_HEIGHT", 1024))
+    width = int(os.environ.get("BENCH_WIDTH", 2048))
+    # int8 default: int4p measured within noise of int8 on sd35 (413 vs
+    # 419 ms — the 2B model is activation-bound, BENCH_NOTES 2026-08-19)
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    cache_kind = os.environ.get("BENCH_CACHE", "teacache")
+
+    lh, lw = height // 8, width // 8
+    n_layers = int(os.environ.get("BENCH_LAYERS", 24))
+    cfg = SD3Config(quant=quant if quant != "bf16" else None,
+                    num_layers=n_layers,
+                    num_dual_layers=13 if n_layers >= 13 else n_layers // 2)
+    params = jax.jit(lambda k: sd3_init_random(k, cfg))(jax.random.key(0))
+
+    cache_cfg = None
+    if cache_kind == "teacache":
+        # the reference's published sd35 coefficients
+        # (examples/xcaching/configs/teacache_sd35.json)
+        cache_cfg = TeaCacheConfig(
+            cache_algorithm="teacache", enable_caching=True,
+            threshold=float(os.environ.get("BENCH_CACHE_THRESHOLD", 0.15)),
+            coefficients=(5.02516305e04, -1.71350998e04, 1.81247682e03,
+                          -6.99267532e01, 9.39706146e-01),
+        )
+    sched = FlowMatchEulerScheduler.create(steps, shift=3.0)
+    run = make_sd3_denoiser(cfg, sched, steps, guidance_scale=7.0,
+                            cache_cfg=cache_cfg)
+
+    kl, ke, kp = jax.random.split(jax.random.key(1), 3)
+    latents = jax.random.normal(kl, (1, cfg.in_channels, lh, lw), jnp.float32)
+    embeds = jax.random.normal(ke, (2, 333, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(kp, (2, cfg.pooled_projection_dim), jnp.bfloat16)
+    pos = sd3_cropped_pos_embed(cfg, None, lh, lw)
+
+    value, skips = _timed_denoise(
+        run, (params, latents, embeds, pooled, pos), latents.shape,
+        jnp.float32, int(os.environ.get("BENCH_REPS", 2)))
+    baseline = 6.03 if cache_cfg is not None else 10.26
+    _emit(f"sd35_t2i_{height}x{width}_{steps}step_denoise_latency",
+          value, baseline, steps, skips)
+
+
+def main_sdxl():
+    """BENCH_MODEL=sdxl: SDXL-base 1024x2048, 25 steps, batched CFG
+    (BASELINE.md: H20 6.73 s fastdm; the reference publishes no cached SDXL
+    row, so this mode is uncached). One v5e beats the H20 row (184 ms/forward
+    measured -> ~4.6 s, BENCH_NOTES 2026-08-17)."""
+    from fastdm_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    from fastdm_tpu.models.sdxl import SDXLConfig, sdxl_init_random
+    from fastdm_tpu.pipeline.denoise_more import make_sdxl_denoiser
+    from fastdm_tpu.pipeline.schedulers import EulerDiscreteScheduler
+
+    steps = int(os.environ.get("BENCH_STEPS", 25))
+    height = int(os.environ.get("BENCH_HEIGHT", 1024))
+    width = int(os.environ.get("BENCH_WIDTH", 2048))
+    quant = os.environ.get("BENCH_QUANT", "int8")
+
+    lh, lw = height // 8, width // 8
+    cfg = SDXLConfig(quant=quant if quant != "bf16" else None)
+    params = jax.jit(lambda k: sdxl_init_random(k, cfg))(jax.random.key(0))
+
+    sched = EulerDiscreteScheduler.create(steps)
+    run = make_sdxl_denoiser(cfg, sched, steps, guidance_scale=5.0)
+
+    kl, ke, kp = jax.random.split(jax.random.key(1), 3)
+    latents = jax.random.normal(kl, (1, 4, lh, lw), jnp.float32)
+    embeds = jax.random.normal(ke, (2, 77, cfg.cross_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(kp, (2, 1280), jnp.bfloat16)
+    time_ids = jnp.asarray(
+        [[height, width, 0, 0, height, width]] * 2, jnp.float32)
+
+    value, skips = _timed_denoise(
+        run, (params, latents, embeds, pooled, time_ids), latents.shape,
+        jnp.float32, int(os.environ.get("BENCH_REPS", 2)))
+    _emit(f"sdxl_t2i_{height}x{width}_{steps}step_denoise_latency",
+          value, 6.73, steps)
+
+
+def main_wan5b():
+    """BENCH_MODEL=wan5b: Wan2.2-TI2V-5B t2v 768x768x121f, 50 steps, CFG
+    (BASELINE.md: H20 181 s fastdm / 102 s +cache). FBCache with the
+    reference's wan config (threshold 0.15, warmup 8, dual pos/neg states);
+    UniPC scheduler (the engine's wan default). Dense attention — radial
+    sparse measured NEGATIVE at this 576-tokens/frame shape through coarse
+    AND fine gather kernels (BENCH_NOTES 2026-08-17/19). Timestep is kept in
+    compact (B,) form: diffusers expands the 5B's timestep per-token, but in
+    t2v every token gets the SAME value, so the compact broadcast is
+    numerically identical and skips a (B,S,6,D) f32 materialization; the
+    per-token path is exercised by the ti2v tests. BENCH_REPS defaults to 1
+    (a cached run is ~2 min on one v5e)."""
+    from fastdm_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    from fastdm_tpu.caching.config import FBCacheConfig
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import make_wan_cached_denoiser
+    from fastdm_tpu.pipeline.schedulers import UniPCMultistepScheduler
+
+    steps = int(os.environ.get("BENCH_STEPS", 50))
+    height = int(os.environ.get("BENCH_HEIGHT", 768))
+    width = int(os.environ.get("BENCH_WIDTH", 768))
+    frames = int(os.environ.get("BENCH_FRAMES", 121))
+    quant = os.environ.get("BENCH_QUANT", "int8")
+
+    # Wan2.2-TI2V-5B hyperparameters (diffusers WanTransformer3DModel config:
+    # 30 layers, 24 heads x 128, ffn 14336, 48 latent channels, 16x VAE)
+    cfg = WanConfig(
+        num_layers=int(os.environ.get("BENCH_LAYERS", 30)),
+        num_attention_heads=24, attention_head_dim=128,
+        ffn_dim=14336, in_channels=48, out_channels=48,
+        quant=quant if quant != "bf16" else None)
+    lf, lh, lw = (frames - 1) // 4 + 1, height // 16, width // 16
+    params = jax.jit(lambda k: wan_init_random(k, cfg))(jax.random.key(0))
+
+    cache_cfg = None
+    if os.environ.get("BENCH_CACHE", "fbcache") == "fbcache":
+        # the reference's published wan config
+        # (examples/xcaching/configs/fbcache_wan.json)
+        cache_cfg = FBCacheConfig(
+            cache_algorithm="fbcache", enable_caching=True,
+            threshold=float(os.environ.get("BENCH_CACHE_THRESHOLD", 0.15)),
+            warmup_steps=8, negtive_cache=True)
+
+    sched = UniPCMultistepScheduler.create(steps, shift=5.0)
+    if cache_cfg is not None:
+        run = make_wan_cached_denoiser(cfg, sched, steps, cache_cfg,
+                                       guidance_scale=5.0)
+    else:
+        from fastdm_tpu.pipeline.denoise_more import make_wan_denoiser
+        _run = make_wan_denoiser(cfg, sched, steps, guidance_scale=5.0)
+        run = lambda p, lat, pt, nt, c, s, m: _run(p, None, lat, pt, nt, c, s, m)
+
+    kl, kp, kn = jax.random.split(jax.random.key(1), 3)
+    latents = jax.random.normal(
+        kl, (1, cfg.in_channels, lf, lh, lw), jnp.float32)
+    pos_text = jax.random.normal(kp, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    neg_text = jax.random.normal(kn, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, lf, lh, lw)
+
+    value, skips = _timed_denoise(
+        run, (params, latents, pos_text, neg_text, cos, sin, None),
+        latents.shape, jnp.float32, int(os.environ.get("BENCH_REPS", 1)))
+    baseline = 102.0 if cache_cfg is not None else 181.0
+    _emit(f"wan5b_t2v_{height}x{width}x{frames}f_{steps}step_denoise_latency",
+          value, baseline, steps, skips)
+
+
+def main_qwen():
+    """BENCH_MODEL=qwen: Qwen-Image 1024x2048, 25 steps, no negative stream
+    (the reference's own Qwen workload — BASELINE.md 'no neg' row: H20
+    21.34 s fastdm / 13.29 s +cache). Full 60-layer model; int4p is what
+    makes it fit one 16 GB chip at all (int8 carrier = 13.6 GB weights +
+    activations OOMs — BENCH_NOTES 2026-08-19)."""
+    from fastdm_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    import numpy as np
+
+    from fastdm_tpu.caching.config import TeaCacheConfig
+    from fastdm_tpu.models.qwenimage import (
+        QwenImageConfig, qwen_init_random, qwen_rope_cos_sin,
+    )
+    from fastdm_tpu.pipeline.denoise_more import make_qwen_denoiser
+    from fastdm_tpu.pipeline.schedulers import (
+        FlowMatchEulerScheduler, flow_match_shift_mu,
+    )
+
+    steps = int(os.environ.get("BENCH_STEPS", 25))
+    height = int(os.environ.get("BENCH_HEIGHT", 1024))
+    width = int(os.environ.get("BENCH_WIDTH", 2048))
+    quant = os.environ.get("BENCH_QUANT", "int4p")
+    cache_kind = os.environ.get("BENCH_CACHE", "teacache")
+
+    ht, wt = height // 16, width // 16
+    seq, txt_len = ht * wt, 512
+    # quant_mods: the 60 blocks' modulation projections are ~6.8 GB at bf16
+    # — quantizing them is what fits the full model (the reference quantizes
+    # qwen mods too: fastdm/model/qwenimage.py:166-167)
+    cfg = QwenImageConfig(
+        quant=quant if quant != "bf16" else None,
+        quant_mods=quant != "bf16",
+        num_layers=int(os.environ.get("BENCH_LAYERS", 60)))
+    params = jax.jit(lambda k: qwen_init_random(k, cfg))(jax.random.key(0))
+
+    cache_cfg = None
+    if cache_kind == "teacache":
+        # the reference's published qwen coefficients
+        # (examples/xcaching/configs/teacache_qwenimage.json); threshold
+        # env-overridable for the synthetic-weight distribution shift
+        # (see the flux TeaCache threshold note below)
+        cache_cfg = TeaCacheConfig(
+            cache_algorithm="teacache", enable_caching=True,
+            threshold=float(os.environ.get("BENCH_CACHE_THRESHOLD", 0.2)),
+            coefficients=(20.04634615, 3.13881129, -11.25528647,
+                          4.70808005, -0.15457715),
+        )
+    mu = flow_match_shift_mu(seq)
+    sched = FlowMatchEulerScheduler.create(steps, use_dynamic_shifting=True, mu=mu)
+    run = make_qwen_denoiser(cfg, sched, steps, true_cfg_scale=1.0,
+                             cache_cfg=cache_cfg)
+
+    kl, ke = jax.random.split(jax.random.key(1))
+    latents = jax.random.normal(kl, (1, seq, cfg.in_channels), jnp.float32)
+    embeds = jax.random.normal(ke, (1, txt_len, cfg.joint_attention_dim),
+                               jnp.bfloat16)
+    cos, sin = qwen_rope_cos_sin(cfg, 1, ht, wt, txt_len)
+
+    out, skips = run(params, latents, embeds, embeds, cos, sin)
+    np.asarray(out)
+    if cache_cfg is not None:
+        print(f"cache skipped {int(np.asarray(skips))}/{steps} steps",
+              file=sys.stderr)
+    times = []
+    for i in range(int(os.environ.get("BENCH_REPS", 2))):
+        lat = jax.random.normal(jax.random.key(2 + i), latents.shape, jnp.float32)
+        t0 = time.perf_counter()
+        out, _ = run(params, lat, embeds, embeds, cos, sin)
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    value = min(times)
+    baseline = 13.29 if cache_cfg is not None else 21.34
+    print(json.dumps({
+        "metric": f"qwen_t2i_{height}x{width}_{steps}step_denoise_latency",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline / value, 3),
+    }))
+
+
 def main():
+    model = os.environ.get("BENCH_MODEL", "flux")
+    if model != "flux":
+        return {"qwen": main_qwen, "sd35": main_sd35, "sdxl": main_sdxl,
+                "wan5b": main_wan5b}[model]()
     from fastdm_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
