@@ -282,12 +282,17 @@ def main_qwen():
     cache_cfg = None
     if cache_kind == "teacache":
         # the reference's published qwen coefficients
-        # (examples/xcaching/configs/teacache_qwenimage.json); threshold
-        # env-overridable for the synthetic-weight distribution shift
-        # (see the flux TeaCache threshold note below)
+        # (examples/xcaching/configs/teacache_qwenimage.json). Threshold
+        # choice, MEASURED (2026-08-19): the published 0.2 over-skips on
+        # random-weight trajectories (16/25 steps -> 9.49 s; 0.4 -> 20/25 ->
+        # 5.34 s), while the reference's own H20 row implies ~38% skip
+        # (21.34 -> 13.29 s ~= 9.4/25). 0.1 reproduces that effective rate
+        # exactly (9/25 -> 16.80 s) — the comparability criterion, same as
+        # the flux threshold note below; real-weight runs use the published
+        # 0.2.
         cache_cfg = TeaCacheConfig(
             cache_algorithm="teacache", enable_caching=True,
-            threshold=float(os.environ.get("BENCH_CACHE_THRESHOLD", 0.2)),
+            threshold=float(os.environ.get("BENCH_CACHE_THRESHOLD", 0.1)),
             coefficients=(20.04634615, 3.13881129, -11.25528647,
                           4.70808005, -0.15457715),
         )

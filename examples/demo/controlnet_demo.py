@@ -51,6 +51,7 @@ def main():
         cache_config=args.cache_config,
         controlnet_path=args.controlnet_path,
         mesh_shape=parse_mesh_shape(args.mesh_shape),
+        snapshot_path=args.snapshot_path,
     )
     print(f"model + controlnet load: {time.perf_counter() - t0:.1f}s")
 

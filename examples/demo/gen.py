@@ -63,6 +63,7 @@ def main():
         oom_resolve=args.oom_resolve,
         mesh_shape=parse_mesh_shape(args.mesh_shape),
         quant_mods=args.quant_mods,
+        snapshot_path=args.snapshot_path,
     )
     print(f"model load latency: {time.perf_counter() - t0:.2f}s")
 

@@ -33,6 +33,7 @@ def main():
         use_fp8=args.use_fp8, use_int8=args.use_int8, use_int4=args.use_int4, pack_int4=args.pack_int4,
         kernel_backend=args.kernel_backend, cache_config=args.cache_config,
         mesh_shape=parse_mesh_shape(args.mesh_shape),
+        snapshot_path=args.snapshot_path,
     )
     imgs = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
     t0 = time.perf_counter()

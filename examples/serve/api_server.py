@@ -358,6 +358,7 @@ def main():
         cache_config=args.cache_config,
         sparse_attn_config=args.sparse_attn_config,
         mesh_shape=parse_mesh_shape(args.mesh_shape),
+        snapshot_path=args.snapshot_path,
     )
     logger.info("Model loading latency: %.4f seconds", time.time() - t0)
     uvicorn.run(build_app(engine, args.served_model_name, wan_lightning),

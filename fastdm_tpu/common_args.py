@@ -39,6 +39,11 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              "reference)")
     parser.add_argument("--quant-mods", action="store_true",
                         help="also quantize AdaLN/mod projections (small-HBM chips)")
+    parser.add_argument("--snapshot-path", type=str, default=None,
+                        help="quantized-snapshot cache dir: first run writes "
+                             "the post-quantization param trees there, later "
+                             "runs mmap them back and skip checkpoint parsing "
+                             "+ fusion + quantization (TPU extension)")
     return parser
 
 

@@ -107,6 +107,7 @@ class FastDMEngine:
         vae_slicing: bool = False,  # diffusers enable_vae_slicing parity
         scheduler: Optional[str] = None,  # None=per-family default; "unipc"|"euler"
         offload_inactive_expert: bool = False,  # A14B: host-resident experts
+        snapshot_path: Optional[str] = None,  # quantized-snapshot cache dir
         verbose: bool = True,
     ):
         self.vae_tiling = vae_tiling
@@ -191,8 +192,22 @@ class FastDMEngine:
                 else SparseAttn.from_dict(sparse_attn_config)
             )
 
+        # quantized-snapshot cache (TPU extension, models/snapshot.py): when
+        # snapshot_path holds a snapshot, the denoiser params load from it
+        # directly (mmap -> device copy, no parsing/fusion/quantization);
+        # when it is set but empty, the freshly quantized trees are written
+        # there so the NEXT engine start skips the quantization work
+        self.snapshot_path = snapshot_path
+        self._snapshot_pending: Dict[str, Any] = {}
+        self._loaded_trees: Dict[str, Any] = {}
+        self._snapshot_manifest = None
+
         init = getattr(self, f"_init_{arch}")
         init(quant, quant_mods, max_sequence_length)
+
+        if snapshot_path and self._snapshot_pending:
+            self.save_quantized(snapshot_path)
+            self._snapshot_pending = {}
 
         # optional ControlNet (ref: sdxl_controlnet / flux_controlnet wrappers,
         # model_entry.py:471-472); generate() then accepts control_image=...
@@ -290,6 +305,50 @@ class FastDMEngine:
             )
 
     # ------------------------------------------------------------ loaders
+
+    def _load_tree(self, name: str, build_fn):
+        """Load the param tree `name` from the snapshot when one exists at
+        snapshot_path (validated against this engine's arch/quant/config);
+        otherwise build it from the diffusers checkpoint via build_fn and
+        queue it for snapshot writing (see __init__)."""
+        from fastdm_tpu.models import snapshot as snap
+
+        sp = self.snapshot_path
+        if sp and snap.is_snapshot(sp):
+            if self._snapshot_manifest is None:
+                self._snapshot_manifest = snap.load_manifest(sp)
+                snap.check_compatible(
+                    self._snapshot_manifest,
+                    architecture=self.architecture_full,
+                    quant=self.quant, cfg=self.cfg)
+                base = self._snapshot_manifest.get("extra", {}).get("model_path")
+                if base and os.path.realpath(base) != os.path.realpath(self.model_path):
+                    print(f"snapshot {sp} was built from {base!r}; "
+                          f"serving it for model_path={self.model_path!r} — "
+                          "delete the snapshot dir if the weights differ")
+            tree = snap.load_tree(sp, name, self._snapshot_manifest)
+            self._loaded_trees[name] = tree
+            return tree
+        tree = build_fn()
+        self._loaded_trees[name] = tree
+        if sp:
+            self._snapshot_pending[name] = tree
+        return tree
+
+    def save_quantized(self, dir_path: str) -> None:
+        """Write the loaded (already-quantized) denoiser param trees as a
+        snapshot; a later FastDMEngine(..., snapshot_path=dir_path) skips
+        checkpoint parsing + fusion + quantization entirely."""
+        from fastdm_tpu.models import snapshot as snap
+
+        trees = dict(self._loaded_trees)
+        snap.save_snapshot(
+            dir_path, trees,
+            architecture=self.architecture_full, quant=self.quant,
+            cfg=self.cfg, extra={"model_path": self.model_path})
+        if getattr(self, "verbose", True):
+            print(f"quantized snapshot written to {dir_path} "
+                  f"({', '.join(sorted(trees))})")
 
     def _load_controlnet(self, path: str):
         if self.architecture == "flux":
@@ -453,9 +512,9 @@ class FastDMEngine:
             {"axes_dims_rope": lambda v: {"axes_dims_rope": tuple(v)}},
         )
         self.cfg = FluxConfig(quant=quant, quant_mods=quant_mods, **kw)
-        self.params = flux_load(
+        self.params = self._load_tree("transformer", lambda: flux_load(
             TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
-        )
+        ))
         self._load_vae("flux")
         self.text_encoder = FluxTextEncoder(self.model_path, max_seq)
 
@@ -473,9 +532,9 @@ class FastDMEngine:
                  lambda v: {"num_dual_layers": len(v)}},
         )
         self.cfg = SD3Config(quant=quant, **kw)
-        self.params = sd3_load(
+        self.params = self._load_tree("transformer", lambda: sd3_load(
             TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
-        )
+        ))
         self._load_vae("sd35")
         self.text_encoder = SD3TextEncoder(self.model_path)
 
@@ -484,9 +543,9 @@ class FastDMEngine:
         from fastdm_tpu.pipeline.text_encoder import SDXLTextEncoder
 
         self.cfg = SDXLConfig(quant=quant)
-        self.params = sdxl_load(
+        self.params = self._load_tree("unet", lambda: sdxl_load(
             TensorSource.from_path(os.path.join(self.model_path, "unet")), self.cfg
-        )
+        ))
         self._load_vae("sdxl")
         self.text_encoder = SDXLTextEncoder(self.model_path)
 
@@ -501,9 +560,9 @@ class FastDMEngine:
             {"axes_dims_rope": lambda v: {"axes_dims_rope": tuple(v)}},
         )
         self.cfg = QwenImageConfig(quant=quant, quant_mods=quant_mods, **kw)
-        self.params = qwen_load(
+        self.params = self._load_tree("transformer", lambda: qwen_load(
             TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
-        )
+        ))
         self._load_vae("qwen")
         self.text_encoder = QwenImageTextEncoder(self.model_path)
 
@@ -545,26 +604,26 @@ class FastDMEngine:
             # + activations (~11 GB int8 vs 21.5 GB both — BENCH_NOTES.md)
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
-                self.params = wan_load(
+                self.params = self._load_tree("transformer", lambda: wan_load(
                     TensorSource.from_path(
                         os.path.join(self.model_path, "transformer")), self.cfg
-                )
-                self.params_2 = wan_load(
+                ))
+                self.params_2 = self._load_tree("transformer_2", lambda: wan_load(
                     TensorSource.from_path(
                         os.path.join(self.model_path, "transformer_2")),
                     self.cfg,
-                )
+                ))
         else:
-            self.params = wan_load(
+            self.params = self._load_tree("transformer", lambda: wan_load(
                 TensorSource.from_path(os.path.join(self.model_path, "transformer")), self.cfg
-            )
+            ))
             self.params_2 = None
             if dual:
                 # A14B two-expert (ref: model_entry.py:673-690)
-                self.params_2 = wan_load(
+                self.params_2 = self._load_tree("transformer_2", lambda: wan_load(
                     TensorSource.from_path(os.path.join(self.model_path, "transformer_2")),
                     self.cfg,
-                )
+                ))
         self.boundary_ratio = _read_json(
             os.path.join(self.model_path, "model_index.json")
         ).get("boundary_ratio") if os.path.exists(

@@ -149,6 +149,42 @@ def read_file_native(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def write_safetensors(path: str, tensors: Dict[str, np.ndarray],
+                      metadata: Optional[Dict[str, str]] = None) -> None:
+    """Write {name: array} as one .safetensors file (format spec:
+    u64-LE header length, JSON header with dtype/shape/data_offsets, raw
+    little-endian data). Sequential buffered IO — no native code needed on
+    the write side. Atomic via rename (crash mid-write leaves no torn file,
+    same discipline as the native .so builds)."""
+    import json as _json
+    import struct
+
+    inv = {np.dtype(v): k for k, v in _DTYPES.items()}
+    header: Dict[str, object] = {}
+    if metadata:
+        header["__metadata__"] = {k: str(v) for k, v in metadata.items()}
+    offset = 0
+    arrays = []
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        tag = inv.get(arr.dtype)
+        if tag is None:
+            raise ValueError(f"no safetensors dtype tag for {arr.dtype} ({name!r})")
+        header[name] = {"dtype": tag, "shape": list(arr.shape),
+                        "data_offsets": [offset, offset + arr.nbytes]}
+        arrays.append(arr)
+        offset += arr.nbytes
+    hb = _json.dumps(header, separators=(",", ":")).encode("utf-8")
+    hb += b" " * ((-(8 + len(hb))) % 8)  # 8-byte-align the data section
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(struct.pack("<Q", len(hb)))
+        f.write(hb)
+        for arr in arrays:
+            f.write(arr.tobytes())
+    os.replace(tmp, path)
+
+
 def read_safetensors(path: str) -> Dict[str, np.ndarray]:
     """Read a .safetensors file or a directory tree of them; native reader
     with a `safetensors`-package fallback."""

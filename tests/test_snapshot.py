@@ -1,0 +1,173 @@
+"""Quantized-snapshot save/load (fastdm_tpu/models/snapshot.py): safetensors
+writer roundtrip, pytree skeleton fidelity, engine-level snapshot cache
+(first ctor writes, second ctor loads bit-identical params and skips
+quantization), and stale-snapshot rejection."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def test_write_safetensors_roundtrip(tmp_path):
+    import ml_dtypes
+
+    from fastdm_tpu.native.safetensors_io import (
+        read_safetensors, write_safetensors,
+    )
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "a/int8": rng.integers(-128, 127, (5, 7), dtype=np.int8),
+        "b/bf16": rng.standard_normal((3, 4)).astype(ml_dtypes.bfloat16),
+        "c/f32": rng.standard_normal((2, 2, 2)).astype(np.float32),
+        "d/u8": rng.integers(0, 255, (9,), dtype=np.uint8),
+        "f/fp8": rng.standard_normal((4, 4)).astype(ml_dtypes.float8_e4m3fn),
+    }
+    path = str(tmp_path / "t.safetensors")
+    write_safetensors(path, tensors, metadata={"who": "test"})
+    back = read_safetensors(path)
+    assert set(back) == set(tensors)
+    for k, v in tensors.items():
+        got = back[k]
+        assert got.dtype == np.asarray(v).dtype and got.shape == np.asarray(v).shape
+        assert np.array_equal(
+            np.asarray(got).view(np.uint8), np.asarray(v).view(np.uint8)), k
+
+    # the standard safetensors package must also read our file (format parity)
+    from safetensors import safe_open
+
+    with safe_open(path, framework="numpy") as sf:
+        assert set(sf.keys()) == set(tensors)
+        assert np.array_equal(sf.get_tensor("a/int8"), tensors["a/int8"])
+
+
+def test_snapshot_tree_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from fastdm_tpu.models import snapshot as snap
+
+    tree = {
+        "w": jnp.asarray(np.arange(12, dtype=np.int8).reshape(3, 4)),
+        "scale": jnp.ones((4,), jnp.float32),
+        "nested": {
+            "bias": None,
+            "lst": [jnp.zeros((2,), jnp.bfloat16), jnp.ones((2,), jnp.bfloat16)],
+            "tup": (jnp.full((1,), 7, jnp.int32),),
+            "flag": True,
+            "name": "qkv",
+            "rank": 32,
+            "zero_d": jnp.asarray(1.5, jnp.bfloat16),  # 0-d array leaf
+        },
+    }
+    snap.save_snapshot(str(tmp_path), {"transformer": tree},
+                       architecture="flux-dev", quant="int8", cfg=None)
+    assert snap.is_snapshot(str(tmp_path))
+    back = snap.load_tree(str(tmp_path), "transformer")
+    assert jax.tree.structure(back) == jax.tree.structure(tree)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(tree)):
+        if isinstance(b, jax.Array):
+            assert a.dtype == b.dtype
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        else:
+            assert a == b
+    # structure kinds preserved exactly
+    assert back["nested"]["bias"] is None
+    assert isinstance(back["nested"]["lst"], list)
+    assert isinstance(back["nested"]["tup"], tuple)
+    assert back["nested"]["name"] == "qkv" and back["nested"]["rank"] == 32
+
+    with pytest.raises(KeyError, match="no tree"):
+        snap.load_tree(str(tmp_path), "missing")
+
+
+def _tiny_flux_root(tmp_path, monkeypatch):
+    import fastdm_tpu.engine as engine_mod
+    from fastdm_tpu.pipeline.vae import VAEConfig
+    from test_engine_e2e import TINY, _flux_transformer_sd, _vae_sd, _write_st
+
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "flux-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _flux_transformer_sd(rng))
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(TINY, f)
+    _write_st(os.path.join(root, "vae", "model.safetensors"), _vae_sd(rng))
+    monkeypatch.setitem(
+        engine_mod.VAE_CONFIGS, "flux",
+        VAEConfig(latent_channels=4, block_out_channels=(8, 8, 8, 8),
+                  layers_per_block=1, norm_num_groups=4,
+                  scaling_factor=0.5, shift_factor=0.0),
+    )
+    return root, rng
+
+
+def test_engine_snapshot_cache_roundtrip(tmp_path, monkeypatch):
+    """First engine writes the snapshot; second engine loads params from it
+    bit-identically WITHOUT touching the transformer checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.models import snapshot as snap
+    from test_engine_e2e import TINY
+
+    root, rng = _tiny_flux_root(tmp_path, monkeypatch)
+    snap_dir = str(tmp_path / "snap")
+
+    eng1 = FastDMEngine(root, architecture="flux", use_int8=True,
+                        verbose=False, snapshot_path=snap_dir)
+    assert snap.is_snapshot(snap_dir)
+    m = snap.load_manifest(snap_dir)
+    assert m["architecture"] == "flux" and m["quant"] == "int8"
+    assert list(m["trees"]) == ["transformer"]
+
+    # break the original transformer checkpoint: the snapshot engine must
+    # never read it
+    os.rename(os.path.join(root, "transformer", "model.safetensors"),
+              os.path.join(root, "transformer", "model.safetensors.bak"))
+    with open(os.path.join(root, "transformer", "model.safetensors"), "w") as f:
+        f.write("not a checkpoint")
+    eng2 = FastDMEngine(root, architecture="flux", use_int8=True,
+                        verbose=False, snapshot_path=snap_dir)
+
+    for a, b in zip(jax.tree.leaves(eng1.params), jax.tree.leaves(eng2.params)):
+        assert a.dtype == b.dtype
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    embeds = jnp.asarray(
+        rng.standard_normal((1, 12, TINY["joint_attention_dim"])), jnp.bfloat16)
+    pooled = jnp.asarray(
+        rng.standard_normal((1, TINY["pooled_projection_dim"])), jnp.bfloat16)
+    kw = dict(prompt_embeds=embeds, pooled_prompt_embeds=pooled,
+              height=64, width=64, num_inference_steps=2, seed=1)
+    img1 = eng1.generate(**kw)
+    img2 = eng2.generate(**kw)
+    assert np.array_equal(img1, img2)  # same params, same program
+
+
+def test_engine_snapshot_rejects_stale(tmp_path, monkeypatch):
+    """A snapshot built under different quant/config flags must raise, not
+    silently serve wrong weights."""
+    from fastdm_tpu.engine import FastDMEngine
+
+    root, _ = _tiny_flux_root(tmp_path, monkeypatch)
+    snap_dir = str(tmp_path / "snap")
+    FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
+                 snapshot_path=snap_dir)
+
+    with pytest.raises(ValueError, match="incompatible"):
+        FastDMEngine(root, architecture="flux", use_fp8=True, verbose=False,
+                     snapshot_path=snap_dir)
+    with pytest.raises(ValueError, match="incompatible"):
+        FastDMEngine(root, architecture="flux-krea", use_int8=True,
+                     verbose=False, snapshot_path=snap_dir)
+    # matching flags still load fine after the rejections
+    eng = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
+                       snapshot_path=snap_dir)
+    assert eng.params is not None
