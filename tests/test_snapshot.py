@@ -151,6 +151,62 @@ def test_engine_snapshot_cache_roundtrip(tmp_path, monkeypatch):
     assert np.array_equal(img1, img2)  # same params, same program
 
 
+def test_engine_snapshot_wan_dual_expert_offload(tmp_path):
+    """Dual-expert wan snapshot: BOTH expert trees round-trip, and under
+    offload_inactive_expert the snapshot load lands in HOST RAM (the
+    _load_tree call runs inside the engine's default_device(cpu) scope)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdm_tpu.engine import FastDMEngine
+    from fastdm_tpu.models import snapshot as snap
+    from test_engine_e2e import _write_st
+    from test_golden_wan import TINY as WAN_TINY, _state_dict
+
+    rng = np.random.default_rng(31)
+    root = str(tmp_path / "wan-a14b-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    _write_st(os.path.join(root, "transformer_2", "model.safetensors"),
+              _state_dict(np.random.default_rng(32)))
+    cfg_json = dict(WAN_TINY)
+    cfg_json["patch_size"] = [1, 2, 2]
+    for sub in ("transformer", "transformer_2"):
+        with open(os.path.join(root, sub, "config.json"), "w") as f:
+            json.dump(cfg_json, f)
+    with open(os.path.join(root, "model_index.json"), "w") as f:
+        json.dump({"boundary_ratio": 0.5}, f)
+
+    snap_dir = str(tmp_path / "snap")
+    kw = dict(architecture="wan2.2-t2v", use_int8=True, verbose=False,
+              offload_inactive_expert=True, snapshot_path=snap_dir)
+    eng1 = FastDMEngine(root, **kw)
+    m = snap.load_manifest(snap_dir)
+    assert sorted(m["trees"]) == ["transformer", "transformer_2"]
+
+    eng2 = FastDMEngine(root, **kw)
+    for tree1, tree2 in ((eng1.params, eng2.params),
+                         (eng1.params_2, eng2.params_2)):
+        for a, b in zip(jax.tree.leaves(tree1), jax.tree.leaves(tree2)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+            # offload: snapshot load must land on host, not the accelerator
+            assert list(b.devices())[0].platform == "cpu"
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, WAN_TINY["text_dim"])), jnp.bfloat16)
+
+    for e in (eng1, eng2):
+        e.text_encoder = _FakeTE()
+        e.cfg = __import__("dataclasses").replace(e.cfg, text_len=8)
+    gen = dict(prompt="a storm", negative_prompt="calm", height=32, width=32,
+               num_frames=5, num_inference_steps=2, output_type="latent",
+               seed=4)
+    np.testing.assert_array_equal(eng1.generate(**gen), eng2.generate(**gen))
+
+
 def test_engine_snapshot_rejects_stale(tmp_path, monkeypatch):
     """A snapshot built under different quant/config flags must raise, not
     silently serve wrong weights."""
