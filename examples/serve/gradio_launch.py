@@ -62,6 +62,8 @@ def main():
         kernel_backend=args.kernel_backend, cache_config=args.cache_config,
         sparse_attn_config=args.sparse_attn_config,
         mesh_shape=parse_mesh_shape(args.mesh_shape),
+        use_int4=args.use_int4, pack_int4=args.pack_int4,
+        snapshot_path=args.snapshot_path,
     )
     history = GenerationHistory(args.history_dir, args.history_limit)
     is_qwen = args.architecture.startswith("qwen")
