@@ -78,10 +78,11 @@ def main_sd35():
     """BENCH_MODEL=sd35: SD3.5-medium 1024x2048, 25 steps, batched CFG
     (BASELINE.md: H20 10.26 s fastdm / 6.03 s +cache). TeaCache with the
     reference's published sd35 coefficients (threshold 0.15, single batched
-    stream — the reference's sd35 config sets negtive_cache=false). One v5e
-    BEATS the H20 row here (measured 419 ms/forward int8 -> ~5 s cached,
-    BENCH_NOTES 2026-08-17): the 2B model is small enough that the chip's
-    int8 rate dominates its bandwidth deficit."""
+    stream — the reference's sd35 config sets negtive_cache=false).
+    MEASURED on chip 2026-08-19: 11.045 s at 10/25 skips (vs_baseline
+    0.546) — the batched-CFG step is ~736 ms, and the 2B model is
+    HBM-bandwidth-bound end to end (0.82 vs H20's 4.0 TB/s); dp=2 over the
+    CFG pair is the designed equalizer."""
     from fastdm_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
@@ -138,8 +139,9 @@ def main_sd35():
 def main_sdxl():
     """BENCH_MODEL=sdxl: SDXL-base 1024x2048, 25 steps, batched CFG
     (BASELINE.md: H20 6.73 s fastdm; the reference publishes no cached SDXL
-    row, so this mode is uncached). One v5e beats the H20 row (184 ms/forward
-    measured -> ~4.6 s, BENCH_NOTES 2026-08-17)."""
+    row, so this mode is uncached). MEASURED on chip 2026-08-19: 7.934 s
+    (vs_baseline 0.848) — int8 weights + fused epilogues keep the UNet on
+    the MXU, so the gap is well under the raw bandwidth ratio."""
     from fastdm_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()

@@ -89,6 +89,16 @@ def main():
 
     tdir = os.path.join(WORK, "transformer")
     snap_dir = os.path.join(WORK, "snapshot")
+    reload_only = os.environ.get("SNAP_AB_RELOAD_ONLY") == "1" and \
+        os.path.isfile(os.path.join(snap_dir, "fastdm_snapshot.json"))
+    if reload_only:
+        t0 = time.perf_counter()
+        params2 = snap.load_tree(snap_dir, "transformer")
+        for leaf in jax.tree.leaves(params2):
+            np.asarray(leaf).view(np.uint8).max()
+        print(f"C'. snapshot reload (fully materialized, quiet machine): "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        return
     shutil.rmtree(snap_dir, ignore_errors=True)
 
     if not os.path.isdir(tdir) or not os.listdir(tdir):
@@ -113,12 +123,17 @@ def main():
     t_save = time.perf_counter() - t0
     print(f"B. save_snapshot: {t_save:.1f}s", flush=True)
 
+    # The native reader returns mmap-backed arrays, so load_tree alone is
+    # lazy (milliseconds). Force every byte through the CPU inside the timed
+    # region — on a real TPU restart this cost is the h2d transfer that
+    # materializes the mapping, so counting it keeps the number honest.
     t0 = time.perf_counter()
     params2 = snap.load_tree(snap_dir, "transformer")
-    jax.block_until_ready(jax.tree.leaves(params2)[0])
+    for leaf in jax.tree.leaves(params2):
+        np.asarray(leaf).max()
     t_snap = time.perf_counter() - t0
-    print(f"C. snapshot reload: {t_snap:.1f}s  ({t_cold/t_snap:.1f}x faster "
-          "than cold)", flush=True)
+    print(f"C. snapshot reload (fully materialized): {t_snap:.1f}s  "
+          f"({t_cold/t_snap:.1f}x faster than cold)", flush=True)
 
     # spot-check bit-identity on a few leaves
     a, b = jax.tree.leaves(params), jax.tree.leaves(params2)
