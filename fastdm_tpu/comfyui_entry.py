@@ -84,7 +84,8 @@ class HostStepCache:
         # total_steps_callback = all_steps_sigmas.shape[0] (:294)
         return int(idx[0]), int(all_np.shape[0])
 
-    def begin(self, step: int, total: Optional[int] = None) -> int:
+    def begin(self, step: int, total: Optional[int] = None,
+              marker: Optional[int] = None) -> int:
         """Select the state slot for this call; returns the slot index.
 
         New-run detection: within one sampling run the recovered step index
@@ -95,10 +96,17 @@ class HostStepCache:
         decision). The one undetectable case — a new run whose first step
         equals or immediately follows the previous run's last step with the
         SAME schedule length — degrades to at most one mis-judged probe
-        delta, never a crash. Cond-batch chunking: chunk 0 of a step is the
-        positive stream (slot 0); every later chunk shares slot 1, keeping
-        the skip-driving positive trajectory clean even when ComfyUI splits
-        a step into 3+ model calls."""
+        delta, never a crash.
+
+        Slot selection: when the sampler labels the call (`marker` derived
+        from ComfyUI's `transformer_options['cond_or_uncond']`, where 0 =
+        cond / 1 = uncond) that label wins — ComfyUI's cond execution order
+        is NOT guaranteed, so an unlabeled chunk heuristic could route the
+        skip-driving positive trajectory into the negative slot (ADVICE r3).
+        Without a marker, fall back to the chunk heuristic: chunk 0 of a
+        step is the positive stream (slot 0); every later chunk shares slot
+        1, keeping the positive trajectory clean even when ComfyUI splits a
+        step into 3+ model calls."""
         if (self._last_step is None or step < self._last_step
                 or step > self._last_step + 1
                 or (total is not None and self._total is not None
@@ -111,7 +119,28 @@ class HostStepCache:
         self._last_step = step
         if total is not None:
             self._total = total
+        if marker is not None:
+            return min(max(int(marker), 0), 1)
         return min(self._chunk, 1)
+
+    @staticmethod
+    def marker_from_options(transformer_options) -> Optional[int]:
+        """Map ComfyUI's `cond_or_uncond` list (0 = cond, 1 = uncond) to a
+        state-slot marker. A batched cond+uncond call ([0, 1]) runs both
+        streams at once — route it to the positive slot (0) so the
+        skip-driving trajectory stays the conditioned one; an uncond-only
+        call maps to slot 1. None when the option is absent/unrecognised
+        (caller falls back to the chunk heuristic)."""
+        cou = transformer_options.get("cond_or_uncond")
+        if cou is None:
+            return None
+        try:
+            vals = {int(v) for v in cou}
+        except (TypeError, ValueError):
+            return None
+        if not vals or not vals <= {0, 1}:
+            return None
+        return 0 if 0 in vals else 1
 
     def config_for(self, slot: int):
         return self.config if slot == 0 else self.neg_config
@@ -136,7 +165,8 @@ class HostStepCache:
         if step_info is None:
             return None
         step, total = step_info
-        slot = self.begin(step, total)
+        slot = self.begin(step, total,
+                          marker=self.marker_from_options(transformer_options))
         st = self.ensure_state(slot, hshape, pshape)
         out, st = fwd_cached(
             params, cfg, self.config_for(slot), st, jnp.int32(step), total,

@@ -182,6 +182,23 @@ class FastDMEngine:
                 if isinstance(cache_config, str)
                 else AutoCache.from_dict(cache_config)
             )
+        if (mesh_shape is not None and len(mesh_shape) == 4
+                and mesh_shape[3] > 1 and self.cache is not None
+                and self.cache.config.enable_caching
+                and self.cache.config.cache_algorithm
+                in ("fbcache", "dicache")):
+            # probe-prefix caches run the first block(s) standalone and then
+            # call the block runners with start_dual/start_block > 0 — that
+            # prefix split bypasses the GPipe route, so the sequential scan
+            # over pp-sharded stacks would make GSPMD gather full weights per
+            # chip every non-skipped step (the exact OOM pp is bought to
+            # avoid). TeaCache probes the modulated input only and replays
+            # the FULL stack, so it composes with GPipe fine. (ADVICE r3)
+            raise ValueError(
+                f"pp > 1 is incompatible with cache_algorithm="
+                f"{self.cache.config.cache_algorithm!r} (probe-prefix caches "
+                "bypass the GPipe block routing); use teacache or disable "
+                "caching")
         self.sparse_attn = None
         if sparse_attn_config is not None:
             from fastdm_tpu.sparse.xsparse import SparseAttn
@@ -204,6 +221,10 @@ class FastDMEngine:
 
         init = getattr(self, f"_init_{arch}")
         init(quant, quant_mods, max_sequence_length)
+        # snapshot-manifest cfg is pinned HERE: this is the cfg the load-side
+        # check_compatible sees (inside _load_tree, before the ip-adapter
+        # replace below and before generate()'s runtime sparse-field tuning)
+        self._manifest_cfg = self.cfg
 
         if snapshot_path and self._snapshot_pending:
             self.save_quantized(snapshot_path)
@@ -321,8 +342,27 @@ class FastDMEngine:
                     self._snapshot_manifest,
                     architecture=self.architecture_full,
                     quant=self.quant, cfg=self.cfg)
-                base = self._snapshot_manifest.get("extra", {}).get("model_path")
-                if base and os.path.realpath(base) != os.path.realpath(self.model_path):
+                extra = self._snapshot_manifest.get("extra", {})
+                base = extra.get("model_path")
+                want = extra.get("source_files")
+                if want is not None:
+                    # weight-provenance gate: the manifest records the source
+                    # checkpoint's weight files (relpath/size/mtime); a
+                    # snapshot built from different weights — or a checkpoint
+                    # updated in place at the same path — must raise, not
+                    # silently serve stale arrays (ADVICE r3)
+                    have = snap.source_fingerprint(self.model_path)
+                    if (have != want and os.environ.get(
+                            "FASTDM_SNAPSHOT_ALLOW_MISMATCH") != "1"):
+                        raise ValueError(
+                            f"snapshot {sp} was built from a checkpoint whose "
+                            f"weight files differ from {self.model_path!r} "
+                            f"(built from {base!r}); delete the snapshot dir "
+                            "to rebuild it, or set "
+                            "FASTDM_SNAPSHOT_ALLOW_MISMATCH=1 if the weights "
+                            "are known-identical")
+                elif base and os.path.realpath(base) != os.path.realpath(self.model_path):
+                    # pre-fingerprint snapshot: provenance unknown — warn only
                     print(f"snapshot {sp} was built from {base!r}; "
                           f"serving it for model_path={self.model_path!r} — "
                           "delete the snapshot dir if the weights differ")
@@ -345,7 +385,13 @@ class FastDMEngine:
         snap.save_snapshot(
             dir_path, trees,
             architecture=self.architecture_full, quant=self.quant,
-            cfg=self.cfg, extra={"model_path": self.model_path})
+            # init-time cfg: generate() runtime-tunes sparse-gather fields via
+            # dataclasses.replace on self.cfg; baking the mutated cfg would
+            # make the snapshot fail check_compatible on the next engine
+            # start even though the weights are identical (ADVICE r3)
+            cfg=getattr(self, "_manifest_cfg", self.cfg),
+            extra={"model_path": self.model_path,
+                   "source_files": snap.source_fingerprint(self.model_path)})
         if getattr(self, "verbose", True):
             print(f"quantized snapshot written to {dir_path} "
                   f"({', '.join(sorted(trees))})")

@@ -130,6 +130,26 @@ def save_snapshot(
     os.replace(tmp, os.path.join(dir_path, MANIFEST))
 
 
+def source_fingerprint(model_path: Optional[str]):
+    """Cheap content fingerprint of a checkpoint dir's weight files:
+    sorted [[relpath, size, mtime_ns], ...]. Recorded in the snapshot
+    manifest at save time and re-checked at load time so a snapshot built
+    from different weights (or a checkpoint updated in place at the same
+    path) is rejected instead of silently served. None when model_path is
+    not a directory or holds no weight files (synthetic/in-memory sources)."""
+    if not model_path or not os.path.isdir(model_path):
+        return None
+    out = []
+    for root, _, names in os.walk(model_path):
+        for n in names:
+            if n.endswith((".safetensors", ".bin")):
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                out.append([os.path.relpath(p, model_path).replace(os.sep, "/"),
+                            st.st_size, st.st_mtime_ns])
+    return sorted(out) or None
+
+
 def is_snapshot(dir_path: str) -> bool:
     return os.path.isfile(os.path.join(dir_path, MANIFEST))
 

@@ -159,7 +159,17 @@ def write_safetensors(path: str, tensors: Dict[str, np.ndarray],
     import json as _json
     import struct
 
-    inv = {np.dtype(v): k for k, v in _DTYPES.items()}
+    # write-side inverse map from UNAMBIGUOUS entries only: without ml_dtypes
+    # the reader maps BF16 -> np.uint16 as a bit view, and letting that entry
+    # into the inverse map would tag genuine uint16 arrays as "BF16" (and
+    # bf16 bit views as "U16") — both mislabeled files. Skip it and refuse
+    # uint16 writes outright in that (ambiguous) environment.
+    inv = {}
+    bf16_is_view = np.dtype(_DTYPES["BF16"]) == np.dtype(np.uint16)
+    for k, v in _DTYPES.items():
+        if bf16_is_view and k in ("BF16", "U16"):
+            continue  # a uint16 array could be either tag: refuse, don't guess
+        inv[np.dtype(v)] = k
     header: Dict[str, object] = {}
     if metadata:
         header["__metadata__"] = {k: str(v) for k, v in metadata.items()}

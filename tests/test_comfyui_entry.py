@@ -321,3 +321,44 @@ def test_host_step_cache_new_run_detection():
     # backward move -> new run (the round-2 behavior, still covered)
     assert c.begin(2, 25) == 0
     assert c.states[0] is None
+
+
+def test_host_step_cache_cond_or_uncond_marker():
+    """ComfyUI's cond execution order is NOT guaranteed: when the sampler
+    labels the call via transformer_options['cond_or_uncond'], that label
+    must pick the slot — an uncond-first step must not steal the positive
+    slot from the skip-driving conditioned trajectory (ADVICE r3). The chunk
+    heuristic remains the unlabeled fallback."""
+    import torch
+
+    from fastdm_tpu.caching.config import DiCacheConfig
+    from fastdm_tpu.comfyui_entry import HostStepCache
+
+    cfg = DiCacheConfig(cache_algorithm="dicache", enable_caching=True,
+                        threshold=0.2, probe_depth=1, ret_ratio=0.2)
+    c = HostStepCache(cfg)
+
+    # marker extraction: list ints, torch scalars, mixed batch, junk
+    m = HostStepCache.marker_from_options
+    assert m({"cond_or_uncond": [0]}) == 0
+    assert m({"cond_or_uncond": [1]}) == 1
+    assert m({"cond_or_uncond": [torch.tensor(1)]}) == 1
+    assert m({"cond_or_uncond": [0, 1]}) == 0   # batched: positive drives
+    assert m({"cond_or_uncond": [1, 0]}) == 0
+    assert m({}) is None
+    assert m({"cond_or_uncond": []}) is None
+    assert m({"cond_or_uncond": ["x"]}) is None
+    assert m({"cond_or_uncond": [2]}) is None   # unrecognised labels ignored
+
+    # uncond runs FIRST at step 0: must land in slot 1, and the following
+    # cond call (same step, chunk 1) must still get the positive slot 0
+    assert c.begin(0, 10, marker=1) == 1
+    assert c.begin(0, 10, marker=0) == 0
+    assert c.begin(1, 10, marker=1) == 1
+    assert c.begin(1, 10, marker=0) == 0
+    # unlabeled call falls back to the chunk heuristic (3rd chunk -> slot 1)
+    assert c.begin(1, 10) == 1
+    # new-run detection still applies with markers
+    c.states[0] = {"skips": jnp.int32(1)}
+    assert c.begin(0, 10, marker=1) == 1
+    assert c.states[0] is None

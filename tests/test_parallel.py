@@ -320,3 +320,32 @@ def test_engine_rejects_pp_for_unrouted_configs():
     with pytest.raises(ValueError, match="incompatible with controlnet"):
         FastDMEngine("/nonexistent", architecture="flux",
                      mesh_shape=(1, 1, 1, 2), controlnet_path="/nonexistent-cn")
+
+
+def test_engine_rejects_pp_with_probe_prefix_caches():
+    """FBCache/DiCache probe the first block(s) standalone and then run the
+    rest with start_block > 0 — that prefix split bypasses the GPipe route,
+    so a sequential scan over pp-sharded stacks would gather full weights per
+    chip (ADVICE r3). TeaCache replays the full stack and stays allowed."""
+    from fastdm_tpu.engine import FastDMEngine
+
+    for algo in ("fbcache", "dicache"):
+        with pytest.raises(ValueError, match="probe-prefix"):
+            FastDMEngine("/nonexistent", architecture="flux",
+                         mesh_shape=(1, 1, 1, 2),
+                         cache_config={"cache_algorithm": algo,
+                                       "enable_caching": True})
+    # teacache passes this gate (fails later on the nonexistent path instead)
+    with pytest.raises(Exception) as ei:
+        FastDMEngine("/nonexistent", architecture="flux",
+                     mesh_shape=(1, 1, 1, 2),
+                     cache_config={"cache_algorithm": "teacache",
+                                   "enable_caching": True})
+    assert "probe-prefix" not in str(ei.value)
+    # disabled probe-prefix cache also passes the gate
+    with pytest.raises(Exception) as ei:
+        FastDMEngine("/nonexistent", architecture="flux",
+                     mesh_shape=(1, 1, 1, 2),
+                     cache_config={"cache_algorithm": "fbcache",
+                                   "enable_caching": False})
+    assert "probe-prefix" not in str(ei.value)

@@ -128,13 +128,16 @@ def test_engine_snapshot_cache_roundtrip(tmp_path, monkeypatch):
     assert list(m["trees"]) == ["transformer"]
 
     # break the original transformer checkpoint: the snapshot engine must
-    # never read it
+    # never read it (the provenance gate sees the changed file, so the
+    # known-identical override is required to even reach the load path)
     os.rename(os.path.join(root, "transformer", "model.safetensors"),
               os.path.join(root, "transformer", "model.safetensors.bak"))
     with open(os.path.join(root, "transformer", "model.safetensors"), "w") as f:
         f.write("not a checkpoint")
+    monkeypatch.setenv("FASTDM_SNAPSHOT_ALLOW_MISMATCH", "1")
     eng2 = FastDMEngine(root, architecture="flux", use_int8=True,
                         verbose=False, snapshot_path=snap_dir)
+    monkeypatch.delenv("FASTDM_SNAPSHOT_ALLOW_MISMATCH")
 
     for a, b in zip(jax.tree.leaves(eng1.params), jax.tree.leaves(eng2.params)):
         assert a.dtype == b.dtype
@@ -227,3 +230,73 @@ def test_engine_snapshot_rejects_stale(tmp_path, monkeypatch):
     eng = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
                        snapshot_path=snap_dir)
     assert eng.params is not None
+
+
+def test_engine_snapshot_rejects_changed_weights(tmp_path, monkeypatch):
+    """Weight-provenance gate (ADVICE r3): a checkpoint updated in place at
+    the same path (size/mtime fingerprint differs) must raise instead of
+    silently serving the stale snapshot; the explicit override env restores
+    the old behavior."""
+    from fastdm_tpu.engine import FastDMEngine
+
+    root, _ = _tiny_flux_root(tmp_path, monkeypatch)
+    snap_dir = str(tmp_path / "snap")
+    FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
+                 snapshot_path=snap_dir)
+
+    ckpt = os.path.join(root, "transformer", "model.safetensors")
+    with open(ckpt, "ab") as f:  # in-place update: same path, new content
+        f.write(b"\0" * 16)
+    with pytest.raises(ValueError, match="weight files differ"):
+        FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
+                     snapshot_path=snap_dir)
+    monkeypatch.setenv("FASTDM_SNAPSHOT_ALLOW_MISMATCH", "1")
+    eng = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
+                       snapshot_path=snap_dir)
+    assert eng.params is not None
+
+
+def test_snapshot_manifest_cfg_pinned_at_init(tmp_path, monkeypatch):
+    """save_quantized after generate-time cfg tuning (wan replaces
+    sparse_gather_* fields on self.cfg) must bake the INIT-time cfg, so the
+    snapshot still passes check_compatible on the next engine start
+    (ADVICE r3). Simulated by replacing a cfg field before saving."""
+    import dataclasses
+
+    from fastdm_tpu.engine import FastDMEngine
+
+    root, _ = _tiny_flux_root(tmp_path, monkeypatch)
+    snap_dir = str(tmp_path / "snap")
+    eng = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False)
+    # simulate a runtime dataclasses.replace tuning (any fingerprinted field)
+    eng.cfg = dataclasses.replace(eng.cfg, guidance_embeds=not eng.cfg.guidance_embeds)
+    eng.save_quantized(snap_dir)
+    eng.cfg = dataclasses.replace(eng.cfg, guidance_embeds=not eng.cfg.guidance_embeds)
+
+    eng2 = FastDMEngine(root, architecture="flux", use_int8=True, verbose=False,
+                        snapshot_path=snap_dir)  # must NOT raise incompatible
+    import jax
+    for a, b in zip(jax.tree.leaves(eng.params), jax.tree.leaves(eng2.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_write_safetensors_refuses_ambiguous_uint16(monkeypatch):
+    """Without ml_dtypes the reader returns BF16 as uint16 bit views; the
+    writer must refuse uint16 arrays in that environment rather than guess a
+    tag (either choice mislabels one of the two cases) — ADVICE r3."""
+    from fastdm_tpu.native import safetensors_io as sio
+
+    no_ml = dict(sio._DTYPES)
+    no_ml["BF16"] = np.uint16
+    no_ml.pop("F8_E4M3", None)
+    no_ml.pop("F8_E5M2", None)
+    monkeypatch.setattr(sio, "_DTYPES", no_ml)
+    with pytest.raises(ValueError, match="no safetensors dtype tag"):
+        sio.write_safetensors("/tmp/never-written.safetensors",
+                              {"x": np.zeros((2,), np.uint16)})
+    # unambiguous dtypes still write fine in the same environment
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ok.safetensors")
+        sio.write_safetensors(p, {"y": np.ones((3,), np.float32)})
+        assert os.path.exists(p)
