@@ -54,6 +54,17 @@ CONFIGS = {
                                "decay_factor": 0.2, "model_type": "wan",
                                "dense_steps": 2},
     },
+    # W4A4 + SVDQuant branch (TPU extension; the headline bench default is
+    # int4p) — included so the pipeline-level divergence of the 4-bit forms
+    # vs int8 vs bf16 is one command (VERDICT r3: the int4p accuracy gate
+    # must be a whole-denoise number, not one probe tensor)
+    "int4": {"use_int4": True},
+    "int4p": {"use_int4": True, "pack_int4": True},
+    "int4p+cache": {
+        "use_int4": True, "pack_int4": True,
+        "cache_config": {"cache_algorithm": "teacache", "enable_caching": True,
+                         "threshold": 0.25},
+    },
 }
 
 
@@ -83,6 +94,11 @@ def _generate(engine, architecture: str, prompts, args):
                   num_inference_steps=args.steps, seed=args.seed + i)
         if architecture.startswith("wan"):
             kw.update(num_frames=args.num_frames, output_type="latent")
+        elif getattr(args, "latent", False):
+            # divergence over raw latents — removes the VAE from the metric
+            # (used by the synthetic full-scale gate, where the VAE weights
+            # are placeholders)
+            kw["output_type"] = "latent"
         out = engine.generate(prompt=prompt, **kw)
         times.append(time.perf_counter() - t0)
         outs.append(np.asarray(out))
@@ -309,6 +325,9 @@ def main(argv=None):
     p.add_argument("--clip-path", default="openai/clip-vit-large-patch14")
     p.add_argument("--skip-clip", action="store_true")
     p.add_argument("--refit-teacache", action="store_true")
+    p.add_argument("--latent", action="store_true",
+                   help="compare raw denoised latents instead of decoded "
+                        "images (skips the VAE in the metric)")
     p.add_argument("--check-index", action="store_true",
                    help="only diff the loader key map against the checkpoint "
                         "index / safetensors headers (no weights loaded)")

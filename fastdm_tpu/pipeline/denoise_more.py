@@ -495,13 +495,23 @@ def make_wan_cached_denoiser(
     cache_cfg,
     guidance_scale: float = 5.0,
     dense_warmup_steps: int = 0,  # radial sparse: first N steps dense
+    segment_steps: Optional[int] = None,  # host-threaded program splitting
 ):
     """Single-expert Wan loop with FBCache/DiCache and dual pos/neg cache
     streams (ref: xcaching negtive_cache for wan). cond carries the i2v
     conditioning channels (mask + encoded first frame), concatenated each
     step like the uncached loop. The sparse dense-step warmup is the same
     two-scan split as the uncached/dual loops (cache states thread through
-    both scans)."""
+    both scans).
+
+    segment_steps=N splits the loop into ceil(num_steps/N) jitted programs of
+    N steps each, threading (latents, cache states, scheduler state) on the
+    host between programs — numerically identical to the single-program form
+    (the step body is shared; tests/test_denoise.py::test_wan_cached_segmented
+    ). Exists for runtimes that bound single-execution wall time (the axon
+    dev tunnel kills executions at ~60 s; a 50-step Wan-5B scan runs ~195 s)
+    and for per-segment observability; the step offset is a DYNAMIC scalar,
+    so all full-length segments share one compiled program."""
     from fastdm_tpu.caching.xcaching import (
         cache_init_state,
         negative_stream_config,
@@ -512,48 +522,121 @@ def make_wan_cached_denoiser(
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
     do_cfg = guidance_scale > 1.0
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def run(params, latents, pos_text, neg_text, rope_cos, rope_sin, sparse_mask,
-            cond=None, encoder_image=None):
+    def _step(params, carry, step, mask, pos_text, neg_text, rope_cos,
+              rope_sin, cond, encoder_image):
+        lat, sp, sn, sst = carry
+        b = lat.shape[0]
+        t = jnp.broadcast_to(sigmas[step] * 1000.0, (b,))
+        inp = lat if cond is None else jnp.concatenate(
+            [lat, cond.astype(lat.dtype)], axis=1)
+        pos, sp = wan_forward_cached(
+            params, cfg, cache_cfg, sp, step, num_steps,
+            inp.astype(jnp.bfloat16), t, pos_text,
+            encoder_hidden_states_image=encoder_image,
+            rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+        )
+        pos = pos.astype(jnp.float32)
+        if do_cfg:
+            neg, sn = wan_forward_cached(
+                params, cfg, neg_cfg, sn, step, num_steps,
+                inp.astype(jnp.bfloat16), t, neg_text,
+                encoder_hidden_states_image=encoder_image,
+                rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+            )
+            out = neg.astype(jnp.float32) + guidance_scale * (pos - neg.astype(jnp.float32))
+        else:
+            out = pos
+        lat, sst = scheduler_step(scheduler, out, step, lat, sigmas, sst, num_steps)
+        return (lat, sp, sn, sst)
+
+    def _init_carry(latents):
         b, c, f, h, w = latents.shape
         pt, ph, pw = cfg.patch_size
         n_tok = (f // pt) * (h // ph) * (w // pw)
         hshape = (b, n_tok, cfg.inner_dim)
-        st0 = cache_init_state(cache_cfg, hshape, hshape)
-        st1 = cache_init_state(cache_cfg, hshape, hshape)
+        return (latents, cache_init_state(cache_cfg, hshape, hshape),
+                cache_init_state(cache_cfg, hshape, hshape),
+                scheduler_init_state(scheduler, latents.shape))
 
-        def step_once(carry, step, mask):
-            lat, sp, sn, sst = carry
-            t = jnp.broadcast_to(sigmas[step] * 1000.0, (b,))
-            inp = lat if cond is None else jnp.concatenate(
-                [lat, cond.astype(lat.dtype)], axis=1)
-            pos, sp = wan_forward_cached(
-                params, cfg, cache_cfg, sp, step, num_steps,
-                inp.astype(jnp.bfloat16), t, pos_text,
-                encoder_hidden_states_image=encoder_image,
-                rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
-            )
-            pos = pos.astype(jnp.float32)
-            if do_cfg:
-                neg, sn = wan_forward_cached(
-                    params, cfg, neg_cfg, sn, step, num_steps,
-                    inp.astype(jnp.bfloat16), t, neg_text,
-                    encoder_hidden_states_image=encoder_image,
-                    rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
-                )
-                out = neg.astype(jnp.float32) + guidance_scale * (pos - neg.astype(jnp.float32))
+    if segment_steps is None:
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(params, latents, pos_text, neg_text, rope_cos, rope_sin,
+                sparse_mask, cond=None, encoder_image=None):
+            def step_once(carry, step, mask):
+                return _step(params, carry, step, mask, pos_text, neg_text,
+                             rope_cos, rope_sin, cond, encoder_image)
+
+            carry = _warmup_scans(step_once, _init_carry(latents), sparse_mask,
+                                  dense_warmup_steps, num_steps)
+            latents_out, st_p, st_n, _ = carry
+            return latents_out, st_p["skips"] + st_n["skips"]
+
+        return run
+
+    seg_jits = {}
+
+    def _seg_fn(length, init):
+        """init=True builds the (cache states, scheduler state) carry
+        IN-GRAPH (their zero buffers would alias under XLA constant dedup,
+        and aliased buffers cannot both be donated); later segments take the
+        carry as donated arguments."""
+        key = (length, init)
+        if key not in seg_jits:
+            if init:
+                def _raw(params, lat, lo, pos_text, neg_text, rope_cos,
+                         rope_sin, mask, cond, encoder_image):
+                    def body(cr, step):
+                        return _step(params, cr, step, mask, pos_text,
+                                     neg_text, rope_cos, rope_sin, cond,
+                                     encoder_image), None
+
+                    cr, _ = jax.lax.scan(body, _init_carry(lat),
+                                         lo + jnp.arange(length))
+                    return cr
+
+                seg_jits[key] = jax.jit(_raw, donate_argnums=(1,))
             else:
-                out = pos
-            lat, sst = scheduler_step(scheduler, out, step, lat, sigmas, sst, num_steps)
-            return (lat, sp, sn, sst)
+                def _raw(params, lat, sp, sn, sst, lo, pos_text, neg_text,
+                         rope_cos, rope_sin, mask, cond, encoder_image):
+                    def body(cr, step):
+                        return _step(params, cr, step, mask, pos_text,
+                                     neg_text, rope_cos, rope_sin, cond,
+                                     encoder_image), None
 
-        carry = (latents, st0, st1, scheduler_init_state(scheduler, latents.shape))
-        carry = _warmup_scans(step_once, carry, sparse_mask,
-                              dense_warmup_steps, num_steps)
+                    cr, _ = jax.lax.scan(body, (lat, sp, sn, sst),
+                                         lo + jnp.arange(length))
+                    return cr
+
+                seg_jits[key] = jax.jit(_raw, donate_argnums=(1, 2, 3, 4))
+        return seg_jits[key]
+
+    def run_segmented(params, latents, pos_text, neg_text, rope_cos, rope_sin,
+                      sparse_mask, cond=None, encoder_image=None):
+        carry = None
+        cut = (min(max(int(dense_warmup_steps), 0), num_steps)
+               if sparse_mask is not None else 0)
+        bounds = [0, cut, num_steps] if 0 < cut < num_steps else [0, num_steps]
+        for seg_lo, seg_hi in zip(bounds[:-1], bounds[1:]):
+            mask = (None if sparse_mask is not None and seg_lo < cut
+                    else sparse_mask)
+            s = seg_lo
+            while s < seg_hi:
+                length = min(segment_steps, seg_hi - s)
+                lo = jnp.asarray(s, jnp.int32)
+                if carry is None:
+                    carry = _seg_fn(length, True)(
+                        params, latents, lo, pos_text, neg_text, rope_cos,
+                        rope_sin, mask, cond, encoder_image)
+                else:
+                    lat, sp, sn, sst = carry
+                    carry = _seg_fn(length, False)(
+                        params, lat, sp, sn, sst, lo, pos_text, neg_text,
+                        rope_cos, rope_sin, mask, cond, encoder_image)
+                s += length
         latents_out, st_p, st_n, _ = carry
         return latents_out, st_p["skips"] + st_n["skips"]
 
-    return run
+    return run_segmented
 
 
 def make_wan_dual_cached_denoiser(
@@ -924,5 +1007,155 @@ def make_wan_dual_phase_denoiser(
             del p
             skips = skips + s2
         return latents, skips
+
+    return run
+
+
+def make_wan_dual_host_denoiser(
+    cfg: WanConfig,
+    scheduler: FlowMatchEulerScheduler,
+    num_steps: int,
+    cache_cfg,  # None -> uncached
+    guidance_scale: float,
+    guidance_scale_2: Optional[float],
+    boundary_ratio: float,
+    dense_warmup_steps: int = 0,
+    place_params=None,
+):
+    """Host-stepped Wan A14B dual-expert loop: per-CFG-BRANCH program
+    granularity. Same computation as make_wan_dual_phase_denoiser (expert
+    phase split, per-expert-per-branch cache states, UniPC state threaded
+    across the boundary), but each transformer forward is its OWN jitted
+    program and the step loop runs in Python.
+
+    Why this form exists alongside the scan form:
+      * runtimes that bound single-execution wall time — the axon dev tunnel
+        kills any execution at ~60 s, and one A14B CFG step at 720p/81f is
+        ~50 s sparse / ~82 s dense, so even a one-step-per-program split of
+        the scan form dies on the dense steps; a single 40-layer forward
+        (~25-41 s) fits,
+      * per-forward observability / preemption points for serving.
+
+    Program count stays tiny because everything dynamic is an argument: the
+    expert params, the step index, and the guidance scale are all traced, so
+    BOTH experts and ALL steps share one compiled forward per (branch cache
+    config x mask form) — at most 4 programs, plus one combine+scheduler
+    program (FBCache's pos and neg stream configs are identical under
+    negtive_cache, which dedupes to 2 forward programs in the common case).
+
+    run(params, params_2, latents, pos_text, neg_text, cos, sin, sparse_mask,
+    cond=None) -> (latents, skips). With place_params (offload mode), each
+    expert is materialized once at its phase start and freed at phase end,
+    exactly like the scan form."""
+    import numpy as np
+
+    if cache_cfg is not None:
+        from fastdm_tpu.caching.xcaching import (
+            cache_init_state,
+            negative_stream_config,
+        )
+        from fastdm_tpu.models.wan import wan_forward_cached
+
+        neg_cfg = negative_stream_config(cache_cfg)
+    sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+    g2 = guidance_scale_2 if guidance_scale_2 is not None else guidance_scale
+    b_step = int(np.sum(np.asarray(scheduler.sigmas)[:num_steps]
+                        >= boundary_ratio))
+    cut = min(max(int(dense_warmup_steps), 0), num_steps)
+
+    def _branch_uncached(p, inp, t, text, rope_cos, rope_sin, mask):
+        return wan_forward(
+            p, cfg, inp.astype(jnp.bfloat16), t, text,
+            rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+        ).astype(jnp.float32), ()
+
+    def _make_branch(stream_cfg):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def branch(p, cst, inp, t, step, text, rope_cos, rope_sin, mask):
+            if cache_cfg is None:
+                return _branch_uncached(p, inp, t, text, rope_cos, rope_sin,
+                                        mask)
+            out, cst = wan_forward_cached(
+                p, cfg, stream_cfg, cst, step, num_steps,
+                inp.astype(jnp.bfloat16), t, text,
+                rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask,
+            )
+            return out.astype(jnp.float32), cst
+
+        return branch
+
+    branch_pos = _make_branch(cache_cfg)
+    branch_neg = _make_branch(neg_cfg) if (cache_cfg is not None and do_cfg) \
+        else branch_pos
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def combine_sched(pos, neg, lat, sst, step, g):
+        out = pos if neg is None else neg + g * (pos - neg)
+        return scheduler_step(scheduler, out, step, lat, sigmas, sst,
+                              num_steps)
+
+    def run(params, params_2, latents, pos_text, neg_text, rope_cos, rope_sin,
+            sparse_mask, cond=None):
+        b = latents.shape[0]
+        _, c, f, h, w = latents.shape
+        pt, ph, pw = cfg.patch_size
+        n_tok = (f // pt) * (h // ph) * (w // pw)
+        hshape = (b, n_tok, cfg.inner_dim)
+        # per-leaf copies: eager zero trees can share one deduped buffer
+        # across leaves, and a buffer may only be donated once per Execute —
+        # jnp.copy gives every donated leaf its own allocation
+        _fresh = lambda tree: jax.tree.map(jnp.copy, tree)  # noqa: E731
+        sst = _fresh(scheduler_init_state(scheduler, latents.shape))
+        lat = latents
+        skips = jnp.zeros((), jnp.int32)
+        active, p_dev = None, None
+        cstates = {}
+        for step in range(num_steps):
+            expert = 1 if step < b_step else 2
+            if expert != active:
+                if p_dev is not None:
+                    # phase boundary in offload mode: let the previous
+                    # expert's last program finish before freeing its
+                    # buffers and starting the next transfer, so device
+                    # peak stays one expert
+                    if place_params is not None:
+                        lat.block_until_ready()
+                    del p_dev
+                    if cache_cfg is not None and active in cstates:
+                        # the finished expert's cache states are dead weight
+                        # (2 x 2 x (B,S,D) residuals) — bank their skip
+                        # counts and free the device buffers before the next
+                        # expert's transfer
+                        st_old = cstates.pop(active)
+                        skips = skips + st_old[0]["skips"] + st_old[1]["skips"]
+                master = params if expert == 1 else params_2
+                p_dev = master if place_params is None else \
+                    place_params(master)
+                active = expert
+                if cache_cfg is not None:
+                    cstates[expert] = [
+                        _fresh(cache_init_state(cache_cfg, hshape, hshape)),
+                        _fresh(cache_init_state(cache_cfg, hshape, hshape))]
+            g = guidance_scale if expert == 1 else g2
+            mask = None if (sparse_mask is not None and step < cut) \
+                else sparse_mask
+            t = jnp.broadcast_to(sigmas[step] * 1000.0, (b,))
+            inp = lat if cond is None else jnp.concatenate(
+                [lat, cond.astype(lat.dtype)], axis=1)
+            st = cstates.get(expert, [(), ()])
+            step_dev = jnp.asarray(step, jnp.int32)
+            pos, st[0] = branch_pos(p_dev, st[0], inp, t, step_dev, pos_text,
+                                    rope_cos, rope_sin, mask)
+            neg = None
+            if do_cfg:
+                neg, st[1] = branch_neg(p_dev, st[1], inp, t, step_dev,
+                                        neg_text, rope_cos, rope_sin, mask)
+            lat, sst = combine_sched(pos, neg, lat, sst, step_dev,
+                                     jnp.asarray(g, jnp.float32))
+        if cache_cfg is not None:
+            for st in cstates.values():
+                skips = skips + st[0]["skips"] + st[1]["skips"]
+        return lat, skips
 
     return run

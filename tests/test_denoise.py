@@ -411,3 +411,97 @@ def test_wan_denoiser_warmup_clamped_past_num_steps():
     mask = jnp.ones((1, cfg.num_attention_heads, nb, nb), jnp.int32)
     out, _ = run(p, None, lat, pos, neg, cos, sin, mask)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wan_cached_segmented_matches_single_program():
+    """segment_steps=N (host-threaded program split, built for runtimes with
+    per-execution wall-time bounds — the axon tunnel kills executions at
+    ~60 s) computes the SAME function as the one-program scan form, including
+    cache-skip behavior, odd tail segments, and the dense-warmup cut."""
+    from fastdm_tpu.caching.config import FBCacheConfig
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import make_wan_cached_denoiser
+    from fastdm_tpu.pipeline.schedulers import UniPCMultistepScheduler
+
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=4, quant="int8")
+    p = wan_init_random(jax.random.key(0), cfg)
+    steps = 5
+    sched = UniPCMultistepScheduler.create(steps, shift=5.0)
+    cache = FBCacheConfig(cache_algorithm="fbcache", enable_caching=True,
+                          threshold=100.0, warmup_steps=1, negtive_cache=True)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 2, 16, 16), jnp.float32)
+    pos = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    neg = jax.random.normal(jax.random.key(3), (1, cfg.text_len, cfg.text_dim),
+                            jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, 2, 16, 16)
+
+    run1 = make_wan_cached_denoiser(cfg, sched, steps, cache,
+                                    guidance_scale=2.0)
+    out1, sk1 = run1(p, jnp.array(lat), pos, neg, cos, sin, None)
+    # segment 2 over 5 steps -> programs of 2, 2, 1 (odd tail)
+    run2 = make_wan_cached_denoiser(cfg, sched, steps, cache,
+                                    guidance_scale=2.0, segment_steps=2)
+    out2, sk2 = run2(p, jnp.array(lat), pos, neg, cos, sin, None)
+    assert int(np.asarray(sk1)) == int(np.asarray(sk2)) > 0
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_wan_dual_host_matches_phase_form():
+    """Host-stepped A14B loop (per-CFG-branch jitted programs; the form the
+    a14b e2e measurement uses under the tunnel's per-execution deadline)
+    computes the SAME function as the phase-split scan form, cached and
+    uncached, including per-expert-per-branch cache state scoping."""
+    from fastdm_tpu.caching.config import FBCacheConfig
+    from fastdm_tpu.models.wan import WanConfig, wan_init_random, wan_rope_cos_sin
+    from fastdm_tpu.pipeline.denoise_more import (
+        make_wan_dual_host_denoiser,
+        make_wan_dual_phase_denoiser,
+    )
+    from fastdm_tpu.pipeline.schedulers import UniPCMultistepScheduler
+
+    cfg = WanConfig(num_attention_heads=2, attention_head_dim=24, in_channels=4,
+                    out_channels=4, text_dim=16, freq_dim=8, ffn_dim=32,
+                    num_layers=2, text_len=4, quant="int8")
+    p1 = wan_init_random(jax.random.key(0), cfg)
+    p2 = wan_init_random(jax.random.key(7), cfg)
+    steps = 4
+    sched = UniPCMultistepScheduler.create(steps, shift=5.0)
+    k = jax.random.key(1)
+    lat = jax.random.normal(k, (1, 4, 2, 16, 16), jnp.float32)
+    pos = jax.random.normal(k, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    neg = jax.random.normal(jax.random.key(3), (1, cfg.text_len, cfg.text_dim),
+                            jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, 2, 16, 16)
+
+    for cache in (None,
+                  FBCacheConfig(cache_algorithm="fbcache", enable_caching=True,
+                                threshold=100.0, warmup_steps=1,
+                                negtive_cache=True)):
+        run_p = make_wan_dual_phase_denoiser(
+            cfg, sched, steps, cache, guidance_scale=2.0,
+            guidance_scale_2=3.0, boundary_ratio=0.5)
+        out_p, sk_p = run_p(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+        run_h = make_wan_dual_host_denoiser(
+            cfg, sched, steps, cache, guidance_scale=2.0,
+            guidance_scale_2=3.0, boundary_ratio=0.5)
+        out_h, sk_h = run_h(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+        assert int(np.asarray(sk_p)) == int(np.asarray(sk_h))
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_h),
+                                   atol=1e-4, rtol=1e-4)
+
+    # offload composition: place_params materializes per phase; host masters
+    cpu = jax.devices()[0]
+    run_o = make_wan_dual_host_denoiser(
+        cfg, sched, steps, None, guidance_scale=2.0, guidance_scale_2=None,
+        boundary_ratio=0.5, place_params=lambda t: jax.device_put(t, cpu))
+    out_o, _ = run_o(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    run_u = make_wan_dual_phase_denoiser(
+        cfg, sched, steps, None, guidance_scale=2.0, guidance_scale_2=None,
+        boundary_ratio=0.5)
+    out_u, _ = run_u(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
+    np.testing.assert_allclose(np.asarray(out_o), np.asarray(out_u),
+                               atol=1e-4, rtol=1e-4)
