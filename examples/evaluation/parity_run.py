@@ -232,7 +232,8 @@ def _expected_key_set(architecture: str, cfg_json: dict):
     rng = np.random.default_rng(0)
     a = architecture.lower()
     arch = next((fam for fam in ("flux", "kontext", "krea", "qwen", "sd35",
-                                 "sd3", "wan") if a.startswith(fam)), a)
+                                 "sd3", "wan")
+                 if a.startswith(fam) and "control" not in a), a)
     if arch in ("flux", "kontext", "krea"):
         import test_golden_flux as g
 
@@ -273,8 +274,65 @@ def _expected_key_set(architecture: str, cfg_json: dict):
             return set(g._state_dict(rng))
         finally:
             g.TINY.update(saved)
-    raise SystemExit(f"--check-index supports flux/qwen/sd35/wan families, "
-                     f"not {architecture!r}")
+    if a.startswith("sdxl") and "control" not in a and "adapter" not in a:
+        import test_engine_e2e as ge
+
+        tlpb = cfg_json.get("transformer_layers_per_block", (1, 2, 10))
+        return set(ge._sdxl_sd(rng, n1=tlpb[1], n2=tlpb[2]))
+    if "control" in a and a.startswith("sdxl"):
+        import test_engine_e2e as ge
+
+        tlpb = cfg_json.get("transformer_layers_per_block", (1, 2, 10))
+        return set(ge._sdxl_sd(rng, n1=tlpb[1], n2=tlpb[2], cn=True))
+    if "control" in a and (a.startswith("flux") or a.startswith("kontext")
+                           or a.startswith("krea")):
+        import test_engine_e2e as ge
+        import test_golden_flux as g
+
+        keys = set(ge._flux_cn_sd(
+            rng, g.TINY,
+            n_layers=cfg_json.get("num_layers", 5),
+            n_single=cfg_json.get("num_single_layers", 0),
+            union=bool(cfg_json.get("num_mode"))))
+        if not cfg_json.get("guidance_embeds", False):
+            keys = {k for k in keys if "guidance_embedder" not in k}
+        return keys
+    if "ip" in a and "adapter" in a:
+        # Official IP-Adapter (SDXL) layouts — plain ImageProjection or the
+        # Plus perceiver resampler; the caller picks the candidate matching
+        # the checkpoint ('image_proj.latents' present -> plus). Processor
+        # indices follow diffusers registration order (down, up, mid LAST);
+        # cross-attn weights sit on odd indices (sdxl.py
+        # sdxl_attach_ip_adapter docstring).
+        tlpb = cfg_json.get("transformer_layers_per_block", (1, 2, 10))
+        n1, n2 = tlpb[1], tlpb[2]
+        proc, idx = set(), 0
+        for n_layers, count in ((n1, 2), (n2, 2), (n2, 3), (n1, 3), (n2, 1)):
+            for _ in range(count):
+                for _ in range(n_layers):
+                    idx += 1
+                    proc.add(f"ip_adapter.{idx}.to_k_ip.weight")
+                    proc.add(f"ip_adapter.{idx}.to_v_ip.weight")
+                    idx += 1
+        plain = proc | {"image_proj.proj.weight", "image_proj.proj.bias",
+                        "image_proj.norm.weight", "image_proj.norm.bias"}
+        depth = int(cfg_json.get("resampler_depth", 4))
+        plus = set(proc)
+        plus |= {"image_proj.latents", "image_proj.proj_in.weight",
+                 "image_proj.proj_out.weight", "image_proj.norm_out.weight",
+                 "image_proj.norm_out.bias"}
+        for i in range(depth):
+            p = f"image_proj.layers.{i}"
+            plus |= {f"{p}.0.norm1.weight", f"{p}.0.norm1.bias",
+                     f"{p}.0.norm2.weight", f"{p}.0.norm2.bias",
+                     f"{p}.0.to_q.weight", f"{p}.0.to_kv.weight",
+                     f"{p}.0.to_out.weight", f"{p}.1.0.weight",
+                     f"{p}.1.0.bias", f"{p}.1.1.weight", f"{p}.1.3.weight"}
+        return (plain, plus)
+    raise SystemExit(
+        f"--check-index supports flux/qwen/sd35/wan/sdxl families, their "
+        f"ControlNets (flux-controlnet / sdxl-controlnet) and sdxl "
+        f"ip-adapter, not {architecture!r}")
 
 
 def check_index(model_path: str, architecture: str) -> dict:
@@ -283,25 +341,52 @@ def check_index(model_path: str, architecture: str) -> dict:
     This retires the 'loader name maps vs real checkpoint layouts' risk for
     Kontext/Krea/Edit variants before any full download (SURVEY.md §7
     'weight loading fidelity')."""
-    tdir = os.path.join(model_path, "transformer")
-    if not os.path.isdir(tdir):
-        tdir = model_path
+    tdir = model_path
+    for sub in ("transformer", "unet"):
+        if os.path.isdir(os.path.join(model_path, sub)):
+            tdir = os.path.join(model_path, sub)
+            break
     names, source = _checkpoint_key_list(tdir)
     cfg_path = os.path.join(tdir, "config.json")
     cfg_json = {}
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             cfg_json = json.load(f)
-    expected = _expected_key_set(architecture, cfg_json)
     actual = set(names)
+    is_ip = "ip" in architecture.lower() and "adapter" in architecture.lower()
+    if is_ip and "resampler_depth" not in cfg_json:
+        # plus-resampler depth straight from the checkpoint's own key list
+        depth = sum(1 for k in actual
+                    if k.startswith("image_proj.layers.")
+                    and k.endswith(".0.to_q.weight"))
+        if depth:
+            cfg_json = dict(cfg_json, resampler_depth=depth)
+    expected = _expected_key_set(architecture, cfg_json)
+    variant = None
+    if isinstance(expected, tuple):  # (plain, plus) candidates
+        plain, plus = expected
+        expected = plus if "image_proj.latents" in actual else plain
+        variant = "plus" if expected is plus else "plain"
+    missing = expected - actual
+    unexpected = actual - expected
+    if is_ip:
+        # linear-loading claims '.bias' whenever present next to an expected
+        # '.weight' (TensorSource.linear), so optional biases in the
+        # checkpoint are consumable, not layout drift — only for the
+        # ip-adapter family, whose official exports vary in bias presence
+        unexpected = {k for k in unexpected
+                      if not (k.endswith(".bias")
+                              and k[: -len(".bias")] + ".weight" in expected)}
     report = {
         "source": source,
         "checkpoint_keys": len(actual),
         "expected_keys": len(expected),
-        "missing_in_checkpoint": sorted(expected - actual),
-        "unexpected_in_checkpoint": sorted(actual - expected),
-        "ok": expected == actual,
+        "missing_in_checkpoint": sorted(missing),
+        "unexpected_in_checkpoint": sorted(unexpected),
+        "ok": not missing and not unexpected,
     }
+    if variant:
+        report["image_proj_variant"] = variant
     return report
 
 

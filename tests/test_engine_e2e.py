@@ -417,8 +417,12 @@ def test_qwen_engine_t2i_and_edit(tmp_path, monkeypatch):
     assert np.abs(multi.astype(int) - edited.astype(int)).max() > 0
 
 
-def _sdxl_sd(rng, c=(8, 16, 32), ctx=16, te=16, add_in=32, n1=1, n2=2):
-    """Synthetic diffusers SDXL UNet state dict at tiny dims."""
+def _sdxl_sd(rng, c=(8, 16, 32), ctx=16, te=16, add_in=32, n1=1, n2=2,
+             cn=False):
+    """Synthetic diffusers SDXL UNet state dict at tiny dims. cn=True emits
+    the SDXL ControlNet layout instead (same down/mid trunk, no up blocks,
+    plus controlnet_cond_embedding / controlnet_down_blocks.{0..8} /
+    controlnet_mid_block — exactly the keys sdxl_controlnet_load consumes)."""
     sd = {}
 
     def conv(name, cin, cout, k=3):
@@ -480,6 +484,20 @@ def _sdxl_sd(rng, c=(8, 16, 32), ctx=16, te=16, add_in=32, n1=1, n2=2):
     resnet("mid_block.resnets.0", c2, c2)
     resnet("mid_block.resnets.1", c2, c2)
     t2d("mid_block.attentions.0", c2, n2)
+    if cn:
+        # ControlNet heads (diffusers ControlNetModel; ref layout consumed
+        # by fastdm_tpu/models/controlnets.py sdxl_controlnet_load)
+        cond_c = (c0 // 2, c0 // 2, c0, c0, c1, c1)
+        conv("controlnet_cond_embedding.conv_in", 3, c0 // 2)
+        prev = c0 // 2
+        for i, cc in enumerate(cond_c):
+            conv(f"controlnet_cond_embedding.blocks.{i}", prev, cc)
+            prev = cc
+        conv("controlnet_cond_embedding.conv_out", prev, c0)
+        for i, cc in enumerate((c0, c0, c0, c0, c1, c1, c1, c2, c2)):
+            conv(f"controlnet_down_blocks.{i}", cc, cc, k=1)
+        conv("controlnet_mid_block", c2, c2, k=1)
+        return sd
     for j, cin in enumerate((c2 + c2, c2 + c2, c2 + c1)):
         resnet(f"up_blocks.0.resnets.{j}", cin, c2)
         t2d(f"up_blocks.0.attentions.{j}", c2, n2)

@@ -155,3 +155,150 @@ def test_check_index_prefers_index_json(tmp_path):
     assert rep["ok"], (rep["missing_in_checkpoint"][:5],
                        rep["unexpected_in_checkpoint"][:5])
     assert "index.json" in rep["source"]
+
+
+def test_check_index_sdxl_and_controlnets(tmp_path):
+    """--check-index round-trips for the heavy name-map loaders added in
+    round 4 (VERDICT r3 item 6): sdxl UNet, sdxl ControlNet, flux ControlNet.
+    The expected sets come from the same synthetic generators the engine e2e
+    tests load, at tiny dims (key NAMES depend only on counts/flags)."""
+    from test_engine_e2e import _flux_cn_sd, _sdxl_sd, _write_st
+    from test_golden_flux import TINY as FLUX_TINY
+
+    import parity_run
+
+    rng = np.random.default_rng(0)
+
+    # sdxl UNet (subdir 'unet', transformer_layers_per_block drives counts)
+    root = str(tmp_path / "sdxl")
+    sd = _sdxl_sd(rng, n1=1, n2=2)
+    _write_st(os.path.join(root, "unet", "model.safetensors"), sd)
+    with open(os.path.join(root, "unet", "config.json"), "w") as f:
+        json.dump({"transformer_layers_per_block": [1, 1, 2]}, f)
+    rep = parity_run.check_index(root, "sdxl")
+    assert rep["ok"], (rep["missing_in_checkpoint"][:5],
+                       rep["unexpected_in_checkpoint"][:5])
+    assert rep["checkpoint_keys"] == len(sd)
+
+    # sdxl ControlNet (flat dir)
+    cn = str(tmp_path / "sdxl-cn")
+    sd_cn = _sdxl_sd(rng, n1=1, n2=2, cn=True)
+    _write_st(os.path.join(cn, "model.safetensors"), sd_cn)
+    with open(os.path.join(cn, "config.json"), "w") as f:
+        json.dump({"transformer_layers_per_block": [1, 1, 2]}, f)
+    rep = parity_run.check_index(cn, "sdxl-controlnet")
+    assert rep["ok"], (rep["missing_in_checkpoint"][:5],
+                       rep["unexpected_in_checkpoint"][:5])
+
+    # flux ControlNet (num_mode -> union mode embedder)
+    fcn = str(tmp_path / "flux-cn")
+    sd_f = _flux_cn_sd(rng, FLUX_TINY, n_layers=2, n_single=1, union=True)
+    _write_st(os.path.join(fcn, "model.safetensors"), sd_f)
+    with open(os.path.join(fcn, "config.json"), "w") as f:
+        json.dump({"num_layers": 2, "num_single_layers": 1, "num_mode": 10,
+                   "guidance_embeds": True}, f)
+    rep = parity_run.check_index(fcn, "flux-controlnet")
+    assert rep["ok"], (rep["missing_in_checkpoint"][:5],
+                       rep["unexpected_in_checkpoint"][:5])
+
+    # a renamed CN key is flagged both ways
+    bad = dict(sd_cn)
+    bad["controlnet_mid_block_RENAMED.weight"] = bad.pop("controlnet_mid_block.weight")
+    cn2 = str(tmp_path / "sdxl-cn-bad")
+    _write_st(os.path.join(cn2, "model.safetensors"), bad)
+    with open(os.path.join(cn2, "config.json"), "w") as f:
+        json.dump({"transformer_layers_per_block": [1, 1, 2]}, f)
+    rep = parity_run.check_index(cn2, "sdxl-controlnet")
+    assert not rep["ok"]
+    assert rep["missing_in_checkpoint"] == ["controlnet_mid_block.weight"]
+
+
+def test_sdxl_cn_generator_matches_loader():
+    """The synthetic SDXL-CN layout is EXACTLY what sdxl_controlnet_load
+    consumes (assert_consumed passes, no missing keys) — the generator is a
+    faithful stand-in for a real checkpoint's key map."""
+    from test_engine_e2e import _sdxl_sd
+
+    from fastdm_tpu.models.controlnets import sdxl_controlnet_load
+    from fastdm_tpu.models.loader import TensorSource
+    from fastdm_tpu.models.sdxl import SDXLConfig
+
+    rng = np.random.default_rng(3)
+    sd = _sdxl_sd(rng, n1=1, n2=2, cn=True)
+    cfg = SDXLConfig(
+        block_channels=(8, 16, 32), cross_attention_dim=16,
+        attn_layers=(0, 1, 2), head_dim=8, addition_time_embed_dim=4,
+        time_embed_dim=16, add_embedding_in_dim=8 + 6 * 4, norm_groups=4,
+        quant="int8")
+    params = sdxl_controlnet_load(TensorSource(sd), cfg)  # asserts consumed
+    assert "controlnet_down_blocks" in params and "cond_embedding" in params
+
+
+def test_check_index_ip_adapter_layouts(tmp_path):
+    """--check-index for the official SDXL IP-Adapter layouts: plain
+    ImageProjection and the Plus perceiver resampler (variant picked from
+    the checkpoint's own keys; optional attention biases tolerated — the
+    loader's src.linear claims them when present)."""
+    from test_engine_e2e import _write_st
+
+    import parity_run
+
+    rng = np.random.default_rng(1)
+    tlpb = {"transformer_layers_per_block": [1, 1, 2]}
+
+    def proc_keys():
+        sd, idx = {}, 0
+        for nl, cnt in ((1, 2), (2, 2), (2, 3), (1, 3), (2, 1)):
+            for _ in range(cnt):
+                for _ in range(nl):
+                    idx += 1
+                    for n in ("to_k_ip", "to_v_ip"):
+                        sd[f"ip_adapter.{idx}.{n}.weight"] = (
+                            rng.standard_normal((8, 16)).astype(np.float32))
+                    idx += 1
+        return sd
+
+    # plain
+    sd = proc_keys()
+    sd["image_proj.proj.weight"] = np.zeros((64, 24), np.float32)
+    sd["image_proj.proj.bias"] = np.zeros((64,), np.float32)
+    sd["image_proj.norm.weight"] = np.ones((16,), np.float32)
+    sd["image_proj.norm.bias"] = np.zeros((16,), np.float32)
+    d = str(tmp_path / "ip-plain")
+    _write_st(os.path.join(d, "ip-adapter.safetensors"), sd)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(tlpb, f)
+    rep = parity_run.check_index(d, "sdxl-ip-adapter")
+    assert rep["ok"] and rep["image_proj_variant"] == "plain", rep
+
+    # plus (depth 2, inferred from keys; to_q carries a bias -> tolerated)
+    sd = proc_keys()
+    sd["image_proj.latents"] = np.zeros((1, 4, 32), np.float32)
+    for n in ("proj_in", "proj_out"):
+        sd[f"image_proj.{n}.weight"] = np.zeros((32, 32), np.float32)
+    sd["image_proj.norm_out.weight"] = np.ones((32,), np.float32)
+    sd["image_proj.norm_out.bias"] = np.zeros((32,), np.float32)
+    for i in range(2):
+        p = f"image_proj.layers.{i}"
+        for nm in ("0.norm1", "0.norm2", "1.0"):
+            sd[f"{p}.{nm}.weight"] = np.ones((32,), np.float32)
+            sd[f"{p}.{nm}.bias"] = np.zeros((32,), np.float32)
+        for nm in ("0.to_q", "0.to_kv", "0.to_out", "1.1", "1.3"):
+            sd[f"{p}.{nm}.weight"] = np.zeros((32, 32), np.float32)
+        sd[f"{p}.0.to_q.bias"] = np.zeros((32,), np.float32)
+    d = str(tmp_path / "ip-plus")
+    _write_st(os.path.join(d, "ip-adapter.safetensors"), sd)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(tlpb, f)
+    rep = parity_run.check_index(d, "sdxl-ip-adapter")
+    assert rep["ok"] and rep["image_proj_variant"] == "plus", rep
+
+    # a renamed processor key is still flagged
+    sd.pop("ip_adapter.1.to_k_ip.weight")
+    d = str(tmp_path / "ip-bad")
+    _write_st(os.path.join(d, "ip-adapter.safetensors"), sd)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(tlpb, f)
+    rep = parity_run.check_index(d, "sdxl-ip-adapter")
+    assert not rep["ok"]
+    assert rep["missing_in_checkpoint"] == ["ip_adapter.1.to_k_ip.weight"]
