@@ -98,18 +98,36 @@ def main():
     tokens = (lf // pt) * (lh // ph) * (lw // pw)
 
     # Both 14B experts init HOST-resident (the offload_inactive_expert
-    # residency: device peak must stay one expert + activations)
+    # residency: device peak must stay one expert + activations). The random
+    # init+quant takes ~40 min on this 1-core host, so it is disk-cached via
+    # the snapshot machinery (A14B_SNAPSHOT="" to disable).
+    from fastdm_tpu.models import snapshot as snap
+
+    cache_dir = os.environ.get("A14B_SNAPSHOT", "/root/a14b_experts_snapshot")
     cpu = jax.devices("cpu")[0]
     t0 = time.perf_counter()
     with jax.default_device(cpu):
-        params = jax.jit(lambda k: wan_init_random(k, base_cfg))(
-            jax.random.key(0))
-        params_2 = jax.jit(lambda k: wan_init_random(k, base_cfg))(
-            jax.random.key(1))
-        jax.block_until_ready((params, params_2))
+        if cache_dir and snap.is_snapshot(cache_dir):
+            m = snap.load_manifest(cache_dir)
+            snap.check_compatible(m, architecture="wan-a14b-bench",
+                                  quant=quant, cfg=base_cfg)
+            params = snap.load_tree(cache_dir, "expert_1", m)
+            params_2 = snap.load_tree(cache_dir, "expert_2", m)
+            src = "snapshot"
+        else:
+            params = jax.jit(lambda k: wan_init_random(k, base_cfg))(
+                jax.random.key(0))
+            params_2 = jax.jit(lambda k: wan_init_random(k, base_cfg))(
+                jax.random.key(1))
+            jax.block_until_ready((params, params_2))
+            src = "random-init"
+            if cache_dir:
+                snap.save_snapshot(
+                    cache_dir, {"expert_1": params, "expert_2": params_2},
+                    architecture="wan-a14b-bench", quant=quant, cfg=base_cfg)
     wbytes = sum(x.size * x.dtype.itemsize
                  for x in jax.tree_util.tree_leaves(params))
-    print(f"experts host-init: {time.perf_counter()-t0:.1f} s, "
+    print(f"experts host-init ({src}): {time.perf_counter()-t0:.1f} s, "
           f"{wbytes/2**30:.2f} GiB each ({quant}), {tokens} tokens", flush=True)
 
     cache_cfg = FBCacheConfig(

@@ -295,7 +295,10 @@ def flux_single_block(
 def _scan_dual(
     blocks, cfg: FluxConfig, hidden: Array, encoder: Array, temb: Array,
     cos: Array, sin: Array, controlnet_block_samples: Optional[Array],
+    start: int = 0, stop: int = None,
 ) -> Tuple[Array, Array]:
+    from fastdm_tpu.models.stack import scan_suffix
+
     def body(carry, xs):
         h, e = carry
         if controlnet_block_samples is not None:
@@ -308,7 +311,8 @@ def _scan_dual(
         return (h, e), None
 
     xs = (blocks, controlnet_block_samples) if controlnet_block_samples is not None else blocks
-    (hidden, encoder), _ = jax.lax.scan(body, (hidden, encoder), xs)
+    (hidden, encoder), _ = scan_suffix(body, (hidden, encoder), xs, start,
+                                       stop)
     return hidden, encoder
 
 
@@ -367,10 +371,8 @@ def flux_run_blocks(
 
     dual = params["dual_blocks"]
     cn = controlnet_block_samples
-    if start_dual:
-        dual = _tree_slice(dual, slice(start_dual, None))
-        cn = cn[start_dual:] if cn is not None else None
-    hidden, encoder = _scan_dual(dual, cfg, hidden, encoder, temb, cos, sin, cn)
+    hidden, encoder = _scan_dual(dual, cfg, hidden, encoder, temb, cos, sin,
+                                 cn, start=start_dual)
     ctx_len = encoder.shape[1]
     joint = jnp.concatenate([encoder, hidden], axis=1)
     joint = _scan_single(
@@ -547,13 +549,10 @@ def flux_forward_cached(
 
     elif isinstance(cache_cfg, DiCacheConfig):
         depth = cache_cfg.probe_depth
-        probe_blocks = _tree_slice(dual, slice(0, depth))
 
         def probe_fn(h, e):
             h2, e2 = _scan_dual(
-                probe_blocks, cfg, h, e, temb, rope_cos, rope_sin,
-                cn[:depth] if cn is not None else None,
-            )
+                dual, cfg, h, e, temb, rope_cos, rope_sin, cn, stop=depth)
             return h2, (h2, e2)
 
         def rest_fn(h, e):

@@ -202,15 +202,15 @@ def qwen_run_blocks(params, cfg: QwenImageConfig, hidden, encoder, temb, cos, si
         if pp > 1 and n % pp == 0:
             return _qwen_run_blocks_pp(blocks, cfg, hidden, encoder, temb,
                                        cos, sin, ppm)
-    if start_block:
-        blocks = jax.tree.map(lambda x: x[start_block:], blocks)
+    from fastdm_tpu.models.stack import scan_suffix
 
     def body(carry, block):
         h, e = carry
         h, e = qwen_block(block, h, e, temb, cos, sin, cfg)
         return (h, e), None
 
-    (hidden, encoder), _ = jax.lax.scan(body, (hidden, encoder), blocks)
+    (hidden, encoder), _ = scan_suffix(body, (hidden, encoder), blocks,
+                                       start_block)
     return hidden
 
 

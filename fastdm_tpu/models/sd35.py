@@ -264,7 +264,10 @@ def sd3_joint_block(
     return hidden, encoder
 
 
-def _scan_segment(blocks, cfg, hidden, encoder, temb, *, dual, cn=None):
+def _scan_segment(blocks, cfg, hidden, encoder, temb, *, dual, cn=None,
+                  start=0):
+    from fastdm_tpu.models.stack import scan_suffix
+
     def body(carry, xs):
         h, e = carry
         if cn is not None:
@@ -277,7 +280,7 @@ def _scan_segment(blocks, cfg, hidden, encoder, temb, *, dual, cn=None):
         return (h, e), None
 
     xs = (blocks, cn) if cn is not None else blocks
-    (hidden, encoder), _ = jax.lax.scan(body, (hidden, encoder), xs)
+    (hidden, encoder), _ = scan_suffix(body, (hidden, encoder), xs, start)
     return hidden, encoder
 
 
@@ -295,21 +298,17 @@ def sd3_run_blocks(
         return cn[lo:hi] if cn is not None else None
 
     if start_block < nd:
-        blocks = params["dual_attn_blocks"]
-        if start_block:
-            blocks = jax.tree.map(lambda x: x[start_block:], blocks)
         hidden, encoder = _scan_segment(
-            blocks, cfg, hidden, encoder, temb, dual=True, cn=seg_cn(start_block, nd)
+            params["dual_attn_blocks"], cfg, hidden, encoder, temb,
+            dual=True, cn=seg_cn(0, nd), start=start_block
         )
         start_block = nd
     std_lo = max(start_block, nd)
     std_blocks = params["std_blocks"]
     if std_blocks is not None:
-        if std_lo > nd:
-            std_blocks = jax.tree.map(lambda x: x[std_lo - nd:], std_blocks)
         hidden, encoder = _scan_segment(
             std_blocks, cfg, hidden, encoder, temb, dual=False,
-            cn=seg_cn(std_lo, cfg.num_layers - 1),
+            cn=seg_cn(nd, cfg.num_layers - 1), start=std_lo - nd,
         )
     hidden, _ = sd3_joint_block(
         params["last_block"], hidden, encoder, temb, cfg, dual=False, last=True

@@ -380,18 +380,16 @@ def wan_run_blocks(params, cfg: WanConfig, hidden, encoder, temb6, cos, sin,
             return wan_block(block, carry, encoder, temb6, cos, sin, cfg, mask), None
         return body
 
+    from fastdm_tpu.models.stack import scan_suffix
+
     nd = cfg.dense_layers
     if params["dense_blocks"] is not None and start_block < nd:
-        blocks = params["dense_blocks"]
-        if start_block:
-            blocks = jax.tree.map(lambda x: x[start_block:], blocks)
-        hidden, _ = jax.lax.scan(mk_body(None), hidden, blocks)
+        hidden, _ = scan_suffix(mk_body(None), hidden,
+                                params["dense_blocks"], start_block)
         start_block = nd
     if params["blocks"] is not None:
-        blocks = params["blocks"]
-        if start_block > nd:
-            blocks = jax.tree.map(lambda x: x[start_block - nd:], blocks)
-        hidden, _ = jax.lax.scan(mk_body(sparse_mask), hidden, blocks)
+        hidden, _ = scan_suffix(mk_body(sparse_mask), hidden,
+                                params["blocks"], max(0, start_block - nd))
     return hidden
 
 
