@@ -22,6 +22,7 @@ from fastdm_tpu.kernels.ops import (  # noqa: F401, E402
     quantize_to_fp8,
     quantize_to_int4,
     quantize_to_int8,
+    qk_norm_rope,
     rms_norm,
     rotary_pos_embedding,
     scaled_dot_product_attention,

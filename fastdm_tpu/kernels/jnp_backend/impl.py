@@ -28,21 +28,52 @@ def rms_norm_jnp(x: Array, weight: Optional[Array], eps: float) -> Array:
 
 def _rotate(x: Array, cos: Array, sin: Array, is_neox: bool) -> Array:
     # x: (B, S, H, D); cos/sin: (S, D/2) f32
-    x32 = x.astype(jnp.float32)
+    #
+    # dtype discipline (HBM-liveness, not style): slice FIRST in the input
+    # dtype, upcast the halves inside the arithmetic, and cast each product
+    # back BEFORE stack/concat. The interleaved slices block fusion with the
+    # producer (strided minor-dim access), so whatever crosses that boundary
+    # is materialized in HBM — upcasting the full tensor first made XLA
+    # materialize f32 copies of post-norm q AND k (2 x 1.44 GiB at A14B
+    # 720p/81f, the top HLO-temp allocations in the 2026-08-20 a14b_e2e
+    # compile OOM). All casts commute with the slicing/stacking, so the
+    # math (f32 multiply-accumulate, round-to-dtype once) is unchanged.
     cos = cos[None, :, None, :]
     sin = sin[None, :, None, :]
     if is_neox:
         d2 = x.shape[-1] // 2
-        x1, x2 = x32[..., :d2], x32[..., d2:]
-        o1 = x1 * cos - x2 * sin
-        o2 = x2 * cos + x1 * sin
-        out = jnp.concatenate([o1, o2], axis=-1)
+        x1, x2 = x[..., :d2], x[..., d2:]
     else:
-        x1, x2 = x32[..., 0::2], x32[..., 1::2]
-        o1 = x1 * cos - x2 * sin
-        o2 = x2 * cos + x1 * sin
-        out = jnp.stack([o1, o2], axis=-1).reshape(x.shape)
-    return out.astype(x.dtype)
+        x1, x2 = x[..., 0::2], x[..., 1::2]
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
+    o1 = (x1 * cos - x2 * sin).astype(x.dtype)
+    o2 = (x2 * cos + x1 * sin).astype(x.dtype)
+    if is_neox:
+        return jnp.concatenate([o1, o2], axis=-1)
+    return jnp.stack([o1, o2], axis=-1).reshape(x.shape)
+
+
+@kernel_registry.register("qk_norm_rope", "jnp")
+def qk_norm_rope_jnp(
+    qk: Array,
+    gamma_q: Optional[Array],
+    gamma_k: Optional[Array],
+    head_size: int,
+    cos: Array,
+    sin: Array,
+    is_neox: bool = False,
+    eps: float = 1e-6,
+    inner_dim: Optional[int] = None,
+) -> Tuple[Array, Array]:
+    # oracle = the sequential composition the fused pallas kernel replaces
+    d = qk.shape[-1] // 2 if inner_dim is None else inner_dim
+    q = rms_norm_jnp(qk[..., :d], gamma_q, eps)
+    k = rms_norm_jnp(qk[..., d : 2 * d], gamma_k, eps)
+    b, s, _ = qk.shape
+    q = _rotate(q.reshape(b, s, -1, head_size), cos, sin, is_neox)
+    k = _rotate(k.reshape(b, s, -1, head_size), cos, sin, is_neox)
+    return q.reshape(b, s, d), k.reshape(b, s, d)
 
 
 @kernel_registry.register("rotembd", "jnp")

@@ -60,6 +60,38 @@ def rotary_pos_embedding(
     return NotImplemented
 
 
+@kernel_registry.dispatch("qk_norm_rope")
+def qk_norm_rope(
+    qk: Array,
+    gamma_q: Optional[Array],
+    gamma_k: Optional[Array],
+    head_size: int,
+    cos: Array,
+    sin: Array,
+    is_neox: bool = False,
+    eps: float = 1e-6,
+    inner_dim: Optional[int] = None,
+) -> Tuple[Array, Array]:
+    """Fused RMSNorm(q) + RMSNorm(k) + rotary embedding.
+
+    qk: (B, S, 2D) — the contiguous [q|k] channels of a fused qkv
+    projection — or the full (B, S, 3D) qkv with inner_dim=D (preferred on
+    the pallas backend: no q|k slice copy is materialized);
+    gamma_q/gamma_k: (D,) RMSNorm affine (None = no affine,
+    both-or-neither); cos/sin as in rotary_pos_embedding. Returns
+    (q, k), each (B, S, D), in qk's dtype.
+
+    Semantics = rms_norm on each half then rotary_pos_embedding (the jnp
+    oracle IS that composition). The pallas backend fuses all three in
+    VMEM — composed XLA-side, the rope pair-interleave is a fusion boundary
+    that materializes full-tensor f32 intermediates in HBM (2x 1.44 GiB at
+    Wan-A14B 720p/81f; the 2026-08-20 compile-OOM allocations), and the
+    q/k stream makes three HBM round-trips instead of one.
+    (ref: the reference fuses the same chain in CUDA for the same reason —
+    csrc/elmwise_ops.cu fused-QKV rmsnorm+RoPE :86-168.)"""
+    return NotImplemented
+
+
 @kernel_registry.dispatch("gelu_and_mul")
 def gelu_and_mul(x: Array) -> Array:
     """x[..., :d] * GELU(x[..., d:]) with d = x.shape[-1] // 2.

@@ -62,7 +62,7 @@ def _rms_kernel(x_ref, w_ref, o_ref, *, eps, has_w):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-@kernel_registry.register("rms_norm", "pallas")
+@kernel_registry.register("rmsnorm", "pallas")
 def rms_norm_pallas(x: Array, weight: Optional[Array], eps: float) -> Array:
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
@@ -272,6 +272,126 @@ def _rope_one(x3: Array, cosf: Array, sinf: Array, is_neox: bool, head_size: int
         interpret=_INTERPRET,
     )(x2, cosf, sinf)
     return out[: b * s].reshape(b, s, hd)
+
+
+def _qk_norm_rope_kernel(x_ref, gq_ref, gk_ref, cosf_ref, sinf_ref,
+                         q_ref, k_ref, *, eps, d, head_size, is_neox, has_g):
+    """Fused RMSNorm(q) + RMSNorm(k) + RoPE in one VMEM pass.
+
+    Why fused (not style — HBM liveness): composed XLA-side, the rope's
+    interleaved pair access is a fusion boundary, and whatever crosses it is
+    materialized in HBM at the dtype XLA picks — at the Wan-A14B 720p/81f
+    shape that was 2x 1.44 GiB f32 (then, sliced-first, 4x 0.72 GiB f32),
+    the allocations that OOM'd the full-denoiser compile (2026-08-20). In
+    VMEM nothing is materialized and the q/k stream is read+written exactly
+    once. rot() uses the same masked lane-roll trick as _rope_kernel
+    (Mosaic has no strided gather); rolls of 1 never cross a pair, and the
+    j-mask keeps head boundaries intact across the full fused width.
+    Between norm and rope the value is rounded to the I/O dtype so the
+    result tracks the sequential jnp composition (oracle parity)."""
+    x = x_ref[...].astype(jnp.float32)
+    q, k = x[:, :d], x[:, d:]
+
+    def norm(v, g_ref):
+        var = jnp.mean(jnp.square(v), axis=-1, keepdims=True)
+        y = v * jax.lax.rsqrt(var + eps)
+        if has_g:
+            y = y * g_ref[...].astype(jnp.float32)
+        return y.astype(q_ref.dtype).astype(jnp.float32)
+
+    q = norm(q, gq_ref)
+    k = norm(k, gk_ref)
+    reps = d // head_size
+    cosf = jnp.concatenate([cosf_ref[...]] * reps, axis=-1)
+    sinf = jnp.concatenate([sinf_ref[...]] * reps, axis=-1)
+    j = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1) % head_size
+
+    def rot(v):
+        if is_neox:
+            h2 = head_size // 2
+            return jnp.where(j < h2, -jnp.roll(v, -h2, axis=-1),
+                             jnp.roll(v, h2, axis=-1))
+        even = (j % 2) == 0
+        return jnp.where(even, -jnp.roll(v, -1, axis=-1),
+                         jnp.roll(v, 1, axis=-1))
+
+    q_ref[...] = (q * cosf + rot(q) * sinf).astype(q_ref.dtype)
+    k_ref[...] = (k * cosf + rot(k) * sinf).astype(k_ref.dtype)
+
+
+@kernel_registry.register("qk_norm_rope", "pallas")
+def qk_norm_rope_pallas(
+    qk: Array, gamma_q: Optional[Array], gamma_k: Optional[Array],
+    head_size: int, cos: Array, sin: Array, is_neox: bool = False,
+    eps: float = 1e-6, inner_dim: Optional[int] = None,
+) -> Tuple[Array, Array]:
+    """qk: (B, S, 2D) — the [q|k] channels of a fused qkv projection — or
+    the FULL (B, S, 3D) qkv with inner_dim=D (preferred: the q|k channels
+    are carved by the BlockSpec, so no 2D-wide slice copy of the projection
+    is ever materialized — 1.44 GiB at the A14B shape). cos/sin:
+    (S, head_size//2) f32. Returns rope(norm(q)), rope(norm(k)), each
+    (B, S, D), in qk's dtype. See _qk_norm_rope_kernel for why this
+    exists; wired as the wan self-attention preamble (models/wan.py)."""
+    b, s, w = qk.shape
+    d = w // 2 if inner_dim is None else inner_dim
+    dd = 2 * d
+    cos = cos.astype(jnp.float32)
+    sin = sin.astype(jnp.float32)
+    if is_neox:
+        cosf = jnp.concatenate([cos, cos], axis=-1)
+        sinf = jnp.concatenate([sin, sin], axis=-1)
+    else:
+        cosf = jnp.repeat(cos, 2, axis=-1)
+        sinf = jnp.repeat(sin, 2, axis=-1)
+    # per-row tables at (B*S, head_size) — 38 MiB f32 at the A14B shape,
+    # NOT the (S, H*D) 1.44 GiB full-width tiling the standalone rope pays
+    cosf = jnp.broadcast_to(cosf[None], (b, s, head_size)).reshape(-1, head_size)
+    sinf = jnp.broadcast_to(sinf[None], (b, s, head_size)).reshape(-1, head_size)
+    x2 = qk.reshape(b * s, w)  # full width; the BlockSpec reads cols [0:2D]
+    br, pad, nb = _row_grid(x2.shape[0], dd)
+    x2 = _pad_rows(x2, pad)
+    cosf = _pad_rows(cosf, pad)
+    sinf = _pad_rows(sinf, pad)
+    has_g = gamma_q is not None
+    in_specs = [
+        pl.BlockSpec((br, dd), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    operands = [x2]
+    if has_g:
+        in_specs += [
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        operands += [gamma_q.reshape(1, -1), gamma_k.reshape(1, -1)]
+    in_specs += [
+        pl.BlockSpec((br, head_size), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((br, head_size), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    operands += [cosf, sinf]
+
+    def kernel(*refs):
+        if has_g:
+            x_ref, gq_ref, gk_ref, cf_ref, sf_ref, q_ref, k_ref = refs
+        else:
+            (x_ref, cf_ref, sf_ref, q_ref, k_ref) = refs
+            gq_ref = gk_ref = None
+        _qk_norm_rope_kernel(x_ref, gq_ref, gk_ref, cf_ref, sf_ref,
+                             q_ref, k_ref, eps=eps, d=d,
+                             head_size=head_size, is_neox=is_neox,
+                             has_g=has_g)
+
+    q, k = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((x2.shape[0], d), qk.dtype),
+            jax.ShapeDtypeStruct((x2.shape[0], d), qk.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_INTERPRET,
+    )(*operands)
+    return q[: b * s].reshape(b, s, d), k[: b * s].reshape(b, s, d)
 
 
 @kernel_registry.register("rotembd", "pallas")

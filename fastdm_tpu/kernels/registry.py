@@ -42,8 +42,13 @@ class KernelRegistry:
     # 112 TOPS) and fuses the dequant epilogue itself, while pallas flash
     # attention is 2.4x XLA's unfused attention. "auto" routes accordingly;
     # FASTDM_KERNEL_BACKEND=pallas forces pallas everywhere (for benchmarks).
+    # qk_norm_rope: composed XLA-side, the rope interleave is a fusion
+    # boundary that materializes full-tensor f32 q/k in HBM (the A14B
+    # compile-OOM, 2026-08-20) and triples the q/k elementwise HBM traffic;
+    # the fused VMEM kernel removes both.
     _AUTO_PALLAS_OPS = ("sdpa", "sdpa_sparse", "sdpa_gather",
-                        "sdpa_gather_fine", "sdpa_gather_super")
+                        "sdpa_gather_fine", "sdpa_gather_super",
+                        "qk_norm_rope")
 
     def backend_for(self, op_name: str, force_backend: str | None = None) -> str:
         choice = force_backend or os.environ.get(_ENV_KEY, "auto")

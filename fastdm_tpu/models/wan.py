@@ -29,8 +29,8 @@ from fastdm_tpu.kernels import (
     gather_fine_attention,
     gather_super_attention,
     gather_sparse_attention,
+    qk_norm_rope,
     rms_norm,
-    rotary_pos_embedding,
     scaled_dot_product_attention,
     sparse_scaled_dot_product_attention,
 )
@@ -239,10 +239,13 @@ def _wan_self_attention(attn, x: Array, cos: Array, sin: Array, cfg: WanConfig,
     """(ref: WanAttention.forward self-attn path, transformer.py:485-529)"""
     d = cfg.inner_dim
     qkv = qlinear_apply(attn["qkv"], x)
-    q = rms_norm(qkv[..., :d], attn["norm_q"], cfg.eps)
-    k = rms_norm(qkv[..., d : 2 * d], attn["norm_k"], cfg.eps)
+    # fused norm-q + norm-k + rope (one VMEM pass on TPU; the composed form
+    # materializes f32 q/k at the rope fusion boundary — 2x 1.44 GiB at
+    # 720p/81f, the 2026-08-20 A14B compile-OOM)
+    q, k = qk_norm_rope(qkv, attn["norm_q"], attn["norm_k"],
+                        cfg.attention_head_dim, cos, sin, is_neox=False,
+                        eps=cfg.eps, inner_dim=d)
     v = qkv[..., 2 * d :]
-    q, k = rotary_pos_embedding(q, k, cfg.attention_head_dim, cos, sin, is_neox=False)
     h, hd = cfg.num_attention_heads, cfg.attention_head_dim
     if sparse_mask is not None:
         if isinstance(sparse_mask, (tuple, list)) and len(sparse_mask) == 3:

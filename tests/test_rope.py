@@ -40,6 +40,60 @@ def test_rope(shape, is_neox):
     np.testing.assert_allclose(np.asarray(k_out), k_ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("is_neox", [False, True])
+@pytest.mark.parametrize("affine", [True, False])
+@pytest.mark.parametrize("shape", [(1, 300, 8, 128), (2, 77, 4, 64)])
+def test_qk_norm_rope_fused_vs_composition(shape, is_neox, affine):
+    """The fused pallas kernel (interpret on CPU) == rms_norm on each half
+    then rope (the jnp oracle / the pre-fusion wan path)."""
+    from fastdm_tpu.kernels.jnp_backend.impl import qk_norm_rope_jnp
+    from fastdm_tpu.kernels.pallas.elementwise import qk_norm_rope_pallas
+
+    b, s, h, d = shape
+    rng = np.random.default_rng(11)
+    qk = jnp.asarray(
+        rng.standard_normal((b, s, 2 * h * d)), jnp.bfloat16)
+    gq = gk = None
+    if affine:
+        gq = jnp.asarray(rng.standard_normal(h * d), jnp.float32)
+        gk = jnp.asarray(rng.standard_normal(h * d), jnp.float32)
+    freqs = np.outer(np.arange(s), 1.0 / 10000 ** (np.arange(0, d, 2) / d))
+    cos = jnp.asarray(np.cos(freqs), jnp.float32)
+    sin = jnp.asarray(np.sin(freqs), jnp.float32)
+
+    q_o, k_o = qk_norm_rope_jnp(qk, gq, gk, d, cos, sin, is_neox=is_neox,
+                                eps=1e-6)
+    q_p, k_p = qk_norm_rope_pallas(qk, gq, gk, d, cos, sin, is_neox=is_neox,
+                                   eps=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(q_p, np.float32), np.asarray(q_o, np.float32),
+        rtol=0.02, atol=0.02)
+
+    # full-qkv form (inner_dim given): BlockSpec carves [q|k], v untouched
+    qkv = jnp.concatenate(
+        [qk, jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.bfloat16)],
+        axis=-1)
+    q3_o, k3_o = qk_norm_rope_jnp(qkv, gq, gk, d, cos, sin,
+                                  is_neox=is_neox, eps=1e-6, inner_dim=h * d)
+    q3_p, k3_p = qk_norm_rope_pallas(qkv, gq, gk, d, cos, sin,
+                                     is_neox=is_neox, eps=1e-6,
+                                     inner_dim=h * d)
+    np.testing.assert_allclose(np.asarray(q3_o, np.float32),
+                               np.asarray(q_o, np.float32), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(q3_p, np.float32), np.asarray(q3_o, np.float32),
+        rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(k3_p, np.float32), np.asarray(k3_o, np.float32),
+        rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(q_p, np.float32), np.asarray(q_o, np.float32),
+        rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(k_p, np.float32), np.asarray(k_o, np.float32),
+        rtol=0.02, atol=0.02)
+
+
 def test_rope_flux_cache_semantics():
     """The flux 3-axis cos/sin construction feeds the interleaved path
     (ref: fastdm/model/flux.py:426-428 merged-cache construction)."""
