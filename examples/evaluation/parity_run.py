@@ -106,6 +106,45 @@ def _generate(engine, architecture: str, prompts, args):
     return np.concatenate(outs, axis=0), times
 
 
+def _install_fake_text_encoder(engine, architecture: str):
+    """Deterministic prompt-hash-seeded embeddings at the engine cfg's real
+    dims — what the synthetic full-scale gate uses instead of T5/CLIP.
+    The SAME prompt always maps to the SAME embedding, so cross-config
+    divergence is purely the quant/cache path under test."""
+    import jax.numpy as jnp
+
+    a = architecture.lower()
+    cfg = engine.cfg
+
+    class _TE:
+        def encode(self, prompt, n=1):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            if a.startswith(("flux", "kontext", "krea")):
+                return (
+                    jnp.asarray(r.standard_normal(
+                        (1, 512, cfg.joint_attention_dim)), jnp.bfloat16),
+                    jnp.asarray(r.standard_normal(
+                        (1, cfg.pooled_projection_dim)), jnp.bfloat16),
+                )
+            if a.startswith(("sd3", "sd35")):
+                return (
+                    jnp.asarray(r.standard_normal(
+                        (1, 333, cfg.joint_attention_dim)), jnp.bfloat16),
+                    jnp.asarray(r.standard_normal(
+                        (1, cfg.pooled_projection_dim)), jnp.bfloat16),
+                )
+            if a.startswith("qwen"):
+                return jnp.asarray(r.standard_normal(
+                    (1, 512, cfg.joint_attention_dim)), jnp.bfloat16)
+            if a.startswith("wan"):
+                return jnp.asarray(r.standard_normal(
+                    (1, cfg.text_len, cfg.text_dim)), jnp.bfloat16)
+            raise SystemExit(
+                f"--fake-text-encoder has no layout for {architecture!r}")
+
+    engine.text_encoder = _TE()
+
+
 def run_parity(args, post_init=None):
     """Drive every config and assemble the parity report dict. `post_init`
     (engine) -> None runs after each engine ctor — the synthetic-weights
@@ -410,6 +449,10 @@ def main(argv=None):
     p.add_argument("--clip-path", default="openai/clip-vit-large-patch14")
     p.add_argument("--skip-clip", action="store_true")
     p.add_argument("--refit-teacache", action="store_true")
+    p.add_argument("--fake-text-encoder", action="store_true",
+                   help="install a deterministic synthetic text encoder "
+                        "(prompt-hash-seeded) — the synthetic full-scale "
+                        "accuracy gate runs without T5/CLIP weights")
     p.add_argument("--latent", action="store_true",
                    help="compare raw denoised latents instead of decoded "
                         "images (skips the VAE in the metric)")
@@ -426,7 +469,11 @@ def main(argv=None):
         print(json.dumps(report, indent=2))
         return 0 if report["ok"] else 1
 
-    report = run_parity(args)
+    post_init = None
+    if args.fake_text_encoder:
+        post_init = lambda eng: _install_fake_text_encoder(
+            eng, args.architecture)
+    report = run_parity(args, post_init=post_init)
 
     if args.refit_teacache:
         # real-weights TeaCache coefficients (replaces the shipped

@@ -18,6 +18,7 @@ wan2.2-t2v / -i2v / -ti2v (t2v/i2v; A14B dual expert via transformer_2).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -441,7 +442,18 @@ class FastDMEngine:
             if os.path.exists(cfg_path) and "base_dim" in _read_json(cfg_path):
                 self._load_vae_wan_style()
                 return
-        self.vae_cfg = VAE_CONFIGS[kind]
+        # vae/config.json overrides the per-family defaults when present —
+        # diffusers checkpoints always ship one, and variant VAEs (or the
+        # synthetic full-scale gate's placeholder) would otherwise hit shape
+        # mismatches against the hardcoded VAE_CONFIGS constants
+        vae_kw = self._cfg_overrides(
+            "vae", ("latent_channels", "layers_per_block", "norm_num_groups",
+                    "scaling_factor", "shift_factor",
+                    "mid_block_add_attention"),
+            {"block_out_channels": lambda v: {
+                "block_out_channels": tuple(v)}},
+        )
+        self.vae_cfg = dataclasses.replace(VAE_CONFIGS[kind], **vae_kw)
         self.vae_params = vae_load(
             TensorSource.from_path(os.path.join(self.model_path, "vae")), self.vae_cfg
         )

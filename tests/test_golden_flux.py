@@ -87,11 +87,13 @@ TINY = dict(
 )
 
 
-def _synthetic_state_dict(cfg, rng):
-    """diffusers-layout tensors; reused by both loaders."""
+def _synthetic_state_dict(cfg, rng, sd=None):
+    """diffusers-layout tensors; reused by both loaders. `sd` lets callers
+    inject a casting dict (the full-scale checkpoint generator stores bf16
+    as tensors land, halving peak RAM)."""
     d = cfg["num_attention_heads"] * cfg["attention_head_dim"]
     mlp = d * 4
-    sd = {}
+    sd = {} if sd is None else sd
 
     def lin(name, k, n, bias=True):
         sd[f"{name}.weight"] = rng.standard_normal((n, k)).astype(np.float32) * 0.04
