@@ -4,10 +4,11 @@
 Matches the reference's headline workload (BASELINE.md: FLUX t2i 1024x2048,
 25 steps; H20 FastDM fp8 no-cache = 19.91 s, +cache = 10.02 s). Weights are
 random (no checkpoints in this environment) at the exact FLUX-dev architecture
-— compute/latency is weight-value-independent. Text encoding and VAE decode
-are excluded here (a few % of the reference's end-to-end number); the measured
-region is the full 25-step denoise loop (transformer + scheduler), which is
-what FastDM accelerates.
+— compute/latency is weight-value-independent. The default metric is
+END-TO-END: the full denoise loop PLUS the owned VAE decode, both measured
+on-chip (the reference rows are e2e — README_en.md:114-128). Text encoding is
+excluded: it runs once on host (always-host text encoders) and costs the
+reference ~0.1-0.2 s on its own hardware; BENCH_E2E=0 gives denoise-only.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = H20_fastdm_seconds / our_seconds (speedup over the reference's
@@ -74,6 +75,75 @@ def _emit(metric, value, baseline, steps, skips=None):
     }))
 
 
+def _e2e_on() -> bool:
+    """BENCH_E2E=1 (default): metrics are END-TO-END — denoise + the owned
+    VAE decode measured on-chip in the same process — matching the basis of
+    every reference row (ref README_en.md:114-128 times the whole pipeline).
+    Text encoding is excluded: it runs once on host (always-host text
+    encoders, pipeline/text_encoder.py) and its cost on the reference's own
+    hardware is ~0.1-0.2 s. BENCH_E2E=0 restores denoise-only metrics."""
+    return os.environ.get("BENCH_E2E", "1") == "1"
+
+
+def _vae_decode_seconds(family, height, width, frames=1):
+    """On-chip decode latency for the family's owned VAE at the bench shape
+    (random decoder weights; conv latency is weight-value-independent).
+    min over 2 reps after a compile warmup."""
+    import numpy as np
+
+    from fastdm_tpu.pipeline.vae import (
+        VAEConfig, vae_decode, vae_decoder_random,
+    )
+
+    if family in ("flux", "sd35"):
+        cfg = VAEConfig(latent_channels=16)
+        p = jax.jit(lambda k: vae_decoder_random(k, cfg))(jax.random.key(9))
+        dec = jax.jit(lambda z: vae_decode(p, cfg, z))
+        shape = (1, 16, height // 8, width // 8)
+    elif family == "sdxl":
+        cfg = VAEConfig(latent_channels=4, scaling_factor=0.13025,
+                        shift_factor=0.0)
+        p = jax.jit(lambda k: vae_decoder_random(k, cfg))(jax.random.key(9))
+        dec = jax.jit(lambda z: vae_decode(p, cfg, z))
+        shape = (1, 4, height // 8, width // 8)
+    elif family == "qwen":
+        # qwen rides the wan-style 3D VAE with a singleton frame (engine
+        # _load_vae_wan_style)
+        from fastdm_tpu.pipeline.wan_vae import (
+            WanVAEConfig, wan_vae_decode, wan_vae_random,
+        )
+
+        cfg = WanVAEConfig()
+        p = jax.jit(lambda k: wan_vae_random(k, cfg))(jax.random.key(9))
+        dec = jax.jit(
+            lambda z: wan_vae_decode(p, cfg, z[:, :, None])[:, 0])
+        shape = (1, 16, height // 8, width // 8)
+    elif family == "wan5b":
+        # Wan2.2-TI2V 48-ch patched VAE (z48, 16x spatial via patch_size=2;
+        # channel dims load from the checkpoint config in the engine — the
+        # diffusers Wan2.2 VAE uses base_dim 160)
+        from fastdm_tpu.pipeline.wan_vae import (
+            WanVAEConfig, wan_vae_decode_chunked, wan_vae_random,
+        )
+
+        cfg = WanVAEConfig(base_dim=160, z_dim=48, patch_size=2)
+        p = jax.jit(lambda k: wan_vae_random(k, cfg))(jax.random.key(9))
+        dec = jax.jit(lambda z: wan_vae_decode_chunked(p, cfg, z))
+        lf = (frames - 1) // 4 + 1
+        shape = (1, 48, lf, height // 16, width // 16)
+    else:
+        raise ValueError(family)
+
+    np.asarray(dec(jax.random.normal(jax.random.key(10), shape, jnp.float32)))
+    best = float("inf")
+    for i in range(2):
+        z = jax.random.normal(jax.random.key(11 + i), shape, jnp.float32)
+        t0 = time.perf_counter()
+        np.asarray(dec(z))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main_sd35():
     """BENCH_MODEL=sd35: SD3.5-medium 1024x2048, 25 steps, batched CFG
     (BASELINE.md: H20 10.26 s fastdm / 6.03 s +cache). TeaCache with the
@@ -132,8 +202,14 @@ def main_sd35():
         run, (params, latents, embeds, pooled, pos), latents.shape,
         jnp.float32, int(os.environ.get("BENCH_REPS", 2)))
     baseline = 6.03 if cache_cfg is not None else 10.26
-    _emit(f"sd35_t2i_{height}x{width}_{steps}step_denoise_latency",
-          value, baseline, steps, skips)
+    metric = f"sd35_t2i_{height}x{width}_{steps}step_denoise_latency"
+    if _e2e_on():
+        dec = _vae_decode_seconds("sd35", height, width)
+        print(f"denoise {value:.3f} s + vae decode {dec:.3f} s",
+              file=sys.stderr)
+        metric, value = f"sd35_t2i_{height}x{width}_{steps}step_e2e_latency", \
+            value + dec
+    _emit(metric, value, baseline, steps, skips)
 
 
 def main_sdxl():
@@ -171,8 +247,14 @@ def main_sdxl():
     value, skips = _timed_denoise(
         run, (params, latents, embeds, pooled, time_ids), latents.shape,
         jnp.float32, int(os.environ.get("BENCH_REPS", 2)))
-    _emit(f"sdxl_t2i_{height}x{width}_{steps}step_denoise_latency",
-          value, 6.73, steps)
+    metric = f"sdxl_t2i_{height}x{width}_{steps}step_denoise_latency"
+    if _e2e_on():
+        dec = _vae_decode_seconds("sdxl", height, width)
+        print(f"denoise {value:.3f} s + vae decode {dec:.3f} s",
+              file=sys.stderr)
+        metric, value = f"sdxl_t2i_{height}x{width}_{steps}step_e2e_latency", \
+            value + dec
+    _emit(metric, value, 6.73, steps)
 
 
 def main_wan5b():
@@ -252,8 +334,14 @@ def main_wan5b():
     # the denominator is 2x steps. MEASURED on chip 2026-08-20: 104.77 s at
     # 46/100 branch skips (the H20 181->102 s row implies ~44% — rate
     # comparable without threshold tuning) -> vs_baseline 0.974.
-    _emit(f"wan5b_t2v_{height}x{width}x{frames}f_{steps}step_denoise_latency",
-          value, baseline, 2 * steps, skips)
+    metric = f"wan5b_t2v_{height}x{width}x{frames}f_{steps}step_denoise_latency"
+    if _e2e_on():
+        dec = _vae_decode_seconds("wan5b", height, width, frames)
+        print(f"denoise {value:.3f} s + vae decode {dec:.3f} s",
+              file=sys.stderr)
+        metric = f"wan5b_t2v_{height}x{width}x{frames}f_{steps}step_e2e_latency"
+        value += dec
+    _emit(metric, value, baseline, 2 * steps, skips)
 
 
 def main_qwen():
@@ -335,8 +423,15 @@ def main_qwen():
         times.append(time.perf_counter() - t0)
     value = min(times)
     baseline = 13.29 if cache_cfg is not None else 21.34
+    metric = f"qwen_t2i_{height}x{width}_{steps}step_denoise_latency"
+    if _e2e_on():
+        dec = _vae_decode_seconds("qwen", height, width)
+        print(f"denoise {value:.3f} s + vae decode {dec:.3f} s",
+              file=sys.stderr)
+        metric = f"qwen_t2i_{height}x{width}_{steps}step_e2e_latency"
+        value += dec
     print(json.dumps({
-        "metric": f"qwen_t2i_{height}x{width}_{steps}step_denoise_latency",
+        "metric": metric,
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(baseline / value, 3),
@@ -445,8 +540,15 @@ def main():
     # H20 fp8 rows (BASELINE.md): any cached config compares to the '+cache'
     # number, uncached to the plain FastDM number
     baseline = 10.02 if cache_cfg is not None else 19.91
+    metric = f"flux_t2i_{height}x{width}_{steps}step_denoise_latency"
+    if _e2e_on():
+        dec = _vae_decode_seconds("flux", height, width)
+        print(f"denoise {value:.3f} s + vae decode {dec:.3f} s",
+              file=sys.stderr)
+        metric = f"flux_t2i_{height}x{width}_{steps}step_e2e_latency"
+        value += dec
     print(json.dumps({
-        "metric": f"flux_t2i_{height}x{width}_{steps}step_denoise_latency",
+        "metric": metric,
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(baseline / value, 3),

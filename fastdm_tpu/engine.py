@@ -468,7 +468,7 @@ class FastDMEngine:
         )
 
         vae_kw = self._cfg_overrides(
-            "vae", ("base_dim", "z_dim", "num_res_blocks"),
+            "vae", ("base_dim", "z_dim", "num_res_blocks", "patch_size"),
             {
                 "latents_mean": lambda v: {"latents_mean": tuple(v)},
                 "latents_std": lambda v: {"latents_std": tuple(v)},
@@ -707,7 +707,7 @@ class FastDMEngine:
         from fastdm_tpu.pipeline.wan_vae import WanVAEConfig, wan_vae_load
 
         vae_kw = self._cfg_overrides(
-            "vae", ("base_dim", "z_dim", "num_res_blocks"),
+            "vae", ("base_dim", "z_dim", "num_res_blocks", "patch_size"),
             {
                 "latents_mean": lambda v: {"latents_mean": tuple(v)},
                 "latents_std": lambda v: {"latents_std": tuple(v)},
@@ -1248,7 +1248,9 @@ class FastDMEngine:
         # diffusers does the same) — other counts break the i2v mask packing
         num_frames = max(1, 4 * ((num_frames - 1) // 4) + 1)
         lf = (num_frames - 1) // 4 + 1  # wan VAE temporal stride 4
-        lh, lw = height // 8, width // 8
+        # spatial stride is 8 * patch_size (16 for the Wan2.2-TI2V 48-ch VAE)
+        vs = 8 * getattr(self.vae_cfg, "patch_size", 1)
+        lh, lw = height // vs, width // vs
         # sparse attention block-size rounding (ref: model_entry.py:771-773)
         sparse_mask = None
         dense_steps = 0

@@ -876,7 +876,11 @@ def sdpa_gather_super_pallas(
     cnts = jnp.clip(block_rows[:, 1], 0, t_len - starts)
     block_rows = jnp.stack([starts, cnts], axis=1)
     if slots is None:
-        slots = int(os.environ.get("FASTDM_GATHER_SLOTS", "2"))
+        # 4-deep ring default: 351.7 -> 346.3 ms/layer-attn measured at the
+        # A14B 75600-token shape (2026-08-20 residual-split session). The
+        # scatter premium is ~0, so the gain is pure issue-pipelining; the
+        # fine kernel keeps 2 (its slots sweep was null, BENCH_NOTES).
+        slots = int(os.environ.get("FASTDM_GATHER_SLOTS", "4"))
     if slots < 2:
         raise ValueError(f"slots must be >= 2, got {slots}")
     return _gather_super_attention(

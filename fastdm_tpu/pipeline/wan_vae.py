@@ -57,6 +57,10 @@ class WanVAEConfig:
     temporal_downsample: Tuple[bool, ...] = (False, True, True)
     latents_mean: Optional[Tuple[float, ...]] = None
     latents_std: Optional[Tuple[float, ...]] = None
+    # Wan2.2-TI2V (5B) VAE: pixels are 2x2-patchified before the encoder and
+    # unpatchified after the decoder, making the effective spatial stride
+    # 8*patch_size = 16 (diffusers AutoencoderKLWan `patch_size`; z_dim 48).
+    patch_size: int = 1
 
     @property
     def encoder_dims(self) -> Tuple[int, ...]:
@@ -208,8 +212,31 @@ def _temporal_downsample(params, x: Array) -> Array:
     return jnp.concatenate([head, tail], axis=1)
 
 
+def _patchify_frames(x: Array, p: int) -> Array:
+    """(B, F, H, W, C) -> (B, F, H/p, W/p, C*p*p) with diffusers'
+    AutoencoderKLWan channel order `(c r q)` where q indexes the h-subpixel
+    and r the w-subpixel (patchify: "b c f (h q) (w r) -> b (c r q) f h w")."""
+    if p == 1:
+        return x
+    b, f, hh, ww, c = x.shape
+    x = x.reshape(b, f, hh // p, p, ww // p, p, c)      # (b,f,h,q,w,r,c)
+    x = jnp.transpose(x, (0, 1, 2, 4, 6, 5, 3))          # (b,f,h,w,c,r,q)
+    return x.reshape(b, f, hh // p, ww // p, c * p * p)
+
+
+def _unpatchify_frames(x: Array, p: int) -> Array:
+    """Inverse of _patchify_frames: (B,F,h,w,C*p*p) -> (B,F,h*p,w*p,C)."""
+    if p == 1:
+        return x
+    b, f, hh, ww, cpp = x.shape
+    c = cpp // (p * p)
+    x = x.reshape(b, f, hh, ww, c, p, p)                 # (b,f,h,w,c,r,q)
+    x = jnp.transpose(x, (0, 1, 2, 6, 3, 5, 4))          # (b,f,h,q,w,r,c)
+    return x.reshape(b, f, hh * p, ww * p, c)
+
+
 def wan_vae_decode(params, cfg: WanVAEConfig, latents: Array) -> Array:
-    """(B, C_z, F, H, W) latents -> (B, 1+4(F-1), H*8, W*8, 3) in [-1, 1]."""
+    """(B, C_z, F, H, W) latents -> (B, 1+4(F-1), H*8p, W*8p, 3) in [-1, 1]."""
     z = latents.astype(jnp.float32)
     if cfg.latents_mean is not None:
         mean = jnp.asarray(cfg.latents_mean, jnp.float32)[None, :, None, None, None]
@@ -236,12 +263,13 @@ def wan_vae_decode(params, cfg: WanVAEConfig, latents: Array) -> Array:
 
     x = _rms_norm_channel(dec["norm_out"], x)
     x = _causal_conv3d(dec["conv_out"], jax.nn.silu(x))
-    return x.astype(jnp.float32)
+    return _unpatchify_frames(x, cfg.patch_size).astype(jnp.float32)
 
 
 def wan_vae_encode(params, cfg: WanVAEConfig, video: Array) -> Array:
-    """(B, F, H, W, 3) video in [-1,1] -> (B, C_z, 1+(F-1)/4, H/8, W/8)."""
+    """(B, F, H, W, 3) video in [-1,1] -> (B, C_z, 1+(F-1)/4, H/8p, W/8p)."""
     enc = params["encoder"]
+    video = _patchify_frames(video, cfg.patch_size)
     x = _causal_conv3d(enc["conv_in"], video.astype(jnp.bfloat16))
     for blk in enc["down"]:
         for r in blk["resnets"]:
@@ -352,7 +380,7 @@ def wan_vae_decode_chunked(params, cfg: WanVAEConfig, latents: Array) -> Array:
 
     first, caches = _dec_frame(params, cfg, x[:, :1], None, first=True)
     if x.shape[1] == 1:
-        return first
+        return _unpatchify_frames(first, cfg.patch_size)
 
     xs = jnp.moveaxis(x[:, 1:], 1, 0)[:, :, None]  # (F-1, B, 1, H, W, C)
 
@@ -360,10 +388,11 @@ def wan_vae_decode_chunked(params, cfg: WanVAEConfig, latents: Array) -> Array:
         out, carry = _dec_frame(params, cfg, xt, carry, first=False)
         return carry, out
 
-    _, ys = jax.lax.scan(body, caches, xs)          # (F-1, B, 4, 8H, 8W, 3)
+    _, ys = jax.lax.scan(body, caches, xs)          # (F-1, B, 4, 8H, 8W, 3p²)
     f1, b, k, hh, ww, c = ys.shape
     rest = jnp.moveaxis(ys, 0, 1).reshape(b, f1 * k, hh, ww, c)
-    return jnp.concatenate([first, rest], axis=1)
+    return _unpatchify_frames(
+        jnp.concatenate([first, rest], axis=1), cfg.patch_size)
 
 
 # ---------------------------------------------------------------- loading
@@ -542,7 +571,9 @@ def wan_vae_random(key, cfg: WanVAEConfig) -> Dict:
 
     # encoder: dims [96, 96, 192, 384, 384]
     e_dims = cfg.encoder_dims
-    enc: Dict = {"conv_in": _rand_conv3d(ks.pop(), 3, 3, 3, 3, e_dims[0]), "down": []}
+    pix_ch = 3 * cfg.patch_size * cfg.patch_size
+    enc: Dict = {"conv_in": _rand_conv3d(ks.pop(), 3, 3, 3, pix_ch, e_dims[0]),
+                 "down": []}
     for i in range(n_stages):
         cin, cout = e_dims[i], e_dims[i + 1]
         blk: Dict = {"resnets": []}
@@ -582,7 +613,7 @@ def wan_vae_random(key, cfg: WanVAEConfig) -> Dict:
             blk["upsample"] = _rand_conv2d(ks.pop(), 3, 3, cout, cout // 2)
         dec["up"].append(blk)
     dec["norm_out"] = _rand_norm(d_dims[-1])
-    dec["conv_out"] = _rand_conv3d(ks.pop(), 3, 3, 3, d_dims[-1], 3)
+    dec["conv_out"] = _rand_conv3d(ks.pop(), 3, 3, 3, d_dims[-1], pix_ch)
 
     return {
         "encoder": enc,

@@ -232,3 +232,67 @@ def test_chunked_decode_single_frame():
     z = jnp.zeros((1, TINY.z_dim, 1, 4, 4), jnp.float32)
     out = wan_vae_decode_chunked(params, TINY, z)
     assert out.shape == (1, 1, 32, 32, 3)
+
+
+# ---------------------------------------------------------- TI2V patched VAE
+
+
+def test_patchify_matches_diffusers_order():
+    """_patchify_frames must reproduce diffusers AutoencoderKLWan's
+    patchify ("b c f (h q) (w r) -> b (c r q) f h w"): channel index
+    c*p² + r*p + q with q the h-subpixel and r the w-subpixel."""
+    from fastdm_tpu.pipeline.wan_vae import _patchify_frames
+
+    rng = np.random.default_rng(0)
+    p, (B, C, F, H, W) = 2, (1, 3, 2, 8, 12)
+    v = rng.standard_normal((B, C, F, H, W)).astype(np.float32)
+    # reference in the torch NCDHW layout
+    ref = v.reshape(B, C, F, H // p, p, W // p, p)         # b c f h q w r
+    ref = ref.transpose(0, 1, 6, 4, 2, 3, 5)               # b c r q f h w
+    ref = ref.reshape(B, C * p * p, F, H // p, W // p)
+    # ours in NDHWC frames layout
+    x = jnp.asarray(v.transpose(0, 2, 3, 4, 1))            # (B,F,H,W,C)
+    got = np.asarray(_patchify_frames(x, p))               # (B,F,h,w,Cpp)
+    np.testing.assert_allclose(got, ref.transpose(0, 2, 3, 4, 1), rtol=0)
+
+
+def test_patchify_unpatchify_roundtrip():
+    from fastdm_tpu.pipeline.wan_vae import (
+        _patchify_frames, _unpatchify_frames,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 3, 8, 12, 3)), jnp.float32)
+    y = _unpatchify_frames(_patchify_frames(x, 2), 2)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_patched_vae_encode_decode_shapes():
+    """patch_size=2 (Wan2.2-TI2V): effective spatial stride 16."""
+    cfg = WanVAEConfig(base_dim=8, z_dim=6, dim_mult=(1, 2, 4, 4),
+                       num_res_blocks=1, patch_size=2)
+    params = wan_vae_random(jax.random.key(3), cfg)
+    f, h, w = 5, 32, 48
+    video = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, f, h, w, 3)) * 0.1,
+        jnp.float32)
+    z = wan_vae_encode(params, cfg, video)
+    assert z.shape == (1, cfg.z_dim, 1 + (f - 1) // 4, h // 16, w // 16)
+    out = wan_vae_decode(params, cfg, z)
+    assert out.shape == (1, f, h, w, 3)
+
+
+def test_patched_chunked_decode_matches_full():
+    from fastdm_tpu.pipeline.wan_vae import wan_vae_decode_chunked
+
+    cfg = WanVAEConfig(base_dim=8, z_dim=6, dim_mult=(1, 2, 4, 4),
+                       num_res_blocks=1, patch_size=2)
+    params = wan_vae_random(jax.random.key(5), cfg)
+    z = jnp.asarray(
+        np.random.default_rng(6).standard_normal((1, cfg.z_dim, 3, 4, 4)),
+        jnp.float32)
+    full = np.asarray(wan_vae_decode(params, cfg, z))
+    chunked = np.asarray(wan_vae_decode_chunked(params, cfg, z))
+    assert chunked.shape == full.shape
+    d = np.abs(chunked - full)
+    assert d.max() < 0.12 and d.mean() < 0.01
