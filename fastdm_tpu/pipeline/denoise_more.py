@@ -1102,11 +1102,26 @@ def make_wan_dual_host_denoiser(
         pt, ph, pw = cfg.patch_size
         n_tok = (f // pt) * (h // ph) * (w // pw)
         hshape = (b, n_tok, cfg.inner_dim)
-        # per-leaf copies: eager zero trees can share one deduped buffer
-        # across leaves, and a buffer may only be donated once per Execute —
-        # jnp.copy gives every donated leaf its own allocation
-        _fresh = lambda tree: jax.tree.map(jnp.copy, tree)  # noqa: E731
-        sst = _fresh(scheduler_init_state(scheduler, latents.shape))
+
+        # Distinct donated buffers WITHOUT eager transients: every zero leaf
+        # gets `+ eps*k` with eps a TRACED 0.0 and k a unique counter, so XLA
+        # cannot constant-fold identical leaves into one deduped buffer
+        # (donating a shared buffer twice in one Execute is rejected), and
+        # the whole init is one jitted program — the eager-zeros + jnp.copy
+        # form left ~2.9 GiB of un-reclaimed transients per A14B expert
+        # phase on the lazy-committing TPU allocator (OOM at full 720p/81f,
+        # 2026-08-20).
+        def _distinct(builder):
+            def mk(eps):
+                tree = builder()
+                leaves, treedef = jax.tree.flatten(tree)
+                out = [leaf + (eps * (i + 1)).astype(leaf.dtype)
+                       for i, leaf in enumerate(leaves)]
+                return jax.tree.unflatten(treedef, out)
+
+            return jax.jit(mk)(jnp.float32(0.0))
+
+        sst = _distinct(lambda: scheduler_init_state(scheduler, latents.shape))
         lat = latents
         skips = jnp.zeros((), jnp.int32)
         active, p_dev = None, None
@@ -1134,9 +1149,9 @@ def make_wan_dual_host_denoiser(
                     place_params(master)
                 active = expert
                 if cache_cfg is not None:
-                    cstates[expert] = [
-                        _fresh(cache_init_state(cache_cfg, hshape, hshape)),
-                        _fresh(cache_init_state(cache_cfg, hshape, hshape))]
+                    cstates[expert] = _distinct(lambda: [
+                        cache_init_state(cache_cfg, hshape, hshape),
+                        cache_init_state(cache_cfg, hshape, hshape)])
             g = guidance_scale if expert == 1 else g2
             mask = None if (sparse_mask is not None and step < cut) \
                 else sparse_mask
