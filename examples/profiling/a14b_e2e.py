@@ -93,7 +93,8 @@ def main():
     lw = int(os.environ.get("A14B_LW", 160))
     which = os.environ.get("A14B_SPARSE", "both")
 
-    base_cfg = WanConfig(num_layers=layers, quant=quant)
+    base_cfg = WanConfig(num_layers=layers, quant=quant,
+                     ffn_chunk_tokens=9450)
     pt, ph, pw = base_cfg.patch_size
     tokens = (lf // pt) * (lh // ph) * (lw // pw)
 

@@ -1251,6 +1251,14 @@ class FastDMEngine:
         # spatial stride is 8 * patch_size (16 for the Wan2.2-TI2V 48-ch VAE)
         vs = 8 * getattr(self.vae_cfg, "patch_size", 1)
         lh, lw = height // vs, width // vs
+        # long-video capacity: chunk the FFN over tokens (exact; see
+        # feedforward_apply) — at A14B 720p/81f the unchunked FFN is the HBM
+        # high-water that OOMs the cached forward on one v5e
+        _pt, _ph, _pw = self.cfg.patch_size
+        _tok = (lf // _pt) * (lh // _ph) * (lw // _pw)
+        if _tok >= 30000 and _tok % 8 == 0 and not self.cfg.ffn_chunk_tokens:
+            import dataclasses as _dc
+            self.cfg = _dc.replace(self.cfg, ffn_chunk_tokens=_tok // 8)
         # sparse attention block-size rounding (ref: model_entry.py:771-773)
         sparse_mask = None
         dense_steps = 0

@@ -663,6 +663,7 @@ def _gather_super_kernel(
     q_ref, k_hbm, v_hbm, o_ref,
     k_buf, v_buf, m_scr, l_scr, acc_scr, sem,
     *, block_q, group, fine, superblock, kv_rep, tail_fid, tail_valid, slots,
+    q_scale,
 ):
     """Superblock gather-sparse flash attention (the scattered-DMA bandwidth
     fix for _gather_fine_kernel, BENCH_NOTES "slots sweep" null result).
@@ -685,6 +686,11 @@ def _gather_super_kernel(
     row_start = row_ref[i, 0]
     cnt = row_ref[i, 1]
     ng = jax.lax.div(cnt + group - 1, group)
+
+    # q arrives in the model's native (b, s, h*d) layout — the BlockSpec
+    # carves the (bq, head_dim) tile, so no transposed/padded HBM copy of q
+    # exists; the softmax scale (pre-folded with log2e) applies here in VMEM
+    qt = (q_ref[0].astype(jnp.float32) * q_scale).astype(q_ref.dtype)
 
     m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
@@ -745,7 +751,7 @@ def _gather_super_kernel(
 
         @pl.when(clean)
         def _():
-            _attn_body(q_ref[0, 0], k_buf[slot], v_buf[slot], None,
+            _attn_body(qt, k_buf[slot], v_buf[slot], None,
                        m_scr, l_scr, acc_scr)
 
         @pl.when(jnp.logical_not(clean))
@@ -764,7 +770,7 @@ def _gather_super_kernel(
                     vfull = jnp.where(
                         jnp.logical_and(entry == u, subcol == s), vu, vfull
                     )
-            _attn_body(q_ref[0, 0], k_buf[slot], v_buf[slot], within < vfull,
+            _attn_body(qt, k_buf[slot], v_buf[slot], within < vfull,
                        m_scr, l_scr, acc_scr)
         return carry
 
@@ -772,7 +778,7 @@ def _gather_super_kernel(
 
     l = l_scr[:, :1]
     out = acc_scr[...] / jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -794,13 +800,17 @@ def _gather_super_attention(
     tail_fid = nfine - 1
     tail_valid = skv - tail_fid * fine
 
-    q = query.reshape(b, sq, num_q_heads, head_dim).transpose(0, 2, 1, 3)
-    q = _pad_seq((q.astype(jnp.float32) * (scale * _LOG2E)).astype(query.dtype), bq)
-    # pad KV to the SUPERBLOCK stride so the tail superblock's DMA stays
-    # in-bounds (its out-of-mask sub-blocks carry val bit 0 -> masked)
+    # q stays in the model's native (b, s, h*d) layout: the BlockSpec carves
+    # (bq, head_dim) tiles directly (index maps below), the kernel applies
+    # the softmax scale in VMEM, and the output writes back natively. This
+    # removes THREE (b, h, s_pad, d)-sized HBM copies (padded q, padded out,
+    # plus the fused f32 scale pass) — at A14B 720p/81f they were 2.2 GiB of
+    # the cached forward's 16.7 GiB peak (> one v5e; a14b_mem_analysis.py).
+    # K/V keep the transposed+padded copy: the gather DMAs need (h, s, d)
+    # contiguity for their 64-KiB superblock transfers.
     k = _pad_seq(key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), sb * fine)
     v = _pad_seq(value.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), sb * fine)
-    ni = q.shape[2] // bq
+    ni = -(-sq // bq)  # partial tail q-block: Mosaic masks OOB loads/stores
     grid = (b, num_q_heads, ni)
     kv_rep = num_q_heads // num_kv_heads
 
@@ -808,14 +818,14 @@ def _gather_super_attention(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, head_dim),
-                         lambda b_, h, i, *_: (b_, h, i, 0),
+            pl.BlockSpec((1, bq, head_dim),
+                         lambda b_, h, i, *_: (b_, i, h),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, head_dim),
-                               lambda b_, h, i, *_: (b_, h, i, 0),
+        out_specs=pl.BlockSpec((1, bq, head_dim),
+                               lambda b_, h, i, *_: (b_, i, h),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((slots, group * sb * fine, head_dim), key.dtype),
@@ -829,18 +839,18 @@ def _gather_super_attention(
     kernel = functools.partial(
         _gather_super_kernel, block_q=bq, group=group, fine=fine,
         superblock=sb, kv_rep=kv_rep, tail_fid=tail_fid,
-        tail_valid=tail_valid, slots=slots,
+        tail_valid=tail_valid, slots=slots, q_scale=scale * _LOG2E,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, query.dtype),
+        out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=_INTERPRET,
-    )(block_indices, block_valbits, block_rows, q, k, v)
-    return out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, num_q_heads * head_dim)
+    )(block_indices, block_valbits, block_rows, query, k, v)
+    return out
 
 
 @kernel_registry.register("sdpa_gather_super", "pallas")

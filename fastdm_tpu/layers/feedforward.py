@@ -15,7 +15,26 @@ from fastdm_tpu.layers.qlinear import qlinear_apply
 Array = jax.Array
 
 
-def feedforward_apply(params, x: Array, activation_fn: str = "geglu") -> Array:
+def feedforward_apply(params, x: Array, activation_fn: str = "geglu",
+                      chunk_tokens: int = 0) -> Array:
+    """chunk_tokens > 0 (and dividing the token count): lax.scan the FFN over
+    token chunks. Exact — every op is per-row — and shrinks the live set from
+    O(S * ffn_dim) to O(chunk * ffn_dim): at Wan-A14B 720p/81f the unchunked
+    FFN's f32 quantize upcast + activation buffers at 13824 width are the HBM
+    high-water of the whole forward (75600x13824 f32 = 3.9 GiB each; the
+    cached branch program peaked 16.7 GiB > one v5e, 2026-08-21). MXU
+    efficiency is preserved for chunks >= ~4k rows."""
+    s = x.shape[-2]
+    if chunk_tokens and s > chunk_tokens and s % chunk_tokens == 0:
+        n = s // chunk_tokens
+        xs = jnp.moveaxis(
+            x.reshape(*x.shape[:-2], n, chunk_tokens, x.shape[-1]), -3, 0)
+
+        def body(_, xc):
+            return None, feedforward_apply(params, xc, activation_fn)
+
+        _, ys = jax.lax.scan(body, None, xs)
+        return jnp.moveaxis(ys, 0, -3).reshape(*x.shape[:-1], -1)
     h = qlinear_apply(params["proj"], x)
     if activation_fn == "gelu":
         h = jax.nn.gelu(h, approximate=False)

@@ -86,11 +86,22 @@ def _decode(skel, tensors: Dict[str, np.ndarray]):
     raise ValueError(f"bad snapshot skeleton node {t!r}")
 
 
+# Config fields that tune RUNTIME execution only — they never change the
+# weight tree a snapshot stores, so they must not invalidate it (the engine
+# replaces them per-generate: sparse tile shapes, dense warmup, FFN chunking).
+_RUNTIME_ONLY_FIELDS = frozenset({
+    "dense_layers", "sparse_gather_blocks", "sparse_gather_fine_blocks",
+    "sparse_gather_superblock", "ffn_chunk_tokens",
+})
+
+
 def _cfg_fingerprint(cfg) -> Any:
-    """JSON-normalized dataclass dict (tuples -> lists) for exact compare."""
+    """JSON-normalized dataclass dict (tuples -> lists) for exact compare,
+    minus runtime-only tuning fields (see _RUNTIME_ONLY_FIELDS)."""
     if cfg is None:
         return None
-    d = dataclasses.asdict(cfg)
+    d = {k: v for k, v in dataclasses.asdict(cfg).items()
+         if k not in _RUNTIME_ONLY_FIELDS}
     return json.loads(json.dumps(d))
 
 
@@ -187,6 +198,11 @@ def check_compatible(manifest: Dict[str, Any], *, architecture: str,
         "config": _cfg_fingerprint(cfg),
     }
     have = {k: manifest.get(k) for k in want}
+    if isinstance(have.get("config"), dict):
+        # manifests written before a runtime-only field existed (or with its
+        # old value) stay valid — the weights are identical either way
+        have["config"] = {k: v for k, v in have["config"].items()
+                          if k not in _RUNTIME_ONLY_FIELDS}
     if have != want:
         diffs = []
         for k in want:

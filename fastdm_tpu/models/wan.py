@@ -66,6 +66,10 @@ class WanConfig:
     pos_embed_seq_len: Optional[int] = None
     text_len: int = 512                     # fixed text context length
     dense_layers: int = 0                   # first N layers always dense
+    # FFN token-chunking (0 = off): lax.scan the FFN over chunks of this many
+    # tokens when it divides the sequence — the A14B 75600-token capacity
+    # lever (see feedforward_apply); engine enables it for long video
+    ffn_chunk_tokens: int = 0
     # gather-sparse tile size (must match SparseAttn.block_lists coarsening)
     sparse_gather_blocks: Tuple[int, int] = (512, 1024)
     # fine-gather (block_q, group, fine_tokens): compute tiles of group x
@@ -349,7 +353,8 @@ def wan_block(block, hidden: Array, encoder: Array, temb6: Array, cos: Array,
 
     h32 = fp32_layer_norm(hidden, eps=cfg.eps).astype(jnp.float32)
     norm_h = (h32 * (1 + c_scale) + c_shift).astype(hidden.dtype)
-    ff_out = feedforward_apply(block["ffn"], norm_h, "gelu-approximate")
+    ff_out = feedforward_apply(block["ffn"], norm_h, "gelu-approximate",
+                               chunk_tokens=cfg.ffn_chunk_tokens)
     hidden = (hidden.astype(jnp.float32) + ff_out.astype(jnp.float32) * c_gate).astype(hidden.dtype)
     return hidden
 

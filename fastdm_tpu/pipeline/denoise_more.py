@@ -1086,7 +1086,12 @@ def make_wan_dual_host_denoiser(
         return branch
 
     branch_pos = _make_branch(cache_cfg)
-    branch_neg = _make_branch(neg_cfg) if (cache_cfg is not None and do_cfg) \
+    # one compiled program serves both CFG streams whenever the neg-stream
+    # config is identical (always, except TeaCache with fitted
+    # negtive_coefficients): a second jit closure would compile a SECOND
+    # device program whose temp arena doubles peak HBM at A14B scale
+    branch_neg = _make_branch(neg_cfg) \
+        if (cache_cfg is not None and do_cfg and neg_cfg != cache_cfg) \
         else branch_pos
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))

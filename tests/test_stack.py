@@ -89,3 +89,28 @@ def test_cached_wan_branch_has_no_stack_suffix_slice():
     assert not bad, (
         "weight-stack suffix slice materialized inside the cache branch "
         f"(would near-double weight HBM):\n" + "\n".join(bad[:4]))
+
+
+def test_feedforward_chunked_matches_unchunked():
+    """chunk_tokens is numerically equivalent: per-row ops + matmuls over
+    row chunks — differences are bf16 reduction-order ulps only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastdm_tpu.layers.feedforward import feedforward_apply
+    from fastdm_tpu.layers.qlinear import qlinear_random
+
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    params = {"proj": qlinear_random(k1, 64, 160, quant="int8"),
+              "out": qlinear_random(k2, 160, 64, quant="int8")}
+    x = jax.random.normal(k3, (2, 48, 64), jnp.bfloat16)
+    full = np.asarray(
+        feedforward_apply(params, x, "gelu-approximate")).astype(np.float32)
+    chunked = np.asarray(feedforward_apply(
+        params, x, "gelu-approximate", chunk_tokens=12)).astype(np.float32)
+    assert np.abs(chunked - full).max() <= 1e-3
+    # non-dividing chunk falls back to the unchunked path (bit-identical)
+    fb = np.asarray(feedforward_apply(
+        params, x, "gelu-approximate", chunk_tokens=7)).astype(np.float32)
+    np.testing.assert_array_equal(fb, full)
