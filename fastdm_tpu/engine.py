@@ -39,6 +39,12 @@ from fastdm_tpu.pipeline.schedulers import (
 )
 from fastdm_tpu.pipeline.vae import VAEConfig, vae_decode, vae_encode, vae_load
 
+# Long-video HBM capacity thresholds (token counts at which _generate_wan
+# auto-enables FFN token-chunking / the split-QKV projection; module-level
+# so tests can exercise the auto-derivation at tiny shapes).
+_FFN_CHUNK_MIN_TOKENS = 30000
+_SPLIT_QKV_MIN_TOKENS = 60000
+
 ARCH_ALIASES = {
     "flux": "flux", "flux-dev": "flux", "flux-krea": "flux", "flux-kontext": "flux",
     "sd35": "sd35", "sd3.5": "sd35",
@@ -468,7 +474,8 @@ class FastDMEngine:
         )
 
         vae_kw = self._cfg_overrides(
-            "vae", ("base_dim", "z_dim", "num_res_blocks", "patch_size"),
+            "vae", ("base_dim", "z_dim", "num_res_blocks", "patch_size",
+                    "is_residual"),
             {
                 "latents_mean": lambda v: {"latents_mean": tuple(v)},
                 "latents_std": lambda v: {"latents_std": tuple(v)},
@@ -707,7 +714,8 @@ class FastDMEngine:
         from fastdm_tpu.pipeline.wan_vae import WanVAEConfig, wan_vae_load
 
         vae_kw = self._cfg_overrides(
-            "vae", ("base_dim", "z_dim", "num_res_blocks", "patch_size"),
+            "vae", ("base_dim", "z_dim", "num_res_blocks", "patch_size",
+                    "is_residual"),
             {
                 "latents_mean": lambda v: {"latents_mean": tuple(v)},
                 "latents_std": lambda v: {"latents_std": tuple(v)},
@@ -916,11 +924,17 @@ class FastDMEngine:
 
         if control_image is not None and self.cn_params is not None:
             # ControlNet t2i: hint image is VAE-encoded + packed like latents
+            # (latent-hint checkpoints) or fed raw to the input_hint_block
+            # conv stack (raw-image-hint variants — diffusers skips the VAE
+            # for those; ref forward fastdm/model/controlnets.py:960-970)
             from fastdm_tpu.pipeline.denoise import make_flux_cn_denoiser
 
             img = jnp.asarray(control_image, jnp.float32) / 127.5 - 1.0
-            z = self._encode(self.vae_params, img[None])
-            cn_cond = flux_pack_latents(z)
+            if "input_hint_block" in self.cn_params:
+                cn_cond = img[None].astype(jnp.bfloat16)
+            else:
+                z = self._encode(self.vae_params, img[None])
+                cn_cond = flux_pack_latents(z)
             cn_cond = jnp.broadcast_to(cn_cond, (b, *cn_cond.shape[1:]))
             key = ("flux-cn", ht, wt, num_inference_steps, guidance_scale,
                    controlnet_conditioning_scale, control_mode)
@@ -1256,9 +1270,26 @@ class FastDMEngine:
         # high-water that OOMs the cached forward on one v5e
         _pt, _ph, _pw = self.cfg.patch_size
         _tok = (lf // _pt) * (lh // _ph) * (lw // _pw)
-        if _tok >= 30000 and _tok % 8 == 0 and not self.cfg.ffn_chunk_tokens:
+        # Recomputed EVERY generate when the current value is auto-derived
+        # (or stale-auto from a previous shape): persisting one shape's
+        # chunk onto self.cfg silently disabled chunking at the next
+        # non-dividing shape (advisor r4). A user-set value is never touched.
+        _auto = getattr(self, "_ffn_chunk_auto", False)
+        if _tok >= _FFN_CHUNK_MIN_TOKENS and _tok % 8 == 0 and (
+                _auto or not self.cfg.ffn_chunk_tokens):
             import dataclasses as _dc
-            self.cfg = _dc.replace(self.cfg, ffn_chunk_tokens=_tok // 8)
+            # split_qkv_proj pairs with chunking at A14B dual-expert scale:
+            # without it the fused-QKV epilogue temps alone exceed one v5e
+            # next to a 7.3 GiB expert (doc/A14B_E2E_r4.log)
+            self.cfg = _dc.replace(
+                self.cfg, ffn_chunk_tokens=_tok // 8,
+                split_qkv_proj=(self.params_2 is not None
+                                and _tok >= _SPLIT_QKV_MIN_TOKENS))
+            self._ffn_chunk_auto = True
+        elif _auto and (_tok < _FFN_CHUNK_MIN_TOKENS or _tok % 8):
+            import dataclasses as _dc
+            self.cfg = _dc.replace(self.cfg, ffn_chunk_tokens=0,
+                                   split_qkv_proj=False)
         # sparse attention block-size rounding (ref: model_entry.py:771-773)
         sparse_mask = None
         dense_steps = 0
@@ -1349,7 +1380,8 @@ class FastDMEngine:
                      and task in ("i2v", "ti2v"))
         key = ("wan", lf, lh, lw, num_inference_steps, guidance_scale,
                guidance_scale_2, dense_steps, use_cache, dual,
-               self._wan_sched_name, sparse_sig)
+               self._wan_sched_name, sparse_sig,
+               self.cfg.ffn_chunk_tokens, self.cfg.split_qkv_proj)
         if not ti2v_path and key not in self._denoisers:
             sched = self._wan_scheduler(num_inference_steps)
             if dual:
@@ -1404,7 +1436,8 @@ class FastDMEngine:
             img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
             cond = wan_vae_encode(self.vae_params, self.vae_cfg, img[None, None])
             key = ("wan-ti2v", lf, lh, lw, num_inference_steps, guidance_scale,
-                   dense_steps, use_cache, self._wan_sched_name)
+                   dense_steps, use_cache, self._wan_sched_name,
+                   self.cfg.ffn_chunk_tokens, self.cfg.split_qkv_proj)
             if key not in self._denoisers:
                 sched = self._wan_scheduler(num_inference_steps)
                 self._denoisers[key] = make_wan_ti2v_denoiser(

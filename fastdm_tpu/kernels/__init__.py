@@ -23,6 +23,7 @@ from fastdm_tpu.kernels.ops import (  # noqa: F401, E402
     quantize_to_int4,
     quantize_to_int8,
     qk_norm_rope,
+    qk_norm_rope2,
     rms_norm,
     rotary_pos_embedding,
     scaled_dot_product_attention,

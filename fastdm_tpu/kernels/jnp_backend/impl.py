@@ -76,6 +76,27 @@ def qk_norm_rope_jnp(
     return q.reshape(b, s, d), k.reshape(b, s, d)
 
 
+@kernel_registry.register("qk_norm_rope2", "jnp")
+def qk_norm_rope2_jnp(
+    q: Array,
+    k: Array,
+    gamma_q: Optional[Array],
+    gamma_k: Optional[Array],
+    head_size: int,
+    cos: Array,
+    sin: Array,
+    is_neox: bool = False,
+    eps: float = 1e-6,
+) -> Tuple[Array, Array]:
+    # oracle = the sequential composition (split-operand qk_norm_rope)
+    b, s, d = q.shape
+    qn = rms_norm_jnp(q, gamma_q, eps)
+    kn = rms_norm_jnp(k, gamma_k, eps)
+    qn = _rotate(qn.reshape(b, s, -1, head_size), cos, sin, is_neox)
+    kn = _rotate(kn.reshape(b, s, -1, head_size), cos, sin, is_neox)
+    return qn.reshape(b, s, d), kn.reshape(b, s, d)
+
+
 @kernel_registry.register("rotembd", "jnp")
 def rotary_pos_embedding_jnp(
     query: Array,

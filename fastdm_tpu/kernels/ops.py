@@ -92,6 +92,26 @@ def qk_norm_rope(
     return NotImplemented
 
 
+@kernel_registry.dispatch("qk_norm_rope2")
+def qk_norm_rope2(
+    q: Array,
+    k: Array,
+    gamma_q: Optional[Array],
+    gamma_k: Optional[Array],
+    head_size: int,
+    cos: Array,
+    sin: Array,
+    is_neox: bool = False,
+    eps: float = 1e-6,
+) -> Tuple[Array, Array]:
+    """Two-operand form of qk_norm_rope: q, k each (B, S, D) already split.
+
+    Same semantics (RMSNorm each, then rotary), for callers that project
+    q/k/v separately — the split-QKV memory mode (models/wan.py
+    split_qkv_proj), where a fused (B, S, 3D) buffer must never exist."""
+    return NotImplemented
+
+
 @kernel_registry.dispatch("gelu_and_mul")
 def gelu_and_mul(x: Array) -> Array:
     """x[..., :d] * GELU(x[..., d:]) with d = x.shape[-1] // 2.

@@ -291,7 +291,25 @@ def _qk_norm_rope_kernel(x_ref, gq_ref, gk_ref, cosf_ref, sinf_ref,
     result tracks the sequential jnp composition (oracle parity)."""
     x = x_ref[...].astype(jnp.float32)
     q, k = x[:, :d], x[:, d:]
+    _norm_rope_both(q, k, gq_ref, gk_ref, cosf_ref, sinf_ref, q_ref, k_ref,
+                    eps=eps, d=d, head_size=head_size, is_neox=is_neox,
+                    has_g=has_g)
 
+
+def _qk_norm_rope2_kernel(q_in_ref, k_in_ref, gq_ref, gk_ref, cosf_ref,
+                          sinf_ref, q_ref, k_ref, *, eps, d, head_size,
+                          is_neox, has_g):
+    """Two-operand form of _qk_norm_rope_kernel: q and k arrive as separate
+    (br, d) blocks (the split-QKV projection path, models/wan.py)."""
+    _norm_rope_both(q_in_ref[...].astype(jnp.float32),
+                    k_in_ref[...].astype(jnp.float32),
+                    gq_ref, gk_ref, cosf_ref, sinf_ref, q_ref, k_ref,
+                    eps=eps, d=d, head_size=head_size, is_neox=is_neox,
+                    has_g=has_g)
+
+
+def _norm_rope_both(q, k, gq_ref, gk_ref, cosf_ref, sinf_ref, q_ref, k_ref,
+                    *, eps, d, head_size, is_neox, has_g):
     def norm(v, g_ref):
         var = jnp.mean(jnp.square(v), axis=-1, keepdims=True)
         y = v * jax.lax.rsqrt(var + eps)
@@ -392,6 +410,73 @@ def qk_norm_rope_pallas(
         interpret=_INTERPRET,
     )(*operands)
     return q[: b * s].reshape(b, s, d), k[: b * s].reshape(b, s, d)
+
+
+@kernel_registry.register("qk_norm_rope2", "pallas")
+def qk_norm_rope2_pallas(
+    q: Array, k: Array, gamma_q: Optional[Array], gamma_k: Optional[Array],
+    head_size: int, cos: Array, sin: Array, is_neox: bool = False,
+    eps: float = 1e-6,
+) -> Tuple[Array, Array]:
+    """Two-operand qk_norm_rope: q, k each (B, S, D) from separate
+    projections (split-QKV mode). Same fused VMEM pass, same semantics."""
+    b, s, d = q.shape
+    cos = cos.astype(jnp.float32)
+    sin = sin.astype(jnp.float32)
+    if is_neox:
+        cosf = jnp.concatenate([cos, cos], axis=-1)
+        sinf = jnp.concatenate([sin, sin], axis=-1)
+    else:
+        cosf = jnp.repeat(cos, 2, axis=-1)
+        sinf = jnp.repeat(sin, 2, axis=-1)
+    cosf = jnp.broadcast_to(cosf[None], (b, s, head_size)).reshape(-1, head_size)
+    sinf = jnp.broadcast_to(sinf[None], (b, s, head_size)).reshape(-1, head_size)
+    q2 = q.reshape(b * s, d)
+    k2 = k.reshape(b * s, d)
+    br, pad, nb = _row_grid(q2.shape[0], d)
+    q2, k2 = _pad_rows(q2, pad), _pad_rows(k2, pad)
+    cosf, sinf = _pad_rows(cosf, pad), _pad_rows(sinf, pad)
+    has_g = gamma_q is not None
+    in_specs = [
+        pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    operands = [q2, k2]
+    if has_g:
+        in_specs += [
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        operands += [gamma_q.reshape(1, -1), gamma_k.reshape(1, -1)]
+    in_specs += [
+        pl.BlockSpec((br, head_size), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((br, head_size), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    operands += [cosf, sinf]
+
+    def kernel(*refs):
+        if has_g:
+            qi, ki, gq_ref, gk_ref, cf_ref, sf_ref, q_ref, k_ref = refs
+        else:
+            (qi, ki, cf_ref, sf_ref, q_ref, k_ref) = refs
+            gq_ref = gk_ref = None
+        _qk_norm_rope2_kernel(qi, ki, gq_ref, gk_ref, cf_ref, sf_ref,
+                              q_ref, k_ref, eps=eps, d=d,
+                              head_size=head_size, is_neox=is_neox,
+                              has_g=has_g)
+
+    qo, ko = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((q2.shape[0], d), q.dtype),
+            jax.ShapeDtypeStruct((q2.shape[0], d), k.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_INTERPRET,
+    )(*operands)
+    return qo[: b * s].reshape(b, s, d), ko[: b * s].reshape(b, s, d)
 
 
 @kernel_registry.register("rotembd", "pallas")

@@ -48,7 +48,7 @@ class KernelRegistry:
     # the fused VMEM kernel removes both.
     _AUTO_PALLAS_OPS = ("sdpa", "sdpa_sparse", "sdpa_gather",
                         "sdpa_gather_fine", "sdpa_gather_super",
-                        "qk_norm_rope")
+                        "qk_norm_rope", "qk_norm_rope2")
 
     def backend_for(self, op_name: str, force_backend: str | None = None) -> str:
         choice = force_backend or os.environ.get(_ENV_KEY, "auto")

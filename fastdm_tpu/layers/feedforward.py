@@ -26,15 +26,15 @@ def feedforward_apply(params, x: Array, activation_fn: str = "geglu",
     efficiency is preserved for chunks >= ~4k rows."""
     s = x.shape[-2]
     if chunk_tokens and s > chunk_tokens and s % chunk_tokens == 0:
-        n = s // chunk_tokens
-        xs = jnp.moveaxis(
-            x.reshape(*x.shape[:-2], n, chunk_tokens, x.shape[-1]), -3, 0)
-
-        def body(_, xc):
-            return None, feedforward_apply(params, xc, activation_fn)
-
-        _, ys = jax.lax.scan(body, None, xs)
-        return jnp.moveaxis(ys, 0, -3).reshape(*x.shape[:-1], -1)
+        # unrolled concat, NOT lax.scan — scan's stacked output layout
+        # forces a full-size copy at the next custom-call boundary (see
+        # qlinear_apply chunking note)
+        ys = [
+            feedforward_apply(params, x[..., i : i + chunk_tokens, :],
+                              activation_fn)
+            for i in range(0, s, chunk_tokens)
+        ]
+        return jnp.concatenate(ys, axis=-2)
     h = qlinear_apply(params["proj"], x)
     if activation_fn == "gelu":
         h = jax.nn.gelu(h, approximate=False)

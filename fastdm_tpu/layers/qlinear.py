@@ -227,11 +227,55 @@ def qlinear_random(
     return params
 
 
-def qlinear_apply(params: Params, x: Array) -> Array:
+def qlinear_slice_out(params: Params, start: int, stop: int) -> Params:
+    """View of a QLinear restricted to output columns [start, stop).
+
+    Every per-output-channel leaf (weight columns, scale, colsum, bias,
+    lora_v) is sliced along N; per-input leaves (lora_u) pass through.
+    Exact: qlinear_apply(slice) == qlinear_apply(full)[..., start:stop] for
+    all quant modes (per-token activation quantization is column-
+    independent). Used to split a fused QKV projection into three matmuls
+    so no (S, 3D) intermediate is ever materialized (A14B HBM capacity)."""
+    out = {}
+    for key, leaf in params.items():
+        if key in ("w", "w4", "w4p"):
+            out[key] = leaf[..., :, start:stop]
+        elif key in ("scale", "colsum", "bias", "zeros"):
+            out[key] = leaf[..., start:stop]
+        elif key == "lora_v":
+            out[key] = leaf[..., :, start:stop]
+        else:  # lora_u and any per-K leaf
+            out[key] = leaf
+    return out
+
+
+def qlinear_apply(params: Params, x: Array, chunk_tokens: int = 0) -> Array:
     """y = x @ w (+ bias), with per-token activation quantization when the
-    weight is int8/fp8. x: (..., K) -> (..., N). (ref: QLinear.forward)"""
-    bias = params.get("bias")
+    weight is int8/fp8. x: (..., K) -> (..., N). (ref: QLinear.forward)
+
+    chunk_tokens > 0 (and dividing the flattened row count): lax.scan over
+    row chunks. Exact — quantization and epilogue are per-row — and bounds
+    the matmul's quant/accumulator/epilogue transients to O(chunk * N)
+    instead of O(rows * N). At Wan-A14B 720p/81f the un-chunked QKV
+    projection (75600 x 15360) materializes 4.3 GiB f32 epilogue temps —
+    the residual OOM after FFN chunking (doc/A14B_E2E_r4.log)."""
     orig_shape = x.shape
+    rows = 1
+    for s in orig_shape[:-1]:
+        rows *= s
+    if chunk_tokens and rows > chunk_tokens and rows % chunk_tokens == 0:
+        # unrolled concat, NOT lax.scan: scan's stacked output gets a
+        # while-loop layout that forces a full-size copy at the next
+        # custom-call boundary (738 MB per projection at A14B 720p/81f);
+        # concat lets each chunk's epilogue write straight into its slice
+        x2 = x.reshape(rows, orig_shape[-1])
+        ys = [
+            qlinear_apply(params, x2[i : i + chunk_tokens])
+            for i in range(0, rows, chunk_tokens)
+        ]
+        return jnp.concatenate(ys, axis=0).reshape(
+            *orig_shape[:-1], ys[0].shape[-1])
+    bias = params.get("bias")
     x2 = x.reshape(-1, orig_shape[-1])
     if "w4" in params or "w4p" in params:
         # int4 lives in an int8 carrier — key-driven dispatch; the packed

@@ -364,6 +364,21 @@ def flux_controlnet_forward(
     control_mode: union checkpoints prepend one mode-embedding token to the
     text stream — the caller's rope cos/sin must then cover txt_len+1 ids."""
     hidden = qlinear_apply(params["x_embedder"], hidden_states)
+    if "input_hint_block" in params:
+        # raw-image-hint variant: controlnet_cond is the (B, Hpx, Wpx, 3)
+        # conditioning IMAGE in [-1, 1]; the conv stack (same module class
+        # as the SDXL hint encoder) maps it to 1/8 resolution, then a
+        # patch_size x patch_size pixel-unshuffle packs tokens the same way
+        # the torch core does (ref: FluxControlNetModelCore.forward,
+        # fastdm/model/controlnets.py:960-970 — reshape/permute to
+        # (B, H*W, C*ps^2) with (c, ph, pw) channel order).
+        hint = controlnet_cond_embedding_apply(
+            params["input_hint_block"], controlnet_cond)
+        b, hp, wp, c = hint.shape
+        ps = 2
+        hint = hint.reshape(b, hp // ps, ps, wp // ps, ps, c)
+        hint = jnp.transpose(hint, (0, 1, 3, 5, 2, 4))
+        controlnet_cond = hint.reshape(b, (hp // ps) * (wp // ps), c * ps * ps)
     hidden = hidden + qlinear_apply(params["controlnet_x_embedder"], controlnet_cond)
     # the loader auto-detects the guidance embedder from the checkpoint
     # (controlnets.py load: 'time_text_embed.guidance_embedder'); gate the
@@ -462,12 +477,15 @@ def flux_controlnet_load(src: TensorSource, cfg: FluxControlNetConfig) -> Dict:
 
     CN checkpoints carry the flux trunk WITHOUT norm_out/proj_out, plus
     controlnet_x_embedder and zero-linear heads; union variants add a mode
-    embedder, raw-image variants an input_hint_block conv stack (the
-    raw-hint variant is NOT implemented — rejected loudly below)."""
-    if "input_hint_block.0.weight" in src or "input_hint_block.blocks.0.weight" in src:
+    embedder, raw-image variants an input_hint_block conv stack (loaded
+    below; the forward then takes the conditioning IMAGE, not latents)."""
+    from fastdm_tpu.models.sdxl import _conv_p
+
+    if "input_hint_block.0.weight" in src:
         raise NotImplementedError(
-            "raw-image-hint FLUX ControlNet variants (input_hint_block conv "
-            "stack) are not supported; use a latent-hint checkpoint")
+            "this FLUX ControlNet's input_hint_block uses a flat Sequential "
+            "layout; only the diffusers ControlNetConditioningEmbedding "
+            "layout (conv_in/blocks.N/conv_out) is supported")
 
     q = cfg.quant
     qm = q if cfg.quant_mods else None
@@ -476,6 +494,20 @@ def flux_controlnet_load(src: TensorSource, cfg: FluxControlNetConfig) -> Dict:
         "context_embedder": src.linear("context_embedder", None),
         "controlnet_x_embedder": src.linear("controlnet_x_embedder", None),
     }
+    if "input_hint_block.conv_in.weight" in src:
+        # raw-image-hint variant: diffusers ControlNetConditioningEmbedding
+        # conv stack (same module class as the SDXL hint encoder)
+        n_blocks = 0
+        while f"input_hint_block.blocks.{n_blocks}.weight" in src:
+            n_blocks += 1
+        params["input_hint_block"] = {
+            "conv_in": _conv_p(src, "input_hint_block.conv_in"),
+            "blocks": [
+                _conv_p(src, f"input_hint_block.blocks.{i}")
+                for i in range(n_blocks)
+            ],
+            "conv_out": _conv_p(src, "input_hint_block.conv_out"),
+        }
     tte = {
         "timestep_embedder": {
             "linear1": src.linear("time_text_embed.timestep_embedder.linear_1", None),

@@ -91,7 +91,7 @@ def _decode(skel, tensors: Dict[str, np.ndarray]):
 # replaces them per-generate: sparse tile shapes, dense warmup, FFN chunking).
 _RUNTIME_ONLY_FIELDS = frozenset({
     "dense_layers", "sparse_gather_blocks", "sparse_gather_fine_blocks",
-    "sparse_gather_superblock", "ffn_chunk_tokens",
+    "sparse_gather_superblock", "ffn_chunk_tokens", "split_qkv_proj",
 })
 
 

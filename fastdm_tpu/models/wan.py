@@ -30,6 +30,7 @@ from fastdm_tpu.kernels import (
     gather_super_attention,
     gather_sparse_attention,
     qk_norm_rope,
+    qk_norm_rope2,
     rms_norm,
     scaled_dot_product_attention,
     sparse_scaled_dot_product_attention,
@@ -42,7 +43,11 @@ from fastdm_tpu.layers.embeddings import (
 )
 from fastdm_tpu.layers.feedforward import feedforward_apply
 from fastdm_tpu.layers.normalization import fp32_layer_norm
-from fastdm_tpu.layers.qlinear import qlinear_apply, qlinear_random
+from fastdm_tpu.layers.qlinear import (
+    qlinear_apply,
+    qlinear_random,
+    qlinear_slice_out,
+)
 from fastdm_tpu.models.loader import TensorSource, stack_blocks
 
 Array = jax.Array
@@ -70,6 +75,10 @@ class WanConfig:
     # tokens when it divides the sequence — the A14B 75600-token capacity
     # lever (see feedforward_apply); engine enables it for long video
     ffn_chunk_tokens: int = 0
+    # split the fused self-attn QKV projection into three column-sliced
+    # chunked matmuls (no (S, 3D) buffer, two-operand norm+rope kernel) —
+    # pairs with ffn_chunk_tokens for 70k+-token A14B HBM capacity
+    split_qkv_proj: bool = False
     # gather-sparse tile size (must match SparseAttn.block_lists coarsening)
     sparse_gather_blocks: Tuple[int, int] = (512, 1024)
     # fine-gather (block_q, group, fine_tokens): compute tiles of group x
@@ -242,6 +251,43 @@ def _wan_self_attention(attn, x: Array, cos: Array, sin: Array, cfg: WanConfig,
                         sparse_mask: Optional[Array]) -> Array:
     """(ref: WanAttention.forward self-attn path, transformer.py:485-529)"""
     d = cfg.inner_dim
+    if cfg.split_qkv_proj:
+        # Memory mode for 70k+-token video: three column-sliced chunked
+        # projections + the two-operand norm+rope kernel, so no (S, 3D)
+        # buffer ever exists. The fused path's qkv output + its epilogue
+        # temps (2.16 + 4.3 GiB at A14B 720p/81f) were the HBM high-water
+        # of the cached branch program (doc/A14B_E2E_r4.log).
+        ct = cfg.ffn_chunk_tokens
+        qp = qlinear_slice_out(attn["qkv"], 0, d)
+        kp = qlinear_slice_out(attn["qkv"], d, 2 * d)
+        vp = qlinear_slice_out(attn["qkv"], 2 * d, 3 * d)
+        s = x.shape[1]
+        if ct and s > ct and s % ct == 0:
+            # per-chunk projection + norm + rope, unrolled: raw q/k exist
+            # only at chunk size; the concat writes final q/k/v directly
+            qs, ks, vs = [], [], []
+            for i in range(0, s, ct):
+                xc = x[:, i : i + ct]
+                qc = qlinear_apply(qp, xc)
+                kc = qlinear_apply(kp, xc)
+                vs.append(qlinear_apply(vp, xc))
+                qc, kc = qk_norm_rope2(
+                    qc, kc, attn["norm_q"], attn["norm_k"],
+                    cfg.attention_head_dim, cos[i : i + ct], sin[i : i + ct],
+                    is_neox=False, eps=cfg.eps)
+                qs.append(qc)
+                ks.append(kc)
+            q = jnp.concatenate(qs, axis=1)
+            k = jnp.concatenate(ks, axis=1)
+            v = jnp.concatenate(vs, axis=1)
+        else:
+            q_raw = qlinear_apply(qp, x)
+            k_raw = qlinear_apply(kp, x)
+            v = qlinear_apply(vp, x)
+            q, k = qk_norm_rope2(q_raw, k_raw, attn["norm_q"], attn["norm_k"],
+                                 cfg.attention_head_dim, cos, sin,
+                                 is_neox=False, eps=cfg.eps)
+        return _wan_self_attention_core(attn, x, q, k, v, cfg, sparse_mask)
     qkv = qlinear_apply(attn["qkv"], x)
     # fused norm-q + norm-k + rope (one VMEM pass on TPU; the composed form
     # materializes f32 q/k at the rope fusion boundary — 2x 1.44 GiB at
@@ -250,6 +296,12 @@ def _wan_self_attention(attn, x: Array, cos: Array, sin: Array, cfg: WanConfig,
                         cfg.attention_head_dim, cos, sin, is_neox=False,
                         eps=cfg.eps, inner_dim=d)
     v = qkv[..., 2 * d :]
+    return _wan_self_attention_core(attn, x, q, k, v, cfg, sparse_mask)
+
+
+def _wan_self_attention_core(attn, x: Array, q: Array, k: Array, v: Array,
+                             cfg: WanConfig,
+                             sparse_mask: Optional[Array]) -> Array:
     h, hd = cfg.num_attention_heads, cfg.attention_head_dim
     if sparse_mask is not None:
         if isinstance(sparse_mask, (tuple, list)) and len(sparse_mask) == 3:
@@ -290,7 +342,8 @@ def _wan_self_attention(attn, x: Array, cos: Array, sin: Array, cfg: WanConfig,
             )
     else:
         out = scaled_dot_product_attention(q, k, v, h, h, hd, False, hd**-0.5)
-    return qlinear_apply(attn["to_out"], out.astype(x.dtype))
+    return qlinear_apply(attn["to_out"], out.astype(x.dtype),
+                         chunk_tokens=cfg.ffn_chunk_tokens)
 
 
 def _wan_cross_attention(attn, x: Array, encoder: Array, cfg: WanConfig) -> Array:
@@ -308,7 +361,8 @@ def _wan_cross_attention(attn, x: Array, encoder: Array, cfg: WanConfig) -> Arra
     else:
         ctx_img, ctx_txt = None, encoder
 
-    q = rms_norm(qlinear_apply(attn["q"], x), attn["norm_q"], cfg.eps)
+    q = rms_norm(qlinear_apply(attn["q"], x, chunk_tokens=cfg.ffn_chunk_tokens),
+                 attn["norm_q"], cfg.eps)
     kv = qlinear_apply(attn["kv"], ctx_txt)
     k = rms_norm(kv[..., :d], attn["norm_k"], cfg.eps)
     v = kv[..., d:]
@@ -317,7 +371,8 @@ def _wan_cross_attention(attn, x: Array, encoder: Array, cfg: WanConfig) -> Arra
         k_img = rms_norm(qlinear_apply(attn["add_k"], ctx_img), attn["norm_added_k"], cfg.eps)
         v_img = qlinear_apply(attn["add_v"], ctx_img)
         out = out + scaled_dot_product_attention(q, k_img, v_img, h, h, hd, False, hd**-0.5)
-    return qlinear_apply(attn["to_out"], out.astype(x.dtype))
+    return qlinear_apply(attn["to_out"], out.astype(x.dtype),
+                         chunk_tokens=cfg.ffn_chunk_tokens)
 
 
 def wan_block(block, hidden: Array, encoder: Array, temb6: Array, cos: Array,

@@ -1131,6 +1131,16 @@ def make_wan_dual_host_denoiser(
         skips = jnp.zeros((), jnp.int32)
         active, p_dev = None, None
         cstates = {}
+        import os as _os
+        _rss_dbg = _os.environ.get("FASTDM_RSS_DEBUG") == "1"
+
+        def _rss():
+            with open(f"/proc/{_os.getpid()}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 2**20
+            return 0.0
+
         for step in range(num_steps):
             expert = 1 if step < b_step else 2
             if expert != active:
@@ -1173,6 +1183,9 @@ def make_wan_dual_host_denoiser(
                                         neg_text, rope_cos, rope_sin, mask)
             lat, sst = combine_sched(pos, neg, lat, sst, step_dev,
                                      jnp.asarray(g, jnp.float32))
+            if _rss_dbg:
+                lat.block_until_ready()
+                print(f"[rss] step {step}: {_rss():.2f} GiB", flush=True)
         if cache_cfg is not None:
             for st in cstates.values():
                 skips = skips + st[0]["skips"] + st[1]["skips"]

@@ -47,6 +47,11 @@ from fastdm_tpu.models.loader import TensorSource
 
 Array = jax.Array
 
+# Compute dtype for the conv/attention path. bf16 in production (MXU rate +
+# halved HBM); tests monkeypatch to f32 so the numpy frame-cache oracle can
+# assert window alignment at 1e-4 instead of bf16-accumulation tolerances.
+_DTYPE = jnp.bfloat16
+
 
 @dataclasses.dataclass(frozen=True)
 class WanVAEConfig:
@@ -61,6 +66,16 @@ class WanVAEConfig:
     # unpatchified after the decoder, making the effective spatial stride
     # 8*patch_size = 16 (diffusers AutoencoderKLWan `patch_size`; z_dim 48).
     patch_size: int = 1
+    # Wan2.2 VAE structure (AutoencoderKLWan is_residual=True): down/up
+    # blocks carry a parameter-free pooled/duplicated shortcut around the
+    # whole stage (AvgDown3D / DupUp3D pixel-shuffle semantics), and the
+    # residual decoder's spatial upsample conv KEEPS its channel count (the
+    # resnets do the channel change) instead of halving it. Checkpoint-key
+    # layout for this variant follows the diffusers module structure as
+    # understood (resnets.{j} / downsampler / upsampler nesting) — real
+    # Wan2.2-VAE checkpoint parity is unvalidated in this environment (no
+    # checkpoints; exhaustive-consumption assert will surface any drift).
+    is_residual: bool = False
 
     @property
     def encoder_dims(self) -> Tuple[int, ...]:
@@ -81,14 +96,14 @@ def _causal_conv3d(params, x: Array, stride=(1, 1, 1)) -> Array:
     kt, kh, kw = params["w"].shape[:3]
     pads = [(kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)]
     out = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16),
-        params["w"].astype(jnp.bfloat16),
+        x.astype(_DTYPE),
+        params["w"].astype(_DTYPE),
         window_strides=stride,
         padding=pads,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32,
     )
-    return (out + params["b"].astype(jnp.float32)).astype(jnp.bfloat16)
+    return (out + params["b"].astype(jnp.float32)).astype(_DTYPE)
 
 
 def _conv3d_valid_t(params, x: Array, t_stride: int) -> Array:
@@ -96,14 +111,14 @@ def _conv3d_valid_t(params, x: Array, t_stride: int) -> Array:
     kt, kh, kw = params["w"].shape[:3]
     pads = [(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)]
     out = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16),
-        params["w"].astype(jnp.bfloat16),
+        x.astype(_DTYPE),
+        params["w"].astype(_DTYPE),
         window_strides=(t_stride, 1, 1),
         padding=pads,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32,
     )
-    return (out + params["b"].astype(jnp.float32)).astype(jnp.bfloat16)
+    return (out + params["b"].astype(jnp.float32)).astype(_DTYPE)
 
 
 def _conv2d_frames(params, x: Array, stride: int = 1, zero_pad_rb: bool = False) -> Array:
@@ -112,7 +127,7 @@ def _conv2d_frames(params, x: Array, stride: int = 1, zero_pad_rb: bool = False)
     zero_pad_rb: diffusers' downsample pads (0,1,0,1) (right/bottom) then
     runs a stride-2 VALID conv."""
     b, t, h, w, c = x.shape
-    y = x.reshape(b * t, h, w, c).astype(jnp.bfloat16)
+    y = x.reshape(b * t, h, w, c).astype(_DTYPE)
     if zero_pad_rb:
         y = jnp.pad(y, ((0, 0), (0, 1), (0, 1), (0, 0)))
         padding = "VALID"
@@ -120,12 +135,12 @@ def _conv2d_frames(params, x: Array, stride: int = 1, zero_pad_rb: bool = False)
         kh, kw_ = params["w"].shape[:2]
         padding = [(kh // 2, kh // 2), (kw_ // 2, kw_ // 2)]
     out = jax.lax.conv_general_dilated(
-        y, params["w"].astype(jnp.bfloat16),
+        y, params["w"].astype(_DTYPE),
         window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
-    out = (out + params["b"].astype(jnp.float32)).astype(jnp.bfloat16)
+    out = (out + params["b"].astype(jnp.float32)).astype(_DTYPE)
     return out.reshape(b, t, out.shape[1], out.shape[2], out.shape[3])
 
 
@@ -157,18 +172,18 @@ def _attn_block(params, x: Array) -> Array:
     b, t, hh, ww, c = x.shape
     y = _rms_norm_channel(params["norm"], x).reshape(b * t, hh * ww, c)
     qkv = (
-        jnp.einsum("bsc,cd->bsd", y.astype(jnp.bfloat16),
-                   params["qkv"]["w"].astype(jnp.bfloat16),
+        jnp.einsum("bsc,cd->bsd", y.astype(_DTYPE),
+                   params["qkv"]["w"].astype(_DTYPE),
                    preferred_element_type=jnp.float32)
         + params["qkv"]["b"].astype(jnp.float32)
-    ).astype(jnp.bfloat16)
+    ).astype(_DTYPE)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
     p = jax.nn.softmax(logits * (c**-0.5), axis=-1).astype(v.dtype)
     o = jnp.einsum("bqk,bkc->bqc", p, v, preferred_element_type=jnp.float32)
     o = (
-        jnp.einsum("bsc,cd->bsd", o.astype(jnp.bfloat16),
-                   params["proj"]["w"].astype(jnp.bfloat16),
+        jnp.einsum("bsc,cd->bsd", o.astype(_DTYPE),
+                   params["proj"]["w"].astype(_DTYPE),
                    preferred_element_type=jnp.float32)
         + params["proj"]["b"].astype(jnp.float32)
     ).astype(x.dtype)
@@ -212,6 +227,45 @@ def _temporal_downsample(params, x: Array) -> Array:
     return jnp.concatenate([head, tail], axis=1)
 
 
+def _avg_down3d(x: Array, out_c: int, ft: int, fs: int) -> Array:
+    """Wan2.2 AvgDown3D (parameter-free): front-zero-pad T to a multiple of
+    ft, pixel-unshuffle (ft, fs, fs) into channels (torch flat order
+    (C, ft, fs_h, fs_w)), then group-average channels down to out_c
+    (torch view(B, out_c, group).mean)."""
+    b, t, h, w, c = x.shape
+    pad_t = (ft - t % ft) % ft
+    if pad_t:
+        x = jnp.concatenate(
+            [jnp.zeros((b, pad_t, h, w, c), x.dtype), x], axis=1)
+        t += pad_t
+    factor = ft * fs * fs
+    x = x.reshape(b, t // ft, ft, h // fs, fs, w // fs, fs, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 7, 2, 4, 6))  # (..., C, ft, fsh, fsw)
+    x = x.reshape(b, t // ft, h // fs, w // fs, c * factor)
+    group = c * factor // out_c
+    return jnp.mean(
+        x.reshape(b, t // ft, h // fs, w // fs, out_c, group), axis=-1)
+
+
+def _dup_up3d(x: Array, out_c: int, ft: int, fs: int,
+              drop_first: bool) -> Array:
+    """Wan2.2 DupUp3D (parameter-free): channel-replicate then pixel-shuffle
+    into (t*ft, h*fs, w*fs); drop_first drops the leading ft-1 duplicated
+    frames (the torch first_chunk causal layout — vectorized over the full
+    sequence this is exactly the global leading frames)."""
+    b, t, h, w, c = x.shape
+    factor = ft * fs * fs
+    reps = out_c * factor // c
+    x = jnp.repeat(x, reps, axis=-1)
+    # torch channel-flat order (out_c, ft, fs_h, fs_w)
+    x = x.reshape(b, t, h, w, out_c, ft, fs, fs)
+    x = jnp.transpose(x, (0, 1, 5, 2, 6, 3, 7, 4))  # b,t,ft,h,fsh,w,fsw,C
+    x = x.reshape(b, t * ft, h * fs, w * fs, out_c)
+    if drop_first and ft > 1:
+        x = x[:, ft - 1 :]
+    return x
+
+
 def _patchify_frames(x: Array, p: int) -> Array:
     """(B, F, H, W, C) -> (B, F, H/p, W/p, C*p*p) with diffusers'
     AutoencoderKLWan channel order `(c r q)` where q indexes the h-subpixel
@@ -242,7 +296,7 @@ def wan_vae_decode(params, cfg: WanVAEConfig, latents: Array) -> Array:
         mean = jnp.asarray(cfg.latents_mean, jnp.float32)[None, :, None, None, None]
         std = jnp.asarray(cfg.latents_std, jnp.float32)[None, :, None, None, None]
         z = z * std + mean
-    x = jnp.transpose(z, (0, 2, 3, 4, 1)).astype(jnp.bfloat16)  # NCDHW -> NDHWC
+    x = jnp.transpose(z, (0, 2, 3, 4, 1)).astype(_DTYPE)  # NCDHW -> NDHWC
 
     if "post_quant_conv" in params:
         x = _causal_conv3d(params["post_quant_conv"], x)
@@ -253,13 +307,21 @@ def wan_vae_decode(params, cfg: WanVAEConfig, latents: Array) -> Array:
     x = _res_block(dec["mid"]["res1"], x)
 
     for blk in dec["up"]:
+        xin = x
         for r in blk["resnets"]:
             x = _res_block(r, x)
         if "time_conv" in blk:
             x = _temporal_upsample(blk["time_conv"], x)
         if "upsample" in blk:
-            # nearest-exact 2x then conv to dim//2 (WanResample upsample)
+            # nearest-exact 2x then conv (WanResample upsample; channels
+            # halve in the Wan2.1 layout, stay put in the residual one)
             x = _conv2d_frames(blk["upsample"], _upsample_nearest2x_frames(x))
+            if cfg.is_residual:
+                # Wan2.2 DupUp3D shortcut around the whole stage; frame 0's
+                # leading duplicate drops (causal 1 + ft(F-1) layout)
+                ft = 2 if "time_conv" in blk else 1
+                x = x + _dup_up3d(xin, x.shape[-1], ft, 2,
+                                  drop_first=True).astype(x.dtype)
 
     x = _rms_norm_channel(dec["norm_out"], x)
     x = _causal_conv3d(dec["conv_out"], jax.nn.silu(x))
@@ -270,8 +332,9 @@ def wan_vae_encode(params, cfg: WanVAEConfig, video: Array) -> Array:
     """(B, F, H, W, 3) video in [-1,1] -> (B, C_z, 1+(F-1)/4, H/8p, W/8p)."""
     enc = params["encoder"]
     video = _patchify_frames(video, cfg.patch_size)
-    x = _causal_conv3d(enc["conv_in"], video.astype(jnp.bfloat16))
+    x = _causal_conv3d(enc["conv_in"], video.astype(_DTYPE))
     for blk in enc["down"]:
+        xin = x
         for r in blk["resnets"]:
             x = _res_block(r, x)
         if "downsample" in blk:
@@ -279,6 +342,12 @@ def wan_vae_encode(params, cfg: WanVAEConfig, video: Array) -> Array:
             x = _conv2d_frames(blk["downsample"], x, stride=2, zero_pad_rb=True)
         if "time_conv" in blk:
             x = _temporal_downsample(blk["time_conv"], x)
+        if cfg.is_residual:
+            # Wan2.2 AvgDown3D shortcut (every down stage; identity-average
+            # on the last, factor-1 stage)
+            ft = 2 if "time_conv" in blk else 1
+            fs = 2 if "downsample" in blk else 1
+            x = x + _avg_down3d(xin, x.shape[-1], ft, fs).astype(x.dtype)
     x = _res_block(enc["mid"]["res0"], x)
     x = _attn_block(enc["mid"]["attn"], x)
     x = _res_block(enc["mid"]["res1"], x)
@@ -356,12 +425,17 @@ def _dec_frame(params, cfg: WanVAEConfig, x: Array, caches, first: bool):
     x = _attn_block(dec["mid"]["attn"], x)
     x = res("mid.r1", dec["mid"]["res1"], x)
     for i, blk in enumerate(dec["up"]):
+        xin = x
         for j, r in enumerate(blk["resnets"]):
             x = res(f"up{i}.r{j}", r, x)
         if "time_conv" in blk:
             x = t_up(f"up{i}.t", blk["time_conv"], x)
         if "upsample" in blk:
             x = _conv2d_frames(blk["upsample"], _upsample_nearest2x_frames(x))
+            if cfg.is_residual:
+                ft = 2 if "time_conv" in blk else 1
+                x = x + _dup_up3d(xin, x.shape[-1], ft, 2,
+                                  drop_first=first).astype(x.dtype)
     x = _rms_norm_channel(dec["norm_out"], x)
     x = cc("conv_out", dec["conv_out"], jax.nn.silu(x))
     return x.astype(jnp.float32), new_c
@@ -376,7 +450,7 @@ def wan_vae_decode_chunked(params, cfg: WanVAEConfig, latents: Array) -> Array:
         mean = jnp.asarray(cfg.latents_mean, jnp.float32)[None, :, None, None, None]
         std = jnp.asarray(cfg.latents_std, jnp.float32)[None, :, None, None, None]
         z = z * std + mean
-    x = jnp.transpose(z, (0, 2, 3, 4, 1)).astype(jnp.bfloat16)  # NDHWC
+    x = jnp.transpose(z, (0, 2, 3, 4, 1)).astype(_DTYPE)  # NDHWC
 
     first, caches = _dec_frame(params, cfg, x[:, :1], None, first=True)
     if x.shape[1] == 1:
@@ -402,7 +476,7 @@ def _conv3d_p(src: TensorSource, prefix: str) -> Dict[str, Array]:
     w = np.asarray(src.tensor(f"{prefix}.weight", jnp.float32))  # (out,in,kt,kh,kw)
     b = src.tensor(f"{prefix}.bias", jnp.float32)
     return {
-        "w": jnp.asarray(np.transpose(w, (2, 3, 4, 1, 0)), jnp.bfloat16),  # DHWIO
+        "w": jnp.asarray(np.transpose(w, (2, 3, 4, 1, 0)), _DTYPE),  # DHWIO
         "b": b,
     }
 
@@ -411,7 +485,7 @@ def _conv2d_p(src: TensorSource, prefix: str) -> Dict[str, Array]:
     w = np.asarray(src.tensor(f"{prefix}.weight", jnp.float32))  # (out,in,kh,kw)
     b = src.tensor(f"{prefix}.bias", jnp.float32)
     return {
-        "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)), jnp.bfloat16),  # HWIO
+        "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)), _DTYPE),  # HWIO
         "b": b,
     }
 
@@ -420,7 +494,7 @@ def _lin_from_conv1x1(src: TensorSource, prefix: str) -> Dict[str, Array]:
     """Wan attention qkv/proj are 1x1 Conv2d; fold to (cin, cout) matmuls."""
     w = np.asarray(src.tensor(f"{prefix}.weight", jnp.float32))  # (out,in,1,1)
     b = src.tensor(f"{prefix}.bias", jnp.float32)
-    return {"w": jnp.asarray(w[:, :, 0, 0].T, jnp.bfloat16), "b": b}
+    return {"w": jnp.asarray(w[:, :, 0, 0].T, _DTYPE), "b": b}
 
 
 def _norm_p(src: TensorSource, prefix: str) -> Dict[str, Array]:
@@ -468,21 +542,37 @@ def wan_vae_load(src: TensorSource, cfg: WanVAEConfig) -> Dict:
     convs at '<block>.time_conv'. Exhaustive consumption asserts on exit."""
     n_stages = len(cfg.dim_mult)
 
-    # ---- encoder: walk the flat index space the way the module was built
-    enc: Dict = {"conv_in": _conv3d_p(src, "encoder.conv_in"), "down": []}
-    idx = 0
-    for i in range(n_stages):
-        blk: Dict = {"resnets": []}
-        for _ in range(cfg.num_res_blocks):
-            blk["resnets"].append(_res_p(src, f"encoder.down_blocks.{idx}"))
-            idx += 1
-        if i != n_stages - 1:
-            p = f"encoder.down_blocks.{idx}"
-            blk["downsample"] = _conv2d_p(src, f"{p}.resample.1")
-            if f"{p}.time_conv.weight" in src:  # downsample3d
-                blk["time_conv"] = _conv3d_p(src, f"{p}.time_conv")
-            idx += 1
-        enc["down"].append(blk)
+    if cfg.is_residual:
+        # ---- Wan2.2 residual layout: NESTED down_blocks.{i}.resnets.{j} /
+        # .downsampler / up_blocks.{i}.resnets.{j} / .upsampler modules
+        # (AvgDown3D/DupUp3D shortcuts are parameter-free)
+        enc: Dict = {"conv_in": _conv3d_p(src, "encoder.conv_in"), "down": []}
+        for i in range(n_stages):
+            b = f"encoder.down_blocks.{i}"
+            blk: Dict = {"resnets": [
+                _res_p(src, f"{b}.resnets.{j}")
+                for j in range(cfg.num_res_blocks)]}
+            if i != n_stages - 1:
+                blk["downsample"] = _conv2d_p(src, f"{b}.downsampler.resample.1")
+                if f"{b}.downsampler.time_conv.weight" in src:
+                    blk["time_conv"] = _conv3d_p(src, f"{b}.downsampler.time_conv")
+            enc["down"].append(blk)
+    else:
+        # ---- encoder: walk the flat index space the way the module was built
+        enc = {"conv_in": _conv3d_p(src, "encoder.conv_in"), "down": []}
+        idx = 0
+        for i in range(n_stages):
+            blk = {"resnets": []}
+            for _ in range(cfg.num_res_blocks):
+                blk["resnets"].append(_res_p(src, f"encoder.down_blocks.{idx}"))
+                idx += 1
+            if i != n_stages - 1:
+                p = f"encoder.down_blocks.{idx}"
+                blk["downsample"] = _conv2d_p(src, f"{p}.resample.1")
+                if f"{p}.time_conv.weight" in src:  # downsample3d
+                    blk["time_conv"] = _conv3d_p(src, f"{p}.time_conv")
+                idx += 1
+            enc["down"].append(blk)
     enc["mid"] = _mid_p(src, "encoder.mid_block")
     enc["norm_out"] = _norm_p(src, "encoder.norm_out")
     enc["conv_out"] = _conv3d_p(src, "encoder.conv_out")
@@ -490,19 +580,31 @@ def wan_vae_load(src: TensorSource, cfg: WanVAEConfig) -> Dict:
     # ---- decoder
     dec: Dict = {"conv_in": _conv3d_p(src, "decoder.conv_in"), "up": []}
     dec["mid"] = _mid_p(src, "decoder.mid_block")
-    idx = 0
-    for i in range(n_stages):
-        blk = {"resnets": []}
-        for _ in range(cfg.num_res_blocks + 1):
-            blk["resnets"].append(_res_p(src, f"decoder.up_blocks.{idx}"))
-            idx += 1
-        if i != n_stages - 1:
-            p = f"decoder.up_blocks.{idx}"
-            if f"{p}.time_conv.weight" in src:  # upsample3d
-                blk["time_conv"] = _conv3d_p(src, f"{p}.time_conv")
-            blk["upsample"] = _conv2d_p(src, f"{p}.resample.1")
-            idx += 1
-        dec["up"].append(blk)
+    if cfg.is_residual:
+        for i in range(n_stages):
+            b = f"decoder.up_blocks.{i}"
+            blk = {"resnets": [
+                _res_p(src, f"{b}.resnets.{j}")
+                for j in range(cfg.num_res_blocks + 1)]}
+            if i != n_stages - 1:
+                if f"{b}.upsampler.time_conv.weight" in src:
+                    blk["time_conv"] = _conv3d_p(src, f"{b}.upsampler.time_conv")
+                blk["upsample"] = _conv2d_p(src, f"{b}.upsampler.resample.1")
+            dec["up"].append(blk)
+    else:
+        idx = 0
+        for i in range(n_stages):
+            blk = {"resnets": []}
+            for _ in range(cfg.num_res_blocks + 1):
+                blk["resnets"].append(_res_p(src, f"decoder.up_blocks.{idx}"))
+                idx += 1
+            if i != n_stages - 1:
+                p = f"decoder.up_blocks.{idx}"
+                if f"{p}.time_conv.weight" in src:  # upsample3d
+                    blk["time_conv"] = _conv3d_p(src, f"{p}.time_conv")
+                blk["upsample"] = _conv2d_p(src, f"{p}.resample.1")
+                idx += 1
+            dec["up"].append(blk)
     dec["norm_out"] = _norm_p(src, "decoder.norm_out")
     dec["conv_out"] = _conv3d_p(src, "decoder.conv_out")
 
@@ -521,7 +623,7 @@ def wan_vae_load(src: TensorSource, cfg: WanVAEConfig) -> Dict:
 def _rand_conv3d(key, kt, kh, kw, cin, cout, std=0.05):
     kw_, kb = jax.random.split(key)
     return {
-        "w": jax.random.normal(kw_, (kt, kh, kw, cin, cout), jnp.bfloat16) * std,
+        "w": jax.random.normal(kw_, (kt, kh, kw, cin, cout), _DTYPE) * std,
         "b": jnp.zeros((cout,), jnp.float32),
     }
 
@@ -529,7 +631,7 @@ def _rand_conv3d(key, kt, kh, kw, cin, cout, std=0.05):
 def _rand_conv2d(key, kh, kw, cin, cout, std=0.05):
     kw_, kb = jax.random.split(key)
     return {
-        "w": jax.random.normal(kw_, (kh, kw, cin, cout), jnp.bfloat16) * std,
+        "w": jax.random.normal(kw_, (kh, kw, cin, cout), _DTYPE) * std,
         "b": jnp.zeros((cout,), jnp.float32),
     }
 
@@ -558,11 +660,11 @@ def wan_vae_random(key, cfg: WanVAEConfig) -> Dict:
         return {
             "norm": _rand_norm(c),
             "qkv": {
-                "w": jax.random.normal(ks.pop(), (c, 3 * c), jnp.bfloat16) * 0.02,
+                "w": jax.random.normal(ks.pop(), (c, 3 * c), _DTYPE) * 0.02,
                 "b": jnp.zeros((3 * c,), jnp.float32),
             },
             "proj": {
-                "w": jax.random.normal(ks.pop(), (c, c), jnp.bfloat16) * 0.02,
+                "w": jax.random.normal(ks.pop(), (c, c), _DTYPE) * 0.02,
                 "b": jnp.zeros((c,), jnp.float32),
             },
         }
@@ -602,7 +704,7 @@ def wan_vae_random(key, cfg: WanVAEConfig) -> Dict:
     }
     for i in range(n_stages):
         cin, cout = d_dims[i], d_dims[i + 1]
-        if i > 0:
+        if i > 0 and not cfg.is_residual:
             cin //= 2  # previous stage's upsample conv halved the channels
         blk = {"resnets": []}
         for r in range(cfg.num_res_blocks + 1):
@@ -610,7 +712,9 @@ def wan_vae_random(key, cfg: WanVAEConfig) -> Dict:
         if i != n_stages - 1:
             if t_up[i]:
                 blk["time_conv"] = _rand_conv3d(ks.pop(), 3, 1, 1, cout, 2 * cout)
-            blk["upsample"] = _rand_conv2d(ks.pop(), 3, 3, cout, cout // 2)
+            # residual (Wan2.2) upsample conv keeps channels; Wan2.1 halves
+            up_out = cout if cfg.is_residual else cout // 2
+            blk["upsample"] = _rand_conv2d(ks.pop(), 3, 3, cout, up_out)
         dec["up"].append(blk)
     dec["norm_out"] = _rand_norm(d_dims[-1])
     dec["conv_out"] = _rand_conv3d(ks.pop(), 3, 3, 3, d_dims[-1], pix_ch)

@@ -1506,3 +1506,64 @@ def test_qwen_engine_mesh_pp(tmp_path, monkeypatch):
                                   true_cfg_scale=3.0, seed=6)
     diff = np.abs(outs[None].astype(int) - outs[(1, 1, 1, 2)].astype(int))
     assert diff.mean() <= 1.0 and diff.max() <= 12, (diff.mean(), diff.max())
+
+
+def test_wan_ffn_chunk_auto_recomputed_per_shape(tmp_path, monkeypatch):
+    """Auto-derived ffn_chunk_tokens must be recomputed per generate shape:
+    a stale value from a previous shape that does not divide the new token
+    count silently disabled chunking (advisor r4). User-set values persist."""
+    import jax.numpy as jnp
+
+    from fastdm_tpu import engine as engine_mod
+    from fastdm_tpu.engine import FastDMEngine
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_golden_wan import TINY as WAN_TINY, _state_dict
+
+    rng = np.random.default_rng(3)
+    root = str(tmp_path / "wan-tiny")
+    _write_st(os.path.join(root, "transformer", "model.safetensors"),
+              _state_dict(rng))
+    cfg_json = dict(WAN_TINY)
+    cfg_json["patch_size"] = [1, 2, 2]
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+
+    class _FakeTE:
+        def encode(self, prompt):
+            r = np.random.default_rng(abs(hash(str(prompt))) % 2**31)
+            return jnp.asarray(
+                r.standard_normal((1, 8, WAN_TINY["text_dim"])), jnp.bfloat16)
+
+    # tiny threshold so the tiny latents trip the auto path
+    monkeypatch.setattr(engine_mod, "_FFN_CHUNK_MIN_TOKENS", 16)
+    eng = FastDMEngine(root, architecture="wan2.2-t2v", use_int8=True,
+                       verbose=False)
+    eng.text_encoder = _FakeTE()
+    eng.cfg = __import__("dataclasses").replace(eng.cfg, text_len=8)
+
+    # shape A: 2 frames x 2x4 patches -> 16 tokens -> auto chunk 16//8 = 2
+    eng.generate(prompt="a", height=64, width=32, num_frames=5,
+                 num_inference_steps=1, output_type="latent", seed=1)
+    assert eng.cfg.ffn_chunk_tokens == 2 and eng._ffn_chunk_auto
+
+    # shape B: 3 frames -> 24 tokens; stale 2 divides 24 but the correct
+    # auto value is 3 — must be RE-derived, not kept
+    eng.generate(prompt="a", height=64, width=32, num_frames=9,
+                 num_inference_steps=1, output_type="latent", seed=1)
+    assert eng.cfg.ffn_chunk_tokens == 3
+
+    # shape C: below threshold -> auto value cleared
+    monkeypatch.setattr(engine_mod, "_FFN_CHUNK_MIN_TOKENS", 10_000)
+    eng.generate(prompt="a", height=64, width=32, num_frames=5,
+                 num_inference_steps=1, output_type="latent", seed=1)
+    assert eng.cfg.ffn_chunk_tokens == 0
+
+    # user-set value is never touched by the auto logic
+    eng.cfg = __import__("dataclasses").replace(eng.cfg, ffn_chunk_tokens=16)
+    eng._ffn_chunk_auto = False
+    eng.generate(prompt="a", height=64, width=32, num_frames=5,
+                 num_inference_steps=1, output_type="latent", seed=1)
+    assert eng.cfg.ffn_chunk_tokens == 16

@@ -224,3 +224,26 @@ def test_registry_auto_routes_gather_ops_to_pallas():
         assert op in kernel_registry._AUTO_PALLAS_OPS
         assert "pallas" in kernel_registry._ops.get(op, {})
         assert "jnp" in kernel_registry._ops.get(op, {})
+
+
+@pytest.mark.parametrize("sq", [480, 300])
+def test_gather_super_partial_tail_q_block(sq):
+    """sq % block_q != 0: the kernel relies on Mosaic OOB load/store masking
+    for the partial tail q-block (no zero-padded q copy since r4) — assert
+    oracle parity including the tail rows (advisor r4 low)."""
+    rng = np.random.default_rng(21)
+    b, h, d, fine, bq, group, sb = 1, 2, 64, 64, 256, 2, 4
+    skv = 1024
+    q, k, v = _qkv(rng, b, sq, skv, h, d)
+    nq, nfine = -(-sq // bq), -(-skv // fine)
+    m = rng.random((nq, nfine)) < 0.5
+    m[:, 0] = True
+    idx, val, rows = _super_tables_from_mask(m, group, sb)
+    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows))
+    out_p = sdpa_gather_super_pallas(q, k, v, *args, h, h, d, block_q=bq,
+                                     group=group, fine=fine, superblock=sb)
+    out_j = sdpa_gather_super_jnp(q, k, v, *args, h, h, d, block_q=bq,
+                                  group=group, fine=fine, superblock=sb)
+    assert out_p.shape == (b, sq, h * d)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_j, np.float32), atol=2e-2)

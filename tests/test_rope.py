@@ -107,3 +107,40 @@ def test_rope_flux_cache_semantics():
     np.testing.assert_allclose(
         np.asarray(cos[:, :8]), np.ones((100, 8)), atol=1e-6
     )  # axis 0 ids are all zero -> angle 0
+
+
+@pytest.mark.parametrize("affine", [True, False])
+def test_qk_norm_rope2_split_matches_fused(affine):
+    """Two-operand form (split-QKV projection path) == the fused [q|k]
+    form on the same data, jnp oracle and pallas kernel both."""
+    from fastdm_tpu.kernels.jnp_backend.impl import (
+        qk_norm_rope2_jnp, qk_norm_rope_jnp,
+    )
+    from fastdm_tpu.kernels.pallas.elementwise import qk_norm_rope2_pallas
+
+    b, s, h, d = 1, 300, 8, 128
+    rng = np.random.default_rng(13)
+    qk = jnp.asarray(rng.standard_normal((b, s, 2 * h * d)), jnp.bfloat16)
+    q_in, k_in = qk[..., : h * d], qk[..., h * d :]
+    gq = gk = None
+    if affine:
+        gq = jnp.asarray(rng.standard_normal(h * d), jnp.float32)
+        gk = jnp.asarray(rng.standard_normal(h * d), jnp.float32)
+    freqs = np.outer(np.arange(s), 1.0 / 10000 ** (np.arange(0, d, 2) / d))
+    cos = jnp.asarray(np.cos(freqs), jnp.float32)
+    sin = jnp.asarray(np.sin(freqs), jnp.float32)
+
+    q_f, k_f = qk_norm_rope_jnp(qk, gq, gk, d, cos, sin, eps=1e-6)
+    q_o, k_o = qk_norm_rope2_jnp(q_in, k_in, gq, gk, d, cos, sin, eps=1e-6)
+    np.testing.assert_array_equal(np.asarray(q_o, np.float32),
+                                  np.asarray(q_f, np.float32))
+    np.testing.assert_array_equal(np.asarray(k_o, np.float32),
+                                  np.asarray(k_f, np.float32))
+    q_p, k_p = qk_norm_rope2_pallas(q_in, k_in, gq, gk, d, cos, sin,
+                                    eps=1e-6)
+    np.testing.assert_allclose(np.asarray(q_p, np.float32),
+                               np.asarray(q_o, np.float32), rtol=0.02,
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(k_p, np.float32),
+                               np.asarray(k_o, np.float32), rtol=0.02,
+                               atol=0.02)

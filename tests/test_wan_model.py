@@ -119,3 +119,46 @@ def test_wan_gather_sparse_form():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(out_dense, np.float32), atol=5e-2
     )
+
+
+@pytest.mark.parametrize("quant", ["int8", "int4p", None])
+def test_wan_split_qkv_matches_fused(quant):
+    """split_qkv_proj (+ chunked projections) == the fused-QKV forward for
+    every quant mode — the A14B HBM-capacity path computes the same
+    function."""
+    import dataclasses as dc
+
+    cfg = dc.replace(TINY, quant=quant)
+    params = wan_init_random(jax.random.key(3), cfg)
+    video = _video(f=2, h=8, w=8, seed=5)
+    rng = np.random.default_rng(6)
+    text = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                       jnp.bfloat16)
+    t = jnp.full((1,), 500.0, jnp.float32)
+    fwd = jax.jit(wan_forward, static_argnames="cfg")
+    ref = fwd(params, cfg, video, t, text)
+    # 2*4*4 = 32 patch tokens; chunk of 16 divides it
+    cfg_split = dc.replace(cfg, split_qkv_proj=True, ffn_chunk_tokens=16)
+    out = fwd(params, cfg_split, video, t, text)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_qlinear_slice_out_equivalence():
+    """qlinear_slice_out(params, a, b)(x) == qlinear_apply(params)(x)[..., a:b]
+    for all quant modes (column independence of per-token quantization)."""
+    from fastdm_tpu.layers.qlinear import (
+        qlinear_apply, qlinear_random, qlinear_slice_out,
+    )
+
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((2, 24, 32)),
+                    jnp.bfloat16)
+    for quant in [None, "int8", "fp8", "int4", "int4p"]:
+        p = qlinear_random(jax.random.key(11), 32, 48, quant=quant)
+        full = np.asarray(qlinear_apply(p, x), np.float32)
+        for a, b in [(0, 16), (16, 32), (32, 48)]:
+            part = np.asarray(
+                qlinear_apply(qlinear_slice_out(p, a, b), x), np.float32)
+            np.testing.assert_allclose(part, full[..., a:b], rtol=2e-2,
+                                       atol=2e-2, err_msg=str(quant))

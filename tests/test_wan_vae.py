@@ -296,3 +296,168 @@ def test_patched_chunked_decode_matches_full():
     assert chunked.shape == full.shape
     d = np.abs(chunked - full)
     assert d.max() < 0.12 and d.mean() < 0.01
+
+
+def _oracle_compare(cfg, lat_shape, seed, monkeypatch, atol):
+    """Run the JAX decode in f32 and compare against the independent numpy
+    frame-cache oracle (torch NCDHW chunk-walk semantics)."""
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    import fastdm_tpu.pipeline.wan_vae as wv
+    from wan_vae_oracle import decode_oracle
+
+    monkeypatch.setattr(wv, "_DTYPE", jnp.float32)
+    params = wv.wan_vae_random(jax.random.key(17), cfg)
+    z = np.random.default_rng(seed).standard_normal(lat_shape).astype(np.float32)
+    got_full = np.asarray(wv.wan_vae_decode(params, cfg, jnp.asarray(z)))
+    got_chunk = np.asarray(wv.wan_vae_decode_chunked(params, cfg, jnp.asarray(z)))
+    ref = decode_oracle(jax.tree.map(np.asarray, params), cfg, z)
+    ref = ref.transpose(0, 2, 3, 4, 1)  # NCDHW -> (B, F, H, W, C)
+    assert got_full.shape == ref.shape
+    np.testing.assert_allclose(got_full, ref, atol=atol, rtol=1e-3)
+    np.testing.assert_allclose(got_chunk, ref, atol=atol, rtol=1e-3)
+
+
+def test_decode_matches_numpy_frame_cache_oracle_tiny(monkeypatch):
+    """Vectorized + streaming decode == the literal torch chunk-walk
+    (independent numpy port, tests/wan_vae_oracle.py), f32 vs f32."""
+    _oracle_compare(TINY, (1, TINY.z_dim, 4, 4, 4), 23, monkeypatch, 2e-3)
+
+
+def test_decode_matches_oracle_real_channel_structure(monkeypatch):
+    """Same oracle at the REAL Wan2.1 channel law (base 96, z 16, mult
+    (1,2,4,4), 2 res blocks) — the config real checkpoints ship; spatial
+    dims kept tiny for the 1-core CPU oracle."""
+    cfg = WanVAEConfig(base_dim=96, z_dim=16, dim_mult=(1, 2, 4, 4),
+                       num_res_blocks=2,
+                       temporal_downsample=(False, True, True))
+    _oracle_compare(cfg, (1, 16, 3, 2, 2), 29, monkeypatch, 5e-3)
+
+
+# ---------------------------------------------------- Wan2.2 residual variant
+
+RES_TINY = WanVAEConfig(
+    base_dim=8, z_dim=4, dim_mult=(1, 2, 4, 4), num_res_blocks=1,
+    temporal_downsample=(False, True, True), is_residual=True)
+
+
+def _mk_residual_state_dict(cfg: WanVAEConfig):
+    """Synthetic Wan2.2 (is_residual) state dict: NESTED
+    down_blocks.{i}.resnets/.downsampler and up_blocks.{i}.resnets/.upsampler
+    module layout; upsample convs keep channels; shortcuts parameter-free."""
+    rng = np.random.default_rng(7)
+    sd = {}
+
+    def conv3d(name, cin, cout, kt=3, kh=3, kw=3):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (cout, cin, kt, kh, kw)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros((cout,), np.float32)
+
+    def conv2d(name, cin, cout, k=3):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (cout, cin, k, k)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros((cout,), np.float32)
+
+    def norm(name, c):
+        sd[f"{name}.gamma"] = np.ones((c, 1, 1, 1), np.float32)
+
+    def res(name, cin, cout):
+        norm(f"{name}.norm1", cin)
+        conv3d(f"{name}.conv1", cin, cout)
+        norm(f"{name}.norm2", cout)
+        conv3d(f"{name}.conv2", cout, cout)
+        if cin != cout:
+            conv3d(f"{name}.conv_shortcut", cin, cout, 1, 1, 1)
+
+    def attn(name, c):
+        norm(f"{name}.norm", c)
+        for nm, co in (("to_qkv", 3 * c), ("proj", c)):
+            sd[f"{name}.{nm}.weight"] = rng.standard_normal(
+                (co, c, 1, 1)).astype(np.float32) * 0.02
+            sd[f"{name}.{nm}.bias"] = np.zeros((co,), np.float32)
+
+    def mid(name, c):
+        res(f"{name}.resnets.0", c, c)
+        attn(f"{name}.attentions.0", c)
+        res(f"{name}.resnets.1", c, c)
+
+    n = len(cfg.dim_mult)
+    e = cfg.encoder_dims
+    pix = 3 * cfg.patch_size**2
+    conv3d("encoder.conv_in", pix, e[0])
+    for i in range(n):
+        cin, cout = e[i], e[i + 1]
+        b = f"encoder.down_blocks.{i}"
+        for j in range(cfg.num_res_blocks):
+            res(f"{b}.resnets.{j}", cin if j == 0 else cout, cout)
+        if i != n - 1:
+            conv2d(f"{b}.downsampler.resample.1", cout, cout)
+            if cfg.temporal_downsample[i]:
+                conv3d(f"{b}.downsampler.time_conv", cout, cout, 3, 1, 1)
+    mid("encoder.mid_block", e[-1])
+    norm("encoder.norm_out", e[-1])
+    conv3d("encoder.conv_out", e[-1], 2 * cfg.z_dim)
+    conv3d("quant_conv", 2 * cfg.z_dim, 2 * cfg.z_dim, 1, 1, 1)
+
+    d = cfg.decoder_dims
+    t_up = tuple(reversed(cfg.temporal_downsample))
+    conv3d("decoder.conv_in", cfg.z_dim, d[0])
+    mid("decoder.mid_block", d[0])
+    for i in range(n):
+        cin, cout = d[i], d[i + 1]
+        b = f"decoder.up_blocks.{i}"
+        for j in range(cfg.num_res_blocks + 1):
+            res(f"{b}.resnets.{j}", cin if j == 0 else cout, cout)
+        if i != n - 1:
+            if t_up[i]:
+                conv3d(f"{b}.upsampler.time_conv", cout, 2 * cout, 3, 1, 1)
+            conv2d(f"{b}.upsampler.resample.1", cout, cout)
+    norm("decoder.norm_out", d[-1])
+    conv3d("decoder.conv_out", d[-1], pix)
+    conv3d("post_quant_conv", cfg.z_dim, cfg.z_dim, 1, 1, 1)
+    return sd
+
+
+def test_residual_loader_consumes_nested_layout():
+    params = wan_vae_load(TensorSource(_mk_residual_state_dict(RES_TINY)),
+                          RES_TINY)
+    # upsample convs keep channels in the residual layout
+    up0 = params["decoder"]["up"][0]["upsample"]["w"]
+    assert up0.shape[-2] == up0.shape[-1]
+
+
+def test_residual_decode_frame_law_and_roundtrip():
+    params = wan_vae_load(TensorSource(_mk_residual_state_dict(RES_TINY)),
+                          RES_TINY)
+    z = jnp.asarray(np.random.default_rng(11).standard_normal(
+        (1, RES_TINY.z_dim, 3, 4, 4)), jnp.float32)
+    out = np.asarray(wan_vae_decode(params, RES_TINY, z))
+    assert out.shape == (1, 9, 32, 32, 3)  # 1 + 4(F-1), 8x spatial
+    assert np.isfinite(out).all()
+    vid = jnp.asarray(np.random.default_rng(12).standard_normal(
+        (1, 9, 32, 32, 3)), jnp.float32)
+    lat = np.asarray(wan_vae_encode(params, RES_TINY, vid))
+    assert lat.shape == (1, RES_TINY.z_dim, 3, 4, 4)
+    assert np.isfinite(lat).all()
+
+
+def test_residual_chunked_decode_matches_full():
+    from fastdm_tpu.pipeline.wan_vae import wan_vae_decode_chunked
+
+    params = wan_vae_load(TensorSource(_mk_residual_state_dict(RES_TINY)),
+                          RES_TINY)
+    z = jnp.asarray(np.random.default_rng(13).standard_normal(
+        (1, RES_TINY.z_dim, 4, 4, 4)), jnp.float32)
+    full = np.asarray(wan_vae_decode(params, RES_TINY, z))
+    chunked = np.asarray(wan_vae_decode_chunked(params, RES_TINY, z))
+    assert chunked.shape == full.shape
+    d = np.abs(chunked - full)
+    assert d.max() < 0.12 and d.mean() < 0.01
+
+
+def test_residual_decode_matches_oracle(monkeypatch):
+    """Residual decode (DupUp3D shortcuts, channel-keeping upsample convs)
+    == the independent numpy chunk-walk oracle, f32 vs f32."""
+    _oracle_compare(RES_TINY, (1, RES_TINY.z_dim, 4, 4, 4), 31, monkeypatch,
+                    2e-3)
