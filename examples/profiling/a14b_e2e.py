@@ -60,13 +60,20 @@ def build_sparse(cfg, decay, tokens, lf):
     from fastdm_tpu.sparse.config import RadialAttnConfig
     from fastdm_tpu.sparse.xsparse import RadialAttn
 
-    sp = RadialAttn(RadialAttnConfig(block_size=64, decay_factor=decay,
-                                     model_type="wan"))
-    sp.post_init(video_token_num=tokens, num_frame=lf)
     bq, grp, sb = 256, 32, 4
     cfg = _dc.replace(cfg, sparse_gather_fine_blocks=(bq, grp, 64),
                       sparse_gather_superblock=sb)
-    idx, val, rows = sp.block_lists_super(bq, grp // sb, sb)
+    cache = f"/tmp/a14b_tables/d{decay}_t{tokens}_f{lf}_{bq}_{grp}_{sb}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        idx, val, rows = z["idx"], z["val"], z["rows"]
+    else:
+        sp = RadialAttn(RadialAttnConfig(block_size=64, decay_factor=decay,
+                                         model_type="wan"))
+        sp.post_init(video_token_num=tokens, num_frame=lf)
+        idx, val, rows = sp.block_lists_super(bq, grp // sb, sb)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, idx=idx, val=val, rows=rows)
     contracts.check_gather_super(
         "a14b_e2e super tables", jnp.asarray(idx), jnp.asarray(val),
         jnp.asarray(rows), tokens, tokens, bq, grp // sb, 64, sb)
@@ -158,7 +165,8 @@ def main():
         cfg, mask = build_sparse(cfg, m["decay"], tokens, lf // pt)
         run = make_wan_dual_host_denoiser(
             cfg, sched, steps, cache_cfg, 5.0, None, 0.875,
-            dense_warmup_steps=m["dense_steps"], place_params=jax.device_put)
+            dense_warmup_steps=m["dense_steps"],
+            place_params=lambda p: jax.device_put(p, jax.devices()[0]))
 
         for rep, tag in ((0, "cold (compile+transfers+exec)"),
                          (1, "warm (steady-state)")):

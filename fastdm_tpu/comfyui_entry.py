@@ -252,7 +252,15 @@ class ComfyUIFluxForwardWrapper:
 
 
 class ComfyUISDXLForwardWrapper:
-    """Callable matching ComfyUI's SDXL UNet signature."""
+    """Callable matching ComfyUI's SDXL UNet signature.
+
+    IP-Adapter: when the loaded checkpoint carries fused ipadp_kv weights
+    and ComfyUI's IPAdapter extension registered an attn2 patch
+    (transformer_options["patches_replace"]["attn2"]), the patch's image
+    embeds are routed per cond_or_uncond and gated on the step sigma
+    ([sigma_end, sigma_start]) exactly like the reference's sigma-gated
+    branch (ref: fastdm/comfyui_entry.py:47-101 transformer_options
+    threading + fastdm/layer/unetblock.py:70-127 update_scale_and_conuncon)."""
 
     def __init__(self, params, cfg):
         import jax
@@ -263,6 +271,50 @@ class ComfyUISDXLForwardWrapper:
             __import__("fastdm_tpu.models.sdxl", fromlist=["sdxl_forward"]).sdxl_forward,
             static_argnames="cfg",
         )
+
+    def _ip_from_options(self, transformer_options, batch):
+        """-> (ip_embeds (B, L, D) | None, ip_scale | None) from the ComfyUI
+        IPAdapter attn2 patch, sigma-gated and cond/uncond-routed."""
+        opts = transformer_options or {}
+        patches = opts.get("patches_replace", {}).get("attn2") or {}
+        if not patches or not self.cfg.ip_adapter:
+            return None, None
+        patch = next(iter(patches.values()))
+        kws = getattr(patch, "kwargs", None)
+        if kws is None and isinstance(patch, dict):
+            kws = patch.get("kwargs")
+        if not kws:
+            return None, None
+        kw = kws[0] if isinstance(kws, (list, tuple)) else kws
+        sig = opts.get("sigmas")
+        sigma = float(np.asarray(sig.detach().cpu())[0]) if sig is not None \
+            else 999999999.9
+        s_start = float(kw.get("sigma_start", 999999999.9))
+        s_end = float(kw.get("sigma_end", 0.0))
+        if not (s_end <= sigma <= s_start):
+            return None, None
+        cond = kw.get("cond")
+        uncond = kw.get("uncond")
+        if cond is None:
+            return None, None
+        cond_j = _to_jax(cond)
+        uncond_j = _to_jax(uncond) if uncond is not None else \
+            jnp.zeros_like(cond_j)
+        cou = opts.get("cond_or_uncond") or [0]
+        per = max(1, batch // len(cou))
+        segs = []
+        for marker in cou:
+            e = uncond_j if int(marker) == 1 else cond_j
+            if e.shape[0] == 1 and per > 1:
+                e = jnp.broadcast_to(e, (per, *e.shape[1:]))
+            segs.append(e[:per])
+        embeds = jnp.concatenate(segs, axis=0)
+        weight = kw.get("weight", self.cfg.ip_adapter_scale)
+        try:
+            weight = float(weight)
+        except (TypeError, ValueError):
+            weight = self.cfg.ip_adapter_scale
+        return embeds, jnp.float32(weight)
 
     def __call__(self, x, timesteps=None, context=None, y=None, control=None,
                  transformer_options={}, **kwargs):
@@ -277,7 +329,10 @@ class ComfyUISDXLForwardWrapper:
         pooled_dim = self.cfg.add_embedding_in_dim - 6 * self.cfg.addition_time_embed_dim
         pooled = jnp.asarray(y_np[:, :pooled_dim], jnp.bfloat16)
         time_ids = jnp.zeros((y_np.shape[0], 6), jnp.float32)
-        out = self._fwd(self.params, self.cfg, sample, t, ctx, pooled, time_ids)
+        ip_embeds, ip_scale = self._ip_from_options(
+            transformer_options, sample.shape[0])
+        out = self._fwd(self.params, self.cfg, sample, t, ctx, pooled, time_ids,
+                        ip_embeds=ip_embeds, ip_scale=ip_scale)
         return _to_torch(out, x)
 
 

@@ -661,7 +661,14 @@ class FastDMEngine:
             # ACTIVE expert and barriers at the phase boundary so device
             # peak stays one expert (mesh ctor upgrades this to a tp-shard
             # placer — offload composes with TP)
-            self._place_params = jax.device_put
+            # EXPLICIT target device: bare jax.device_put(x) keeps a
+            # cpu-committed array on the CPU, so every branch call would
+            # silently re-transfer the 7.25 GiB expert host->device (the
+            # axon client leaks host staging per transfer AND the device
+            # accumulates param copies until RESOURCE_EXHAUSTED — the r4/r5
+            # A14B OOMs, doc/A14B_E2E_r4.log + /tmp probes 2026-08-21)
+            self._place_params = lambda p: jax.device_put(
+                p, jax.devices()[0])
             # EP residency (TPU answer to the reference's both-resident H20
             # load, ref: model_entry.py:673-690): both 14B experts stay in
             # HOST RAM; each phase jit of the phase-split denoiser
@@ -762,13 +769,6 @@ class FastDMEngine:
         # the reference engages i2i/i2v from src_image presence; mirror that
         if kw.get("image") is not None and task == "t2i":
             task = "i2v" if self.architecture == "wan" else "i2i"
-        if task == "i2i" and self.architecture in ("sd35", "sdxl"):
-            # fail loudly — those generators would otherwise silently run
-            # plain t2i and discard the image
-            raise NotImplementedError(
-                f"img2img is not implemented for {self.architecture}; "
-                "supported: flux (SDEdit/Kontext), qwen-image-edit"
-            )
         fn = getattr(self, f"_generate_{self.architecture}")
         # sequence-parallel attention routing and pipeline-parallel block
         # routing are active only while THIS engine generates (process-global
@@ -997,7 +997,8 @@ class FastDMEngine:
     def _generate_sd35(
         self, prompt, negative_prompt=None, height=1024, width=1024,
         num_inference_steps=25, guidance_scale=7.0, seed=42,
-        num_images_per_prompt=1, output_type="np", task="t2i", **_,
+        num_images_per_prompt=1, output_type="np", task="t2i",
+        image=None, strength=0.7, **_,
     ):
         from fastdm_tpu.models.sd35 import sd3_cropped_pos_embed
         from fastdm_tpu.pipeline.denoise_more import make_sd3_denoiser
@@ -1016,14 +1017,31 @@ class FastDMEngine:
         pos_embed = sd3_cropped_pos_embed(
             self.cfg, self.params.get("pos_embed_table"), lh, lw
         )
-        key = ("sd35", lh, lw, num_inference_steps, guidance_scale)
+        start_step = 0
+        if task == "i2i" and image is not None:
+            start_step = min(
+                int(num_inference_steps * (1 - strength)),
+                num_inference_steps - 1)
+        key = ("sd35", lh, lw, num_inference_steps, guidance_scale, start_step)
         if key not in self._denoisers:
             sched = FlowMatchEulerScheduler.create(num_inference_steps, shift=3.0)
             cache_cfg = self.cache.config if self.cache is not None else None
             self._denoisers[key] = make_sd3_denoiser(
-                self.cfg, sched, num_inference_steps, guidance_scale, cache_cfg
+                self.cfg, sched, num_inference_steps, guidance_scale, cache_cfg,
+                start_step,
             )
-        latents = self._latents((b, self.cfg.in_channels, lh, lw), seed)
+            self._denoiser_sigmas_by_key[key] = sched.sigmas
+        if task == "i2i" and image is not None:
+            # SDEdit img2img (flow-match): z_image blended with noise at
+            # sigmas[start_step] (ref task matrix: fastdm/model_entry.py:764)
+            img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
+            z = self._encode(self.vae_params, img[None]).astype(jnp.float32)
+            z = jnp.broadcast_to(z, (b, *z.shape[1:]))
+            noise = self._latents(z.shape, seed)
+            sig = float(self._denoiser_sigmas_by_key[key][start_step])
+            latents = (1.0 - sig) * z + sig * noise
+        else:
+            latents = self._latents((b, self.cfg.in_channels, lh, lw), seed)
         latents, skips = self._denoisers[key](self.params, latents, embeds, pooled_all, pos_embed)
         self._note_skips(skips)
         if output_type == "latent":
@@ -1035,7 +1053,7 @@ class FastDMEngine:
         num_inference_steps=25, guidance_scale=5.0, seed=42,
         num_images_per_prompt=1, output_type="np", task="t2i",
         control_image=None, controlnet_conditioning_scale=1.0, guess_mode=False,
-        ip_adapter_image=None,
+        ip_adapter_image=None, image=None, strength=0.7,
         **_,
     ):
         from fastdm_tpu.pipeline.denoise_more import make_sdxl_denoiser
@@ -1056,8 +1074,14 @@ class FastDMEngine:
         )
         lh, lw = height // 8, width // 8
         use_cn = control_image is not None and self.cn_params is not None
+        start_step = 0
+        if task == "i2i" and image is not None and not use_cn:
+            start_step = min(
+                int(num_inference_steps * (1 - strength)),
+                num_inference_steps - 1)
         key = ("sdxl", lh, lw, num_inference_steps, guidance_scale,
-               use_cn and (controlnet_conditioning_scale, guess_mode))
+               use_cn and (controlnet_conditioning_scale, guess_mode),
+               start_step)
         if key not in self._denoisers:
             sched = EulerDiscreteScheduler.create(num_inference_steps)
             if use_cn:
@@ -1069,11 +1093,22 @@ class FastDMEngine:
                 )
             else:
                 self._denoisers[key] = make_sdxl_denoiser(
-                    self.cfg, sched, num_inference_steps, guidance_scale
+                    self.cfg, sched, num_inference_steps, guidance_scale,
+                    start_step,
                 )
-            self._denoiser_sigmas_by_key[key] = sched.init_noise_sigma
-        latents = (self._latents((b, 4, lh, lw), seed)
-                   * self._denoiser_sigmas_by_key[key])
+            self._denoiser_sigmas_by_key[key] = (sched.init_noise_sigma,
+                                                 sched.sigmas)
+        init_noise_sigma, sdxl_sigmas = self._denoiser_sigmas_by_key[key]
+        if start_step:
+            # SDEdit img2img (epsilon Euler): z_image + noise*sigmas[start]
+            # (diffusers SDXL img2img add_noise at the strength timestep)
+            img = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
+            z = self._encode(self.vae_params, img[None]).astype(jnp.float32)
+            z = jnp.broadcast_to(z, (b, *z.shape[1:]))
+            noise = self._latents(z.shape, seed)
+            latents = z + noise * float(sdxl_sigmas[start_step])
+        else:
+            latents = self._latents((b, 4, lh, lw), seed) * init_noise_sigma
         if use_cn:
             # hint image stays in [0, 1] pixel space, NHWC (diffusers convention)
             cn_cond = jnp.asarray(control_image, jnp.float32)[None] / 255.0

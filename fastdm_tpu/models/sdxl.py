@@ -80,13 +80,15 @@ def _attention(params, x: Array, ctx: Optional[Array], head_dim: int,
 
 
 def _basic_block(params, x: Array, ctx: Array, cfg: SDXLConfig,
-                 ip_embeds: Optional[Array]) -> Array:
+                 ip_embeds: Optional[Array],
+                 ip_scale: Optional[Array] = None) -> Array:
     """LN+self-attn, LN+cross-attn, LN+GEGLU-FF, all residual
     (ref: BasicTransformerBlock.forward, unetblock.py:276-303)."""
     h = layer_norm(x, params["norm1"]["gamma"], params["norm1"]["beta"], _LN_EPS)
     x = x + _attention(params["attn1"], h, None, cfg.head_dim)
     h = layer_norm(x, params["norm2"]["gamma"], params["norm2"]["beta"], _LN_EPS)
-    x = x + _attention(params["attn2"], h, ctx, cfg.head_dim, ip_embeds, cfg.ip_adapter_scale)
+    scale = cfg.ip_adapter_scale if ip_scale is None else ip_scale
+    x = x + _attention(params["attn2"], h, ctx, cfg.head_dim, ip_embeds, scale)
     h = layer_norm(x, params["norm3"]["gamma"], params["norm3"]["beta"], _LN_EPS)
     h = qlinear_apply(params["ff"]["proj"], h)
     h = gelu_and_mul(h)
@@ -95,7 +97,8 @@ def _basic_block(params, x: Array, ctx: Array, cfg: SDXLConfig,
 
 
 def _transformer2d(params, x: Array, ctx: Array, cfg: SDXLConfig,
-                   ip_embeds: Optional[Array]) -> Array:
+                   ip_embeds: Optional[Array],
+                   ip_scale: Optional[Array] = None) -> Array:
     """GroupNorm -> tokens -> proj_in -> scanned blocks -> proj_out + residual
     (ref: Transformer2DModel.forward, unetblock.py:333-369)."""
     b, hh, ww, c = x.shape
@@ -105,7 +108,7 @@ def _transformer2d(params, x: Array, ctx: Array, cfg: SDXLConfig,
     h = qlinear_apply(params["proj_in"], h)
 
     def body(carry, block):
-        return _basic_block(block, carry, ctx, cfg, ip_embeds), None
+        return _basic_block(block, carry, ctx, cfg, ip_embeds, ip_scale), None
 
     h, _ = jax.lax.scan(body, h, params["blocks"])
     h = qlinear_apply(params["proj_out"], h)
@@ -139,6 +142,7 @@ def sdxl_forward(
     ip_embeds: Optional[Array] = None,
     down_block_additional_residuals: Optional[List[Array]] = None,
     mid_block_additional_residual: Optional[Array] = None,
+    ip_scale: Optional[Array] = None,  # runtime override of cfg.ip_adapter_scale
 ) -> Array:
     """(ref: SDXLUNetModelCore.forward, sdxl.py:379-470)"""
     b = sample.shape[0]
@@ -171,7 +175,7 @@ def sdxl_forward(
         blk = params[name]
         for r, a in zip(blk["resnets"], blk["attns"]):
             x = _resnet(r, x, emb, cfg.norm_groups)
-            x = _transformer2d(a, x, ctx, cfg, ip_embeds)
+            x = _transformer2d(a, x, ctx, cfg, ip_embeds, ip_scale)
             skips.append(x)
         if has_down:
             x = conv2d(blk["downsample"], x, stride=2)
@@ -182,7 +186,7 @@ def sdxl_forward(
 
     # mid
     x = _resnet(params["mid"]["resnets"][0], x, emb, cfg.norm_groups)
-    x = _transformer2d(params["mid"]["attn"], x, ctx, cfg, ip_embeds)
+    x = _transformer2d(params["mid"]["attn"], x, ctx, cfg, ip_embeds, ip_scale)
     x = _resnet(params["mid"]["resnets"][1], x, emb, cfg.norm_groups)
     if mid_block_additional_residual is not None:
         x = x + mid_block_additional_residual.astype(x.dtype)
@@ -195,7 +199,7 @@ def sdxl_forward(
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = _resnet(r, x, emb, cfg.norm_groups)
             if attns is not None:
-                x = _transformer2d(attns[i], x, ctx, cfg, ip_embeds)
+                x = _transformer2d(attns[i], x, ctx, cfg, ip_embeds, ip_scale)
         if "upsample" in blk:
             x = conv2d(blk["upsample"], upsample_nearest2x(x))
 

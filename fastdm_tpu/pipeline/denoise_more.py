@@ -47,11 +47,14 @@ def make_sd3_denoiser(
     num_steps: int,
     guidance_scale: float = 7.0,
     cache_cfg=None,
+    start_step: int = 0,
 ):
     """run(params, latents (B,C,H,W), embeds (2B,S,D) [neg;pos], pooled (2B,P),
     pos_embed) -> latents. Timestep units: sigma * 1000 (SD3 convention).
     Batched CFG shares ONE cache state (the reference's sd35 configs set
-    negtive_cache=false — the doubled batch goes through one forward)."""
+    negtive_cache=false — the doubled batch goes through one forward).
+    start_step > 0: SDEdit img2img — the caller seeds latents at
+    sigmas[start_step] and the loop runs the remaining steps."""
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
     do_cfg = guidance_scale > 1.0
     use_cache = cache_cfg is not None and cache_cfg.enable_caching
@@ -86,7 +89,7 @@ def make_sd3_denoiser(
                 return (lat, st), None
 
             (latents_out, st_f), _ = jax.lax.scan(
-                body, (latents, state0), jnp.arange(num_steps)
+                body, (latents, state0), jnp.arange(start_step, num_steps)
             )
             return latents_out, st_f["skips"]
 
@@ -102,7 +105,8 @@ def make_sd3_denoiser(
             lat = scheduler.step(out, step, lat, sigmas)
             return lat, None
 
-        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        latents, _ = jax.lax.scan(
+            body, latents, jnp.arange(start_step, num_steps))
         return latents, jnp.zeros((), jnp.int32)
 
     return run
@@ -113,9 +117,11 @@ def make_sdxl_denoiser(
     scheduler: EulerDiscreteScheduler,
     num_steps: int,
     guidance_scale: float = 5.0,
+    start_step: int = 0,
 ):
     """run(params, latents (B,4,H,W), embeds (2B,77,2048), pooled (2B,1280),
-    time_ids (2B,6)) -> latents. Epsilon-prediction Euler."""
+    time_ids (2B,6)) -> latents. Epsilon-prediction Euler. start_step > 0:
+    SDEdit img2img — caller seeds latents as z_image + noise*sigmas[start]."""
     sigmas = jnp.asarray(scheduler.sigmas, jnp.float32)
     timesteps = jnp.asarray(scheduler.timesteps, jnp.float32)
     do_cfg = guidance_scale > 1.0
@@ -138,7 +144,8 @@ def make_sdxl_denoiser(
             lat = scheduler.step(out, step, lat, sigmas)
             return lat, None
 
-        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+        latents, _ = jax.lax.scan(
+            body, latents, jnp.arange(start_step, num_steps))
         return latents, jnp.zeros((), jnp.int32)
 
     return run

@@ -362,3 +362,48 @@ def test_host_step_cache_cond_or_uncond_marker():
     c.states[0] = {"skips": jnp.int32(1)}
     assert c.begin(0, 10, marker=1) == 1
     assert c.states[0] is None
+
+
+def test_sdxl_wrapper_ip_adapter_sigma_gated():
+    """ComfyUI IPAdapter attn2 patch: embeds routed by cond_or_uncond and
+    gated on sigma in [sigma_end, sigma_start]; outside the window the
+    forward must equal the no-patch forward (ref: fastdm/comfyui_entry.py
+    47-101 + fastdm/layer/unetblock.py:70-127)."""
+    from fastdm_tpu.comfyui_entry import ComfyUISDXLForwardWrapper
+    from fastdm_tpu.models.sdxl import SDXLConfig, sdxl_init_random
+
+    cfg = SDXLConfig(block_channels=(8, 16, 32), cross_attention_dim=16,
+                     attn_layers=(0, 1, 2), head_dim=8,
+                     addition_time_embed_dim=4, time_embed_dim=16,
+                     add_embedding_in_dim=8 + 6 * 4, norm_groups=4, quant=None,
+                     ip_adapter=True)
+    params = sdxl_init_random(jax.random.key(1), cfg)
+    w = ComfyUISDXLForwardWrapper(params, cfg)
+    x = _t((2, 4, 16, 16), 1)
+    y = _t((2, 8 + 24), 4)
+    ctx = _t((2, 6, 16), 3)
+    t = torch.tensor([500.0, 500.0])
+
+    class _Patch:
+        kwargs = [{
+            "cond": _t((1, 4, 16), 5),
+            "uncond": _t((1, 4, 16), 6),
+            "weight": 0.8, "sigma_start": 999.0, "sigma_end": 1.0,
+        }]
+
+    base = {"patches_replace": {"attn2": {("input", 4, 0): _Patch()}},
+            "cond_or_uncond": [0, 1]}
+    opts_in = dict(base, sigmas=torch.tensor([10.0]))     # inside window
+    opts_out = dict(base, sigmas=torch.tensor([0.5]))     # below sigma_end
+    out_ip = w(x, timesteps=t, context=ctx, y=y, transformer_options=opts_in)
+    out_gated = w(x, timesteps=t, context=ctx, y=y, transformer_options=opts_out)
+    out_plain = w(x, timesteps=t, context=ctx, y=y)
+    assert torch.isfinite(out_ip).all()
+    # gated-out == no patch at all; in-window differs
+    assert torch.equal(out_gated, out_plain)
+    assert (out_ip - out_plain).abs().max().item() > 1e-5
+    # cond/uncond routing: flipping the marker order changes the halves
+    opts_flip = dict(base, sigmas=torch.tensor([10.0]),
+                     cond_or_uncond=[1, 0])
+    out_flip = w(x, timesteps=t, context=ctx, y=y, transformer_options=opts_flip)
+    assert (out_flip - out_ip).abs().max().item() > 1e-6

@@ -505,3 +505,21 @@ def test_wan_dual_host_matches_phase_form():
     out_u, _ = run_u(p1, p2, jnp.array(lat), pos, neg, cos, sin, None)
     np.testing.assert_allclose(np.asarray(out_o), np.asarray(out_u),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_offload_placer_moves_cpu_committed_params():
+    """Regression for the r4/r5 A14B OOM: bare jax.device_put(x) is a NO-OP
+    on a committed array, so the offload placer left both experts on the
+    CPU and every branch call silently re-transferred 7.25 GiB (leaking
+    host staging + stacking device copies). The engine's placer must pass
+    an explicit target device."""
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    assert len(devs) >= 2, "conftest provides an 8-device CPU mesh"
+    x = jax.device_put(jnp.ones((4,)), devs[3])
+    assert x.devices() == {devs[3]}
+    assert jax.device_put(x).devices() == {devs[3]}  # the buggy no-op form
+    place = lambda p: jax.device_put(p, jax.devices()[0])  # engine's form
+    assert place(x).devices() == {devs[0]}

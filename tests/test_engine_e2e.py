@@ -189,6 +189,15 @@ def test_sd35_engine_end_to_end(tmp_path, monkeypatch):
     # 64/8 = 8x8 latent -> 4-stage tiny VAE 8x -> 64x64 pixels
     assert images.shape == (1, 64, 64, 3) and images.dtype == np.uint8
 
+    # SDEdit img2img (VERDICT r4 #10): image engages the i2i path, output
+    # well-formed and different from t2i at the same seed
+    src = (np.random.default_rng(9).random((64, 64, 3)) * 255).astype(np.uint8)
+    i2i = eng.generate(prompt="a cat", negative_prompt="blurry",
+                       height=64, width=64, num_inference_steps=2, seed=3,
+                       image=src, strength=0.5)
+    assert i2i.shape == (1, 64, 64, 3)
+    assert np.abs(i2i.astype(int) - images.astype(int)).max() > 0
+
 
 def test_wan_engine_end_to_end_latent(tmp_path):
     """Wan t2v through the engine: config.json hyperparams, quantized load,
@@ -558,6 +567,14 @@ def test_sdxl_engine_end_to_end(tmp_path, monkeypatch):
                        guidance_scale=5.0, seed=8)
     # 64/8 latent -> 4-stage VAE 8x -> 64x64
     assert img.shape == (1, 64, 64, 3) and img.dtype == np.uint8
+
+    # SDEdit img2img (VERDICT r4 #10): z_image + noise*sigma[start]
+    src = (np.random.default_rng(10).random((64, 64, 3)) * 255).astype(np.uint8)
+    i2i = eng.generate(prompt="a boat", negative_prompt="fog",
+                       height=64, width=64, num_inference_steps=2,
+                       guidance_scale=5.0, seed=8, image=src, strength=0.5)
+    assert i2i.shape == (1, 64, 64, 3)
+    assert np.abs(i2i.astype(int) - img.astype(int)).max() > 0
 
 
 def test_flux_engine_mesh_tp(tmp_path, monkeypatch):
