@@ -131,6 +131,18 @@ def _vae_decode_seconds(family, height, width, frames=1):
         dec = jax.jit(lambda z: wan_vae_decode_chunked(p, cfg, z))
         lf = (frames - 1) // 4 + 1
         shape = (1, 48, lf, height // 16, width // 16)
+    elif family == "a14b":
+        # Wan2.1 16-ch VAE (the A14B's codec): streaming chunked decode at
+        # 720p x 81 frames (full-sequence holds every 8x-scale activation)
+        from fastdm_tpu.pipeline.wan_vae import (
+            WanVAEConfig, wan_vae_decode_chunked, wan_vae_random,
+        )
+
+        cfg = WanVAEConfig()
+        p = jax.jit(lambda k: wan_vae_random(k, cfg))(jax.random.key(9))
+        dec = jax.jit(lambda z: wan_vae_decode_chunked(p, cfg, z))
+        lf = (frames - 1) // 4 + 1
+        shape = (1, 16, lf, height // 8, width // 8)
     else:
         raise ValueError(family)
 
@@ -344,6 +356,126 @@ def main_wan5b():
     _emit(metric, value, baseline, 2 * steps, skips)
 
 
+def main_a14b():
+    """BENCH_MODEL=a14b: Wan2.2-T2V-A14B 720x1280x81f, 40 steps, CFG, dual
+    14B experts (BASELINE.md: H20 1056 s +cache / 811 s +cache+radial-sparse
+    — the marquee reference rows). int4p experts, both HOST-resident with
+    per-phase placement (offload_inactive_expert residency), FBCache
+    (reference wan config), radial super-gather sparse attention, UniPC.
+    Host-stepped per-CFG-branch programs (the axon tunnel kills any single
+    execution at ~60 s; one A14B branch forward is ~12-25 s). Experts load
+    from the disk snapshot when present (A14B_SNAPSHOT, ~40 min random-init
+    otherwise on this 1-core host). BENCH_REPS defaults to 1 — one rep is a
+    full ~10-15 min generation."""
+    from fastdm_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    import dataclasses as _dc
+
+    from fastdm_tpu.caching.config import FBCacheConfig
+    from fastdm_tpu.kernels import contracts
+    from fastdm_tpu.models import snapshot as snap
+    from fastdm_tpu.models.wan import (
+        WanConfig, wan_init_random, wan_rope_cos_sin,
+    )
+    from fastdm_tpu.pipeline.denoise_more import make_wan_dual_host_denoiser
+    from fastdm_tpu.pipeline.schedulers import UniPCMultistepScheduler
+    from fastdm_tpu.sparse.config import RadialAttnConfig
+    from fastdm_tpu.sparse.xsparse import RadialAttn
+
+    steps = int(os.environ.get("BENCH_STEPS", 40))
+    height = int(os.environ.get("BENCH_HEIGHT", 720))
+    width = int(os.environ.get("BENCH_WIDTH", 1280))
+    frames = int(os.environ.get("BENCH_FRAMES", 81))
+    quant = os.environ.get("BENCH_QUANT", "int4p")
+    decay = float(os.environ.get("BENCH_SPARSE_DECAY", 0.2))
+
+    cfg = WanConfig(num_layers=int(os.environ.get("BENCH_LAYERS", 40)),
+                    quant=quant, ffn_chunk_tokens=5400, split_qkv_proj=True)
+    lf, lh, lw = (frames - 1) // 4 + 1, height // 8, width // 8
+    pt, ph, pw = cfg.patch_size
+    tokens = (lf // pt) * (lh // ph) * (lw // pw)
+
+    cpu = jax.devices("cpu")[0]
+    cache_dir = os.environ.get("A14B_SNAPSHOT", "/root/a14b_experts_snapshot")
+    with jax.default_device(cpu):
+        if cache_dir and snap.is_snapshot(cache_dir):
+            m = snap.load_manifest(cache_dir)
+            snap.check_compatible(m, architecture="wan-a14b-bench",
+                                  quant=quant, cfg=cfg)
+            params = snap.load_tree(cache_dir, "expert_1", m)
+            params_2 = snap.load_tree(cache_dir, "expert_2", m)
+        else:
+            params = jax.jit(lambda k: wan_init_random(k, cfg))(
+                jax.random.key(0))
+            params_2 = jax.jit(lambda k: wan_init_random(k, cfg))(
+                jax.random.key(1))
+            jax.block_until_ready((params, params_2))
+
+    bq, grp, sb = 256, 32, 4
+    cfg = _dc.replace(cfg, sparse_gather_fine_blocks=(bq, grp, 64),
+                      sparse_gather_superblock=sb)
+    sp = RadialAttn(RadialAttnConfig(block_size=64, decay_factor=decay,
+                                     model_type="wan"))
+    sp.post_init(video_token_num=tokens, num_frame=lf // pt)
+    tab = f"/tmp/a14b_tables/d{decay}_t{tokens}_f{lf // pt}_{bq}_{grp}_{sb}.npz"
+    if os.path.exists(tab):
+        import numpy as _np
+        z = _np.load(tab)
+        idx, val, rows = z["idx"], z["val"], z["rows"]
+    else:
+        idx, val, rows = sp.block_lists_super(bq, grp // sb, sb)
+        os.makedirs(os.path.dirname(tab), exist_ok=True)
+        __import__("numpy").savez(tab, idx=idx, val=val, rows=rows)
+    mask = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(rows))
+    contracts.check_gather_super("bench a14b tables", *mask, tokens, tokens,
+                                 bq, grp // sb, 64, sb)
+
+    cache_cfg = FBCacheConfig(
+        cache_algorithm="fbcache", enable_caching=True,
+        threshold=float(os.environ.get("BENCH_CACHE_THRESHOLD", 0.15)),
+        warmup_steps=8, negtive_cache=True)
+    sched = UniPCMultistepScheduler.create(steps, shift=5.0)
+    run = make_wan_dual_host_denoiser(
+        cfg, sched, steps, cache_cfg, 5.0, None, 0.875,
+        dense_warmup_steps=0,
+        place_params=lambda p: jax.device_put(p, jax.devices()[0]))
+
+    kp, kn = jax.random.split(jax.random.key(7))
+    pos_text = jax.random.normal(kp, (1, cfg.text_len, cfg.text_dim),
+                                 jnp.bfloat16)
+    neg_text = jax.random.normal(kn, (1, cfg.text_len, cfg.text_dim),
+                                 jnp.bfloat16)
+    cos, sin = wan_rope_cos_sin(cfg, lf, lh, lw)
+
+    import numpy as np
+
+    best, skips = float("inf"), 0
+    reps = int(os.environ.get("BENCH_REPS", 1))
+    for rep in range(reps + 1):  # rep 0 = compile+transfer warmup, untimed
+        lat = jax.random.normal(jax.random.key(100 + rep),
+                                (1, cfg.in_channels, lf, lh, lw), jnp.float32)
+        t0 = time.perf_counter()
+        out, sk = run(params, params_2, lat, pos_text, neg_text, cos, sin,
+                      mask)
+        np.asarray(out[..., :1, :1, :1])
+        dt = time.perf_counter() - t0
+        print(f"a14b rep {rep}: {dt:.1f} s, {int(np.asarray(sk))} branch "
+              f"skips", file=sys.stderr)
+        if rep > 0 or reps == 0:
+            best, skips = min(best, dt), int(np.asarray(sk))
+    value = best
+    baseline = 811.0
+    metric = f"wan_a14b_t2v_{height}x{width}x{frames}f_{steps}step_denoise_latency"
+    if _e2e_on():
+        dec = _vae_decode_seconds("a14b", height, width, frames)
+        print(f"denoise {value:.3f} s + vae decode {dec:.3f} s",
+              file=sys.stderr)
+        metric = f"wan_a14b_t2v_{height}x{width}x{frames}f_{steps}step_e2e_latency"
+        value += dec
+    _emit(metric, value, baseline, 2 * steps, skips)
+
+
 def main_qwen():
     """BENCH_MODEL=qwen: Qwen-Image 1024x2048, 25 steps, no negative stream
     (the reference's own Qwen workload — BASELINE.md 'no neg' row: H20
@@ -442,7 +574,7 @@ def main():
     model = os.environ.get("BENCH_MODEL", "flux")
     if model != "flux":
         return {"qwen": main_qwen, "sd35": main_sd35, "sdxl": main_sdxl,
-                "wan5b": main_wan5b}[model]()
+                "wan5b": main_wan5b, "a14b": main_a14b}[model]()
     from fastdm_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()

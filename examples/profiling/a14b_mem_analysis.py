@@ -30,7 +30,7 @@ def main():
     layers = int(os.environ.get("A14B_LAYERS", 40))
     lf, lh, lw = 21, 90, 160
     cfg = WanConfig(num_layers=layers, quant="int4p",
-                ffn_chunk_tokens=9450, split_qkv_proj=True)
+                ffn_chunk_tokens=5400, split_qkv_proj=True)
     pt, ph, pw = cfg.patch_size
     tokens = (lf // pt) * (lh // ph) * (lw // pw)
     cfg = dc.replace(cfg, sparse_gather_fine_blocks=(256, 32, 64),

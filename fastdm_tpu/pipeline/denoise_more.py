@@ -1166,6 +1166,17 @@ def make_wan_dual_host_denoiser(
                         # expert's transfer
                         st_old = cstates.pop(active)
                         skips = skips + st_old[0]["skips"] + st_old[1]["skips"]
+                        del st_old
+                    if place_params is not None:
+                        # force a full device round-trip so the freed
+                        # expert's buffers are actually reclaimed before the
+                        # next 7.25 GiB transfer queues — the allocator
+                        # reclaims lazily, and free-in-flight + incoming
+                        # expert transiently held BOTH experts (the r5
+                        # swap-step RESOURCE_EXHAUSTED at step b_step)
+                        import numpy as _np
+
+                        _np.asarray(skips + jnp.zeros((), jnp.int32))
                 master = params if expert == 1 else params_2
                 p_dev = master if place_params is None else \
                     place_params(master)
