@@ -139,9 +139,14 @@ def main():
     print(f"experts host-init ({src}): {time.perf_counter()-t0:.1f} s, "
           f"{wbytes/2**30:.2f} GiB each ({quant}), {tokens} tokens", flush=True)
 
+    # A14B_THR: skip-rate calibration (0.15 = the reference's published wan
+    # threshold; on synthetic weights it over-skips — 56/80 vs the implied
+    # ~44/80 — so the rate-matched row sweeps this down, same honesty
+    # policy as the flux/qwen TeaCache calibration in BENCH_NOTES)
     cache_cfg = FBCacheConfig(
         cache_algorithm="fbcache", enable_caching=True,
-        threshold=0.15, warmup_steps=8, negtive_cache=True)
+        threshold=float(os.environ.get("A14B_THR", 0.15)),
+        warmup_steps=8, negtive_cache=True)
     sched = UniPCMultistepScheduler.create(steps, shift=5.0)
 
     kl, kp, kn = jax.random.split(jax.random.key(7), 3)
@@ -168,8 +173,10 @@ def main():
             dense_warmup_steps=m["dense_steps"],
             place_params=lambda p: jax.device_put(p, jax.devices()[0]))
 
-        for rep, tag in ((0, "cold (compile+transfers+exec)"),
-                         (1, "warm (steady-state)")):
+        reps = ((0, "cold (compile+transfers+exec)"),) \
+            if os.environ.get("A14B_COLD_ONLY") == "1" else \
+            ((0, "cold (compile+transfers+exec)"), (1, "warm (steady-state)"))
+        for rep, tag in reps:
             lat = jax.random.normal(jax.random.key(100 + rep), lat_shape,
                                     jnp.float32)
             t0 = time.perf_counter()
