@@ -1107,6 +1107,46 @@ def make_wan_dual_host_denoiser(
         return scheduler_step(scheduler, out, step, lat, sigmas, sst,
                               num_steps)
 
+    # Fused whole-step program (pos branch + neg branch + CFG combine +
+    # scheduler): over the axon tunnel every Execute costs ~1-2 s of
+    # round-trip latency, and the per-branch form dispatches 3 programs per
+    # step (80 branch + 40 combine = ~250 s of the 1016 s rate-matched e2e,
+    # BENCH_NOTES 2026-08-21). One fused CFG step is ~44 s on-device —
+    # still under the ~60 s single-execution tunnel cap when every step is
+    # sparse; DENSE steps (~38 s/branch) would exceed it, so the fused form
+    # is only used when dense_warmup_steps == 0. Numerically identical:
+    # same branch bodies, same combine, same scheduler math.
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+    def step_fused(p, st0, st1, lat, sst, cond, t, step, g, p_text, n_text,
+                   rope_cos, rope_sin, mask):
+        # inp built IN-GRAPH: lat is donated, and passing the same buffer as
+        # a second argument would be rejected by Execute
+        inp = lat if cond is None else jnp.concatenate(
+            [lat, cond.astype(lat.dtype)], axis=1)
+        if cache_cfg is None:
+            pos, _ = _branch_uncached(p, inp, t, p_text, rope_cos, rope_sin,
+                                      mask)
+            neg, _ = _branch_uncached(p, inp, t, n_text, rope_cos, rope_sin,
+                                      mask)
+            st0_n, st1_n = st0, st1
+        else:
+            pos, st0_n = wan_forward_cached(
+                p, cfg, cache_cfg, st0, step, num_steps,
+                inp.astype(jnp.bfloat16), t, p_text,
+                rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask)
+            neg, st1_n = wan_forward_cached(
+                p, cfg, neg_cfg, st1, step, num_steps,
+                inp.astype(jnp.bfloat16), t, n_text,
+                rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask)
+            pos = pos.astype(jnp.float32)
+            neg = neg.astype(jnp.float32)
+        out = neg + g * (pos - neg)
+        lat_n, sst_n = scheduler_step(scheduler, out, step, lat, sigmas, sst,
+                                      num_steps)
+        return lat_n, sst_n, st0_n, st1_n
+
+    use_fused = do_cfg and cut == 0
+
     def run(params, params_2, latents, pos_text, neg_text, rope_cos, rope_sin,
             sparse_mask, cond=None):
         b = latents.shape[0]
@@ -1193,14 +1233,21 @@ def make_wan_dual_host_denoiser(
                 [lat, cond.astype(lat.dtype)], axis=1)
             st = cstates.get(expert, [(), ()])
             step_dev = jnp.asarray(step, jnp.int32)
-            pos, st[0] = branch_pos(p_dev, st[0], inp, t, step_dev, pos_text,
-                                    rope_cos, rope_sin, mask)
-            neg = None
-            if do_cfg:
-                neg, st[1] = branch_neg(p_dev, st[1], inp, t, step_dev,
-                                        neg_text, rope_cos, rope_sin, mask)
-            lat, sst = combine_sched(pos, neg, lat, sst, step_dev,
-                                     jnp.asarray(g, jnp.float32))
+            if use_fused:
+                lat, sst, st[0], st[1] = step_fused(
+                    p_dev, st[0], st[1], lat, sst, cond, t, step_dev,
+                    jnp.asarray(g, jnp.float32), pos_text, neg_text,
+                    rope_cos, rope_sin, mask)
+            else:
+                pos, st[0] = branch_pos(p_dev, st[0], inp, t, step_dev,
+                                        pos_text, rope_cos, rope_sin, mask)
+                neg = None
+                if do_cfg:
+                    neg, st[1] = branch_neg(p_dev, st[1], inp, t, step_dev,
+                                            neg_text, rope_cos, rope_sin,
+                                            mask)
+                lat, sst = combine_sched(pos, neg, lat, sst, step_dev,
+                                         jnp.asarray(g, jnp.float32))
             if _rss_dbg:
                 lat.block_until_ready()
                 print(f"[rss] step {step}: {_rss():.2f} GiB", flush=True)
