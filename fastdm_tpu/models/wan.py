@@ -366,11 +366,30 @@ def _wan_cross_attention(attn, x: Array, encoder: Array, cfg: WanConfig) -> Arra
     kv = qlinear_apply(attn["kv"], ctx_txt)
     k = rms_norm(kv[..., :d], attn["norm_k"], cfg.eps)
     v = kv[..., d:]
-    out = scaled_dot_product_attention(q, k, v, h, h, hd, False, hd**-0.5)
+    k_img = v_img = None
     if ctx_img is not None:
-        k_img = rms_norm(qlinear_apply(attn["add_k"], ctx_img), attn["norm_added_k"], cfg.eps)
+        k_img = rms_norm(qlinear_apply(attn["add_k"], ctx_img),
+                         attn["norm_added_k"], cfg.eps)
         v_img = qlinear_apply(attn["add_v"], ctx_img)
-        out = out + scaled_dot_product_attention(q, k_img, v_img, h, h, hd, False, hd**-0.5)
+
+    def xattn(qc):
+        o = scaled_dot_product_attention(qc, k, v, h, h, hd, False, hd**-0.5)
+        if k_img is not None:
+            o = o + scaled_dot_product_attention(qc, k_img, v_img, h, h, hd,
+                                                 False, hd**-0.5)
+        return o
+
+    s = q.shape[1]
+    ct = cfg.ffn_chunk_tokens
+    if ct and s > ct and s % ct == 0:
+        # per-chunk cross-attention: rows are independent (kv is the fixed
+        # text context), and the flash wrapper's padded q/out transposes at
+        # full 75.6k-token width were 2 x 738 MB of the fused A14B step's
+        # HBM peak (compile OOM by 46 MB, 2026-08-21)
+        out = jnp.concatenate(
+            [xattn(q[:, i : i + ct]) for i in range(0, s, ct)], axis=1)
+    else:
+        out = xattn(q)
     return qlinear_apply(attn["to_out"], out.astype(x.dtype),
                          chunk_tokens=cfg.ffn_chunk_tokens)
 

@@ -1134,9 +1134,15 @@ def make_wan_dual_host_denoiser(
                 p, cfg, cache_cfg, st0, step, num_steps,
                 inp.astype(jnp.bfloat16), t, p_text,
                 rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask)
+            # serialize the branches: without the barrier XLA co-schedules
+            # the two (independent) 40-layer bodies and their temp arenas
+            # overlap — the fused program then compiles at 16.9 GiB > HBM
+            # (2026-08-21); with it, peak == one branch + both states
+            pos, st0_n, inp_b, t_b, n_text_b = jax.lax.optimization_barrier(
+                (pos, st0_n, inp, t, n_text))
             neg, st1_n = wan_forward_cached(
                 p, cfg, neg_cfg, st1, step, num_steps,
-                inp.astype(jnp.bfloat16), t, n_text,
+                inp_b.astype(jnp.bfloat16), t_b, n_text_b,
                 rope_cos=rope_cos, rope_sin=rope_sin, sparse_mask=mask)
             pos = pos.astype(jnp.float32)
             neg = neg.astype(jnp.float32)
