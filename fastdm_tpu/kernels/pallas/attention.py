@@ -195,6 +195,139 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def _flash_kernel_nq(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, kv_len, block_q, block_k, causal, s_dtype=jnp.float32,
+):
+    """Native-layout-q flash kernel: q/out blocks are (1, bq, head_dim)
+    carved straight from the model's (b, s, h*d) tensors by the BlockSpec
+    (same trick as the super-gather kernel), so the wrapper's padded q
+    transpose AND the output transpose-back never exist. K/V keep the
+    transposed+padded copy (their tiles are walked per q block; a native
+    fetch would be a strided 256 B-chunk DMA). The softmax scale*log2e is
+    folded into the K copy instead of q (that copy is made anyway)."""
+    i, j = pl.program_id(2), pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    run = True
+    if causal:
+        run = j * block_k <= (i + 1) * block_q - 1
+    has_pad = kv_len % block_k != 0
+
+    def _mask_for(masked):
+        kv_mask = None
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            kv_mask = col + j * block_k < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            if kv_mask is None:
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            cmask = col + j * block_k <= row + i * block_q
+            kv_mask = cmask if kv_mask is None else (kv_mask & cmask)
+        return kv_mask
+
+    def body(masked):
+        _attn_body(q_ref[0], k_ref[0, 0], v_ref[0, 0], _mask_for(masked),
+                   m_scr, l_scr, acc_scr, s_dtype)
+
+    if has_pad:
+        @pl.when(run & (j < nj - 1))
+        def _():
+            body(False)
+
+        @pl.when(run & (j == nj - 1))
+        def _():
+            body(True)
+    else:
+        @pl.when(run)
+        def _():
+            body(False)
+
+    @pl.when(j == nj - 1)
+    def _():
+        l = l_scr[:, :1]
+        out = acc_scr[...] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_q_heads", "num_kv_heads", "head_dim", "is_causal", "scale",
+        "block_q", "block_k", "bf16_logits",
+    ),
+)
+def _flash_attention_nq(
+    query, key, value,
+    *, num_q_heads, num_kv_heads, head_dim, is_causal, scale, block_q,
+    block_k, bf16_logits=False,
+):
+    """Dense flash attention with native-layout q/out (see _flash_kernel_nq).
+    query: (b, sq, h*d) -> out (b, sq, h*d), no q/out relayout copies."""
+    b, sq, _ = query.shape
+    skv = key.shape[1]
+    scale = head_dim**-0.5 if scale is None else scale
+    bq = min(block_q, _round_up(sq, 128))
+    bk = min(block_k, _round_up(skv, 128))
+    # scale*log2(e) folds into the K transpose+pad copy (made anyway)
+    k = key.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
+    k = _pad_seq((k.astype(jnp.float32) * (scale * _LOG2E)).astype(key.dtype),
+                 bk)
+    v = _pad_seq(value.reshape(b, skv, num_kv_heads, head_dim).transpose(0, 2, 1, 3), bk)
+    ni = -(-sq // bq)  # partial tail q block: Mosaic OOB load/store masking
+    nj = k.shape[2] // bk
+    grid = (b, num_q_heads, ni, nj)
+    kv_rep = num_q_heads // num_kv_heads
+
+    q_spec = pl.BlockSpec((1, bq, head_dim),
+                          lambda b_, h, i, j: (b_, i, h),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (1, 1, bk, head_dim),
+        lambda b_, h, i, j: (b_, h // kv_rep, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    o_spec = pl.BlockSpec((1, bq, head_dim),
+                          lambda b_, h, i, j: (b_, i, h),
+                          memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((bq, _LANES), jnp.float32),
+        pltpu.VMEM((bq, _LANES), jnp.float32),
+        pltpu.VMEM((bq, head_dim), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=4 * b * num_q_heads * ni * bq * nj * bk * head_dim,
+        bytes_accessed=2 * (query.size + k.size + v.size),
+        transcendentals=b * num_q_heads * ni * bq * nj * bk,
+    )
+    kernel = functools.partial(
+        _flash_kernel_nq,
+        kv_len=skv, block_q=bq, block_k=bk, causal=is_causal,
+        s_dtype=jnp.bfloat16 if bf16_logits else jnp.float32,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(query, k, v)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -317,6 +450,16 @@ def sdpa_pallas(
     # (~855 normalized): its sub-block structure buys nothing here, so the
     # single-level serial tile walk stays.
     block_k = 2048 if key.shape[1] >= 32768 else 1024
+    if os.environ.get("FASTDM_SDPA_NATIVE_Q", "1") == "1":
+        # native-layout q/out (default): drops the padded q transpose AND
+        # the output transpose-back — 2 full (S, H*D) HBM round trips per
+        # call (FASTDM_SDPA_NATIVE_Q=0 restores the transposing form)
+        return _flash_attention_nq(
+            query, key, value,
+            num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
+            head_dim=head_dim, is_causal=is_causal, scale=scale,
+            block_q=1024, block_k=block_k, bf16_logits=bf16_logits,
+        )
     return _flash_attention(
         query, key, value, None,
         num_q_heads=num_q_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,

@@ -125,3 +125,29 @@ def test_pallas_matches_jnp_bf16():
     a = np.asarray(sdpa_jnp(q, k, v, h, h, d), np.float32)
     p = np.asarray(sdpa_pallas(q, k, v, h, h, d), np.float32)
     np.testing.assert_allclose(a, p, atol=1.5e-2)
+
+
+@pytest.mark.parametrize("sq", [300, 900])
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_native_q_partial_tail(sq, causal):
+    """Native-layout-q dense flash (_flash_attention_nq): multiple q blocks
+    with a partial tail (Mosaic OOB masking) and the K-side scale fold must
+    match the jnp oracle and the transposing form."""
+    from fastdm_tpu.kernels.pallas.attention import _flash_attention_nq
+
+    rng = np.random.default_rng(33)
+    # skv == sq: the causal row/col alignment convention for sq != skv
+    # differs between the oracle and the kernel (both kernels; causal is
+    # API-parity only — no diffusion model here uses it)
+    h, d, skv = 2, 64, sq
+    q = jnp.asarray(rng.standard_normal((1, sq, h * d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, skv, h * d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, skv, h * d)), jnp.bfloat16)
+    out = _flash_attention_nq(
+        q, k, v, num_q_heads=h, num_kv_heads=h, head_dim=d,
+        is_causal=causal, scale=None, block_q=128, block_k=256)
+    ref = sdpa_jnp(q, k, v, h, h, d, causal, None)
+    assert out.shape == (1, sq, h * d)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2,
+                               rtol=2e-2)
