@@ -431,9 +431,14 @@ def main_a14b():
     contracts.check_gather_super("bench a14b tables", *mask, tokens, tokens,
                                  bq, grp // sb, 64, sb)
 
+    # threshold 0.07 = the RATE-MATCHED calibration on synthetic weights
+    # (48/80 branch skips ~= the reference's implied ~44/80 from its
+    # 2348 -> 1056 s +cache delta); the published wan config's 0.15
+    # over-skips to 56/80 here (BENCH_NOTES 2026-08-21). Real-weight runs
+    # use the published 0.15.
     cache_cfg = FBCacheConfig(
         cache_algorithm="fbcache", enable_caching=True,
-        threshold=float(os.environ.get("BENCH_CACHE_THRESHOLD", 0.15)),
+        threshold=float(os.environ.get("BENCH_CACHE_THRESHOLD", 0.07)),
         warmup_steps=8, negtive_cache=True)
     sched = UniPCMultistepScheduler.create(steps, shift=5.0)
     run = make_wan_dual_host_denoiser(

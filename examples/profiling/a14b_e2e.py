@@ -101,7 +101,7 @@ def main():
     which = os.environ.get("A14B_SPARSE", "both")
 
     base_cfg = WanConfig(num_layers=layers, quant=quant,
-                     ffn_chunk_tokens=5400,
+                     ffn_chunk_tokens=int(os.environ.get('A14B_CHUNK', 5400)),
                      split_qkv_proj=True)
     pt, ph, pw = base_cfg.patch_size
     tokens = (lf // pt) * (lh // ph) * (lw // pw)

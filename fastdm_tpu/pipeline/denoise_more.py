@@ -14,6 +14,7 @@ is one lax.scan under one jit, with classifier-free guidance folded in:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -1151,7 +1152,14 @@ def make_wan_dual_host_denoiser(
                                       num_steps)
         return lat_n, sst_n, st0_n, st1_n
 
-    use_fused = do_cfg and cut == 0
+    # MEASURED NEGATIVE (2026-08-21, BENCH_NOTES): the fused step ran the
+    # rate-matched A14B e2e at 1184.8 s vs the per-branch form's 1016.6 s at
+    # identical skips — async dispatch already back-to-backs the per-branch
+    # Executes on device, while the fused program's optimization_barrier
+    # (required to fit HBM) serializes everything it straddles. Kept behind
+    # an env flag for future hardware where per-Execute latency dominates.
+    use_fused = (do_cfg and cut == 0
+                 and os.environ.get("FASTDM_WAN_FUSED_STEP") == "1")
 
     def run(params, params_2, latents, pos_text, neg_text, rope_cos, rope_sin,
             sparse_mask, cond=None):
