@@ -34,15 +34,20 @@ import numpy as np
 from fastdm_tpu.utils.profiling import enable_compilation_cache
 
 
+def _sync(out):
+    # d2h of ONE element (device-side slice first): np.asarray of the full
+    # output ships the whole tensor over the tunnel (~1 s for 53 MB) and
+    # poisons microbenchmarks
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+
+
 def timed(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+    _sync(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -61,7 +66,7 @@ def main():
     txt = 512
     s = ht * wt + txt                        # 8704 joint tokens
     d = cfg.inner_dim                        # 3072
-    mlp = cfg.mlp_dim                        # 12288
+    mlp = int(cfg.inner_dim * cfg.mlp_ratio)  # 12288
     key = jax.random.key(0)
 
     # ---- full forward

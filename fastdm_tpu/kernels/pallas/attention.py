@@ -450,10 +450,12 @@ def sdpa_pallas(
     # (~855 normalized): its sub-block structure buys nothing here, so the
     # single-level serial tile walk stays.
     block_k = 2048 if key.shape[1] >= 32768 else 1024
-    if os.environ.get("FASTDM_SDPA_NATIVE_Q", "1") == "1":
-        # native-layout q/out (default): drops the padded q transpose AND
-        # the output transpose-back — 2 full (S, H*D) HBM round trips per
-        # call (FASTDM_SDPA_NATIVE_Q=0 restores the transposing form)
+    if os.environ.get("FASTDM_SDPA_NATIVE_Q", "0") == "1":
+        # native-layout q/out (opt-in): drops the padded q transpose AND the
+        # output transpose-back. MEASURED NEUTRAL-to-NEGATIVE at the FLUX
+        # bench shape (13.162 vs 13.022 s denoise, 2026-08-21) — the strided
+        # (bq, head_dim) q-tile DMA costs what the transpose saved; kept for
+        # HBM-peak-constrained programs (the A14B fused step)
         return _flash_attention_nq(
             query, key, value,
             num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
