@@ -376,7 +376,22 @@ class FastDMEngine:
             tree = snap.load_tree(sp, name, self._snapshot_manifest)
             self._loaded_trees[name] = tree
             return tree
-        tree = build_fn()
+        if os.environ.get("FASTDM_LOAD_ON_HOST") == "1":
+            # Build the quantized tree on the CPU backend, then move it in
+            # ONE batched device_put. At 20+ GiB checkpoint scale the
+            # per-tensor on-device build dies: the allocator reclaims
+            # transfer/quantize transients lazily and hundreds of individual
+            # h2d transfers accumulate device garbage past HBM (the
+            # full-scale FLUX parity load RESOURCE_EXHAUSTED, 2026-08-21);
+            # a single tree transfer is also much faster over the tunnel.
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                tree = build_fn()
+                jax.block_until_ready(tree)
+            tree = jax.device_put(tree, jax.devices()[0])
+            jax.block_until_ready(tree)
+        else:
+            tree = build_fn()
         self._loaded_trees[name] = tree
         if sp:
             self._snapshot_pending[name] = tree
