@@ -388,8 +388,35 @@ class FastDMEngine:
             with jax.default_device(cpu):
                 tree = build_fn()
                 jax.block_until_ready(tree)
-            tree = jax.device_put(tree, jax.devices()[0])
-            jax.block_until_ready(tree)
+            # chunked transfer: one device_put of an 11+ GiB tree OOMs over
+            # the tunnel (staging ~2x the payload on device); ~2 GiB groups
+            # with a barrier between them stay well under HBM
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            dev = jax.devices()[0]
+
+            def _flush():
+                # a COMPUTE round trip, not just block_until_ready: transfer
+                # staging frees are deferred until the next Execute on this
+                # tunnel (same reclamation behavior as the A14B expert swap,
+                # BENCH_NOTES 2026-08-21)
+                np.asarray(jax.jit(lambda: jnp.zeros((), jnp.int32))())
+
+            out, group, gbytes = [], [], 0
+            for leaf in leaves:
+                group.append(leaf)
+                gbytes += leaf.size * leaf.dtype.itemsize
+                if gbytes >= 2 << 30:
+                    moved = jax.device_put(group, dev)
+                    jax.block_until_ready(moved)
+                    out.extend(moved)
+                    group, gbytes = [], 0
+                    _flush()
+            if group:
+                moved = jax.device_put(group, dev)
+                jax.block_until_ready(moved)
+                out.extend(moved)
+                _flush()
+            tree = jax.tree_util.tree_unflatten(treedef, out)
         else:
             tree = build_fn()
         self._loaded_trees[name] = tree
