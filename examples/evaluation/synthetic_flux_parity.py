@@ -99,6 +99,10 @@ def main(argv=None):
     p.add_argument("--num-prompts", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--report", default=None)
+    p.add_argument("--save-dir", default=None,
+                   help="persist per-config latents (cross-process compare "
+                        "when one process cannot hold two full-scale "
+                        "engines)")
     args = p.parse_args(argv)
 
     if os.environ.get("SYNTH_PARITY_CPU") == "1":
@@ -149,7 +153,7 @@ def main(argv=None):
     ns.steps = args.steps
     ns.num_frames = 5
     ns.seed = args.seed
-    ns.save_dir = None
+    ns.save_dir = args.save_dir
     ns.reference_dir = None
     ns.skip_clip = True
     ns.latent = True
